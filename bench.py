@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline declared queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing protocol: one untimed warmup of a trivial action (JVM+codegen spin-up),
+then each query timed as plan-build + execution to a count-style sink
+(df.write noop would add IO; the driver's own check collects, so we time a
+full materialization via ``df.toLocalIterator`` drain? No — ``count()`` can
+prune columns. We force full-row materialization with a cheap global hash so
+measured time covers the real operator work, not result transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import functions as F
+
+from transf_spark import queries as q
+from transf_spark.session import get_spark
+
+# Headline set: scan-heavy agg, star join, window top-k, as-of join, dedup,
+# similarity — the operators whose plans matter at 100 TB.
+HEADLINE = [
+    "agg_hash_groupby",
+    "join_multiway_star",
+    "join_range_theta",
+    "window_rank_topk_per_group",
+    "join_asof_latest_event",
+    "sort_limit_topk",
+    "dedup_exact",
+    "dedup_fuzzy_minhash",
+    "similarity_topk_cosine",
+    "text_analysis_tokens",
+    "reassembly_ordered_concat",
+    "completion_manifest",
+]
+
+
+def materialize(df) -> int:
+    """Force full evaluation of every output row/column without driver-side
+    result transfer: xxhash64 over all columns, then aggregate."""
+    return df.select(
+        F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h")
+    ).collect()[0][0]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("transf_spark_bench")
+    registry = q.queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # Warmup: spin up JVM, codegen, parquet footer caches.
+    spark.range(1_000_000).select(F.sum("id")).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        materialize(registry[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

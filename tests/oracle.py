@@ -1,0 +1,84 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+The driver runs each declared query in Spark AND its oracle SQL in DuckDB on
+the same parquet, then compares row-count + schema + order-insensitive
+value-hash (columns sorted by name). This module reproduces that check so
+mismatches surface in `pytest` before the driver ever sees them.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from decimal import Decimal
+
+import duckdb
+
+from transf_spark.schemas import TABLE_NAMES
+
+_EPS = 0.0  # exact float compare — parity engineering, not tolerance
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, dt.date):
+        return dt.datetime(v.year, v.month, v.day).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _key(row):
+    return tuple(
+        (x is None, str(type(x).__name__), str(x)) for x in row
+    )
+
+
+def compare(spark_df, con, sql: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    problems: list[str] = []
+    spark_cols = sorted(spark_df.columns)
+    sdf = spark_df.select(*spark_cols)
+    srows = [tuple(_norm(v) for v in r) for r in sdf.collect()]
+
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows_raw = res.fetchall()
+    order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    dcols_sorted = [dcols[i] for i in order]
+    drows = [tuple(_norm(r[i]) for i in order) for r in drows_raw]
+
+    if spark_cols != dcols_sorted:
+        problems.append(f"column mismatch: spark={spark_cols} duckdb={dcols_sorted}")
+        return problems
+    if len(srows) != len(drows):
+        problems.append(f"row count: spark={len(srows)} duckdb={len(drows)}")
+    s_sorted = sorted(srows, key=_key)
+    d_sorted = sorted(drows, key=_key)
+    n_bad = 0
+    for i, (a, b) in enumerate(zip(s_sorted, d_sorted)):
+        if a != b:
+            n_bad += 1
+            if n_bad <= 5:
+                problems.append(f"row {i}: spark={a!r} duckdb={b!r}")
+    if n_bad > 5:
+        problems.append(f"... {n_bad} mismatched rows total")
+    return problems

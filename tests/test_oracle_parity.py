@@ -1,0 +1,44 @@
+"""Every oracle-checkable declared query must match DuckDB exactly at
+sf0.001 (fast) — the local twin of the driver's sf0.01 gate."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.oracle import compare, duckdb_con
+from transf_spark import queries as q
+
+# Default sf0.001 for speed; CI-style full check: TRANSF_SPARK_TEST_SF=/root/testdata/sf0.01
+SF = os.environ.get("TRANSF_SPARK_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_con(SF)
+    yield c
+    c.close()
+
+
+def _oracle_cases():
+    oracles = q.oracle_sql()
+    return sorted(oracles.keys())
+
+
+@pytest.mark.parametrize("name", _oracle_cases())
+def test_query_matches_oracle(spark, con, name):
+    spec = q.REGISTRY[name]
+    df = spec.fn(spark, SF)
+    problems = compare(df, con, spec.oracle)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_rows_only_queries_run(spark):
+    """Non-oracle queries must at least execute and return a stable schema."""
+    for name, spec in q.REGISTRY.items():
+        if spec.oracle is not None:
+            continue
+        df = spec.fn(spark, SF)
+        assert df.columns, name
+        df.limit(5).collect()

@@ -1,0 +1,69 @@
+"""Shared Column-expression helpers.
+
+Oracle-parity arithmetic: the driver value-hashes Spark output against DuckDB
+output. Double summation is order-dependent, and Spark's partial aggregation
+order differs run-to-run, so any ``SUM(double)`` is a latent hash mismatch.
+All money-ish columns in the fixtures carry exactly 2 decimal digits, so we
+sum **exactly** in ``DECIMAL`` and cast the final value back to double — a
+deterministic, partitioning-independent result on both engines. This is also
+the right call at 100 TB: decimal partial aggregates are still map-side
+combinable and whole-stage-codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# decimal(12,2) holds |x| < 10^10 with cents precision — covers every price
+# column in the fixtures; products of two stay within decimal(38,*) on both
+# Spark and DuckDB so multiplication never saturates precision.
+MONEY = "decimal(12,2)"
+
+
+def dec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(MONEY)
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Exact decimal sum surfaced as double."""
+    return F.sum(dec(col)).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Exact-sum / count average (double division, same op order as the
+    oracle's ``CAST(SUM(dec) AS DOUBLE) / COUNT(*)``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(dec(c)).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+# SQL fragments for the DuckDB oracle mirroring dec/dsum/davg exactly.
+def sql_dec(expr: str) -> str:
+    return f"CAST({expr} AS DECIMAL(12,2))"
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM({sql_dec(expr)}) AS DOUBLE) AS {alias}"
+
+
+def sql_dsum_raw(expr: str, alias: str) -> str:
+    """Sum an expression that is ALREADY decimal-typed (e.g. a product of
+    decimals) — no per-row re-rounding, mirrors Spark's scale-widening."""
+    return f"CAST(SUM({expr}) AS DOUBLE) AS {alias}"
+
+
+# decimal disc-price product used by Q1-shaped queries in both dialects
+SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+)
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return f"CAST(SUM({sql_dec(expr)}) AS DOUBLE) / COUNT(*) AS {alias}"
+
+
+def basename(col: Column | str) -> Column:
+    """Path basename after the last '/' or '\\' — reference ``extract_fn``
+    (`/root/reference/transf_client.cpp:27-33`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.element_at(F.split(c, r"[/\\]"), -1)

@@ -1,0 +1,489 @@
+"""Batch relational core (SURVEY.md §2.B, milestone M1).
+
+Scans, projections/filters, joins (equi → semi/anti → range/theta → as-of),
+aggregations (hash group-by → distinct → rollup/cube), windows, sort/limit,
+set ops — all built-in DataFrame primitives; Catalyst owns the physical plan.
+
+Scale design notes (100 TB north star):
+- dimension joins (`region`, `nation`, `customer` at 1500×SF rows) are
+  explicitly ``F.broadcast`` so no shuffle of the fact side ever happens;
+- fact-fact joins key on high-cardinality ids so AQE's skew-join splitting
+  applies;
+- every aggregate is map-side combinable (sum/count/min/max over decimals),
+  so partial aggregation runs before the shuffle;
+- no ``collect()``; every query returns a lazy DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from transf_spark.functions.exprs import (
+    SQL_DISC_PRICE,
+    davg,
+    dec,
+    dsum,
+    sql_davg,
+    sql_dsum,
+    sql_dsum_raw,
+)
+from transf_spark.queries import register
+from transf_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Scans (R1)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scan_parquet",
+    oracle="SELECT * FROM lineitem",
+    category="scan/source",
+    origin="R1",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-pinned full scan — reference file open+read
+    (`/root/reference/transf_client.cpp:102,109-110`). Columnar, pushed-down,
+    no inference."""
+    return load_table(spark, sf_dir, "lineitem")
+
+
+# --------------------------------------------------------------------------
+# Projection / filter (R4 dispatch, R6 predicates)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "project_filter_predicates",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           o_totalprice,
+           CASE WHEN o_orderpriority LIKE '1%' THEN 'urgent'
+                WHEN o_orderpriority LIKE '2%' THEN 'high'
+                ELSE 'normal' END AS priority_class,
+           length(o_orderstatus) = 1 AS status_ok
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 50000.0
+    """,
+    category="projection/filter",
+    origin="R4,R6",
+)
+def project_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + conditional projection — the reference's header-tag
+    dispatch ladder (`/root/reference/transf_server.cpp:133-154`) as
+    ``when/otherwise``. Both predicates push down to the parquet scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 50000.0))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.when(F.col("o_orderpriority").startswith("1"), "urgent")
+            .when(F.col("o_orderpriority").startswith("2"), "high")
+            .otherwise("normal")
+            .alias("priority_class"),
+            (F.length("o_orderstatus") == 1).alias("status_ok"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 1000.0
+    """,
+    category="join",
+    origin="EXT",
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast inner equi-join: customer is a dimension (150×SF rows) —
+    broadcast it so the orders side never shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 1000.0)
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+@register(
+    "join_multiway_star",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {sql_dsum_raw(SQL_DISC_PRICE, "revenue")},
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderstatus <> 'P'
+    GROUP BY r_name, n_name
+    """,
+    category="join",
+    origin="EXT",
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema chain lineitem⋈orders⋈customer⋈nation⋈region.
+
+    Physical shape at scale: one shuffle join on (l_orderkey=o_orderkey) —
+    the only fact-fact edge — then broadcast joins up the dimension chain,
+    then a map-side-combinable aggregate. Revenue summed exactly in decimal
+    (see functions/exprs.py).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_left_semi_anti",
+    oracle="""
+    SELECT c_custkey, c_name, 'has_orders' AS membership
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT c_custkey, c_name, 'no_orders' AS membership
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    category="join",
+    origin="R13-complement",
+)
+def join_left_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi = customers with ≥1 order; anti = without — the completion /
+    orphan-session complement pattern (`/root/reference/transf_server.cpp:296,78-131`).
+    Both sides broadcast the probe keys; no duplicate-row inflation."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = customer.c_custkey == orders.o_custkey
+    semi = customer.join(orders, cond, "left_semi").select(
+        "c_custkey", "c_name", F.lit("has_orders").alias("membership")
+    )
+    anti = customer.join(orders, cond, "left_anti").select(
+        "c_custkey", "c_name", F.lit("no_orders").alias("membership")
+    )
+    return semi.unionByName(anti)
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_shipped_in_window,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    """,
+    category="join",
+    origin="EXT",
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range (theta) join: lineitems shipped within 90 days of their
+    order date. The equi key keeps it a hash join; the range predicate is a
+    post-join filter Catalyst evaluates inside the same stage — at 100 TB
+    this stays one shuffle, never a cartesian."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        lineitem.join(orders, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipped_in_window"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "join_asof_latest_event",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           p.ts AS purchase_ts,
+           c.event_id AS click_id,
+           c.ts AS click_ts
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) = 1
+    """,
+    category="join",
+    origin="EXT",
+)
+def join_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): for each purchase, the latest
+    click by the same user at-or-before it. Emulated as a keyed theta join +
+    per-probe-row ``row_number``=1 — the join is user_id-keyed so it shuffles
+    once and never goes quadratic across users; at 100 TB both sides would
+    additionally be bucketed by user_id to co-locate the scans."""
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id")) & (F.col("click_ts") <= F.col("purchase_ts")),
+    )
+    w = W.partitionBy("purchase_id").orderBy(
+        F.col("click_ts").desc(), F.col("click_id").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_hash_groupby",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_base_price")},
+           {sql_dsum_raw(SQL_DISC_PRICE, "sum_disc_price")},
+           {sql_davg("l_quantity", "avg_qty")},
+           {sql_davg("l_extendedprice", "avg_price")},
+           {sql_davg("l_discount", "avg_disc")},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    category="aggregation",
+    origin="R9,R26",
+)
+def agg_hash_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary (hash aggregate).
+
+    The reference's only aggregations are running byte counters
+    (`/root/reference/transf_server.cpp:290-296`); this is the engine-grade
+    generalization. Filter pushes to the scan; aggregate is partial
+    (map-side) then final after a 4-group shuffle — the canonical
+    scan-dominated plan that scales linearly with input."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_count",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="aggregation",
+    origin="EXT",
+)
+def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase under the hood).
+    The HLL variant is declared separately (`agg_approx_distinct`,
+    rows-only) because the oracle can only check exact counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # approximate by construction — rows-only check
+    category="aggregation",
+    origin="EXT",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts — the 100 TB path where exact distinct
+    would shuffle every key. rsd=0.01 ⇒ ~1% error, constant memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    )
+
+
+@register(
+    "agg_rollup_cube",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {sql_dsum("c_acctbal", "sum_acctbal")},
+           COUNT(*) AS n_customers,
+           GROUPING(r_name, n_name) AS gid
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    category="aggregation",
+    origin="EXT",
+)
+def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup region→nation with grouping_id disambiguating
+    subtotal rows. (cube() exercised in tests; rollup is the oracle-checked
+    shape.)"""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            dsum("c_acctbal", "sum_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.grouping_id("r_name", "n_name").alias("gid"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows / sort / set ops
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    category="window/top-k",
+    origin="EXT",
+)
+def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer. Catalyst rewrites rn<=k into a
+    per-partition top-k (WindowGroupLimit) so no full sort materializes —
+    the pattern that survives 100× scale-up. Deterministic tiebreak on
+    o_orderkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice", "rn"
+        )
+    )
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 100
+    """,
+    category="sort/limit",
+    origin="EXT",
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 — Spark plans TakeOrderedAndProject: per-partition
+    heap top-k then a k-row merge on the driver, O(n) not O(n log n), no
+    global sort shuffle. Unique (orderkey, linenumber) tiebreak keeps the
+    selected set deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(100)
+    )
+
+
+@register(
+    "set_union_intersect_except",
+    oracle="""
+    WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0),
+         furn AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'FURNITURE')
+    SELECT c_custkey, 'union' AS op FROM (SELECT * FROM rich UNION SELECT * FROM furn)
+    UNION ALL
+    SELECT c_custkey, 'intersect' AS op FROM (SELECT * FROM rich INTERSECT SELECT * FROM furn)
+    UNION ALL
+    SELECT c_custkey, 'except' AS op FROM (SELECT * FROM rich EXCEPT SELECT * FROM furn)
+    """,
+    category="set-ops",
+    origin="R19",
+)
+def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (distinct semantics) — the reference's
+    interface-list merge (`/root/reference/src/network.cpp:790-816`)
+    generalized. Tagged union so one result exercises all three."""
+    customer = load_table(spark, sf_dir, "customer")
+    rich = customer.filter(F.col("c_acctbal") > 5000.0).select("c_custkey")
+    furn = customer.filter(F.col("c_mktsegment") == "FURNITURE").select("c_custkey")
+    return (
+        rich.union(furn).distinct().withColumn("op", F.lit("union"))
+        .unionByName(rich.intersect(furn).withColumn("op", F.lit("intersect")))
+        .unionByName(rich.subtract(furn).withColumn("op", F.lit("except")))
+    )

@@ -1,0 +1,78 @@
+"""SparkSession factory + per-session conf pinning.
+
+Two entry paths exist:
+1. Our own CLI / tests / bench create the session via :func:`get_spark`.
+2. The verification driver passes us *its* session (``entry(spark)``); we must
+   not assume any conf and instead pin the runtime-settable ones via
+   :func:`ensure_conf` at query-build time (idempotent, cheap).
+
+Conf rationale (100 TB north star, SURVEY.md §4.2):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  dynamic broadcast selection replace hand-tuning per scale factor.
+- ``spark.sql.session.timeZone=UTC``: oracle (DuckDB) parity for timestamps.
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: the ``events`` table carries
+  parquet TIMESTAMP(NANOS) which Spark has no native type for; we read the
+  raw int64 nanos and truncate to micros ourselves (sources/tables.py).
+- Arrow enabled: every pandas-interop boundary (createDataFrame, the few
+  Pandas UDFs) moves columnar batches, not pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs that correctness depends on.  Applied both in our own
+# builder and defensively onto a driver-provided session.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: mirror permissive reference semantics (clamps, not errors).
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "transf_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a local SparkSession with scale-aware defaults.
+
+    On a real cluster only the master/memory lines change; everything else
+    (AQE, UTC, Arrow, shuffle sizing) is cluster-appropriate as-is.
+    """
+    n = cpus or default_parallelism()
+    b = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        # Shuffle partitions sized to cores for local mode; AQE coalesces
+        # further at runtime. On a 1000-executor cluster this would be
+        # cores*2..3 and AQE's advisory size takes over.
+        .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_conf(spark: SparkSession) -> SparkSession:
+    """Pin runtime-settable confs on an externally-provided session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-settable in this deployment — proceed; readers that depend
+            # on it will raise a clear error of their own.
+            pass
+    return spark

@@ -1,0 +1,1 @@
+from transf_spark.sources.tables import load_table, register_views  # noqa: F401
