@@ -1,1 +1,290 @@
-"""Placeholder — filled in by milestone build plan (SURVEY.md §7)."""
+"""Scalar-function suites (SURVEY.md §2 R20-R25 equivalents + hash/UDF).
+
+The reference's scalar library (`/root/reference/src/utils.tpp`,
+`/root/reference/src/network.cpp:885-920`, `/root/reference/transf_client.cpp:27-39`)
+re-expressed as JVM-side Column expressions; the single place Python UDFs are
+allowed is ``udf_suite`` — demonstrating the Arrow-vectorized slow path on
+semantics built-ins can't express (the reference's exact integer-math size
+formatter).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+from transf_spark.functions.exprs import basename
+from transf_spark.queries import register
+from transf_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# String suite (R21 join_ip_port, R22 fmt, R25 extract_fn/trim)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_suite",
+    oracle="""
+    SELECT doc_id,
+           trim(' ' || lang || ' ') AS lang_trim,
+           upper(source) AS src_upper,
+           length(text) AS text_len,
+           string_split(source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt', '/')[-1] AS fn_base,
+           source || ':' || CAST(doc_id % 65536 AS VARCHAR) AS addr,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+           printf('[%s]:%d', source, doc_id % 65536) AS addr_v6,
+           regexp_replace(source, '[0-9]+$', '') AS src_stem,
+           substring(text, 1, 16) AS head16
+    FROM documents
+    """,
+    category="scalar/string",
+    origin="R21,R22,R25",
+)
+def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trim / split+basename (`extract_fn`, /root/reference/transf_client.cpp:27-39),
+    concat_ws `ip:port` + bracketed v6 formatting (`join_ip_port`,
+    /root/reference/src/network.cpp:907-920), lpad / printf / regexp_replace /
+    substring — all whole-stage-codegen'd JVM expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    port = (F.col("doc_id") % 65536).cast("long")
+    fn = F.concat(F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"), F.lit(".txt"))
+    return docs.select(
+        "doc_id",
+        F.trim(F.concat(F.lit(" "), F.col("lang"), F.lit(" "))).alias("lang_trim"),
+        F.upper("source").alias("src_upper"),
+        F.length("text").alias("text_len"),
+        basename(fn).alias("fn_base"),
+        F.concat_ws(":", F.col("source"), port.cast("string")).alias("addr"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.format_string("[%s]:%d", F.col("source"), port).alias("addr_v6"),
+        F.regexp_replace("source", "[0-9]+$", "").alias("src_stem"),
+        F.substring("text", 1, 16).alias("head16"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Date / math suite (R15 RTT math, R24 Timer)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_date_math_suite",
+    oracle="""
+    SELECT event_id,
+           date_trunc('day', ts) AS day_ts,
+           date_trunc('hour', ts) AS hour_ts,
+           CAST(year(ts) AS INT) AS y,
+           CAST(month(ts) AS INT) AS m,
+           CAST(dayofmonth(ts) AS INT) AS dom,
+           date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS days_since,
+           epoch_ms(CAST(floor(epoch_ms(ts) / 1000) AS BIGINT) * 1000) AS ts_sec,
+           round(value, 1) AS val_round,
+           CAST(floor(value) AS BIGINT) AS val_floor,
+           round(ln(value + 1), 6) AS val_ln,
+           value * value AS val_sq,
+           pow(2, CAST(event_id % 10 AS INT)) AS pow2,
+           ((CAST(event_id AS BIGINT) - 7) % 5 + 5) % 5 AS pmod5
+    FROM events
+    """,
+    category="scalar/datetime-math",
+    origin="R15,R24",
+)
+def scalar_date_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timer/RTT arithmetic generalized (`/root/reference/src/utils.tpp:67-94`):
+    truncation, calendar extraction, day deltas, epoch-ms round-trip
+    (``timestamp()``'s ms resolution), rounding/log/pow/pmod."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day_ts"),
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_ts"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("dom"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+        F.timestamp_millis(
+            (F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / 1000) * 1000).cast("long")
+        )
+        .cast("timestamp_ntz")
+        .alias("ts_sec"),
+        F.round("value", 1).alias("val_round"),
+        F.floor("value").cast("long").alias("val_floor"),
+        # round(…,6): JVM Math.log and C log can differ in the last ulp
+        F.round(F.log(F.col("value") + 1), 6).alias("val_ln"),
+        # x*x, not pow(x,2): IEEE-exact on both engines; pow exercised on
+        # exact powers of two where every libm agrees
+        (F.col("value") * F.col("value")).alias("val_sq"),
+        F.pow(F.lit(2), (F.col("event_id") % 10).cast("int")).alias("pow2"),
+        F.pmod(F.col("event_id") - 7, F.lit(5)).cast("long").alias("pmod5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Array / JSON suite
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_array_map_json_suite",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+           CAST(json_extract_string(props, '$.k') AS INT) % 7 AS prop_k_mod,
+           [event_id % 5, user_id % 5, CAST(length(event_type) AS BIGINT)] AS triple,
+           list_contains([event_id % 5, user_id % 5], 3) AS has_three,
+           len(string_split(event_type, 'i')) - 1 AS n_i,
+           CAST(user_id AS BIGINT) AS map_user
+    FROM events
+    """,
+    category="scalar/array-json",
+    origin="EXT",
+)
+def scalar_array_map_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over ``events.props`` (get_json_object + from_json),
+    array construction/membership, split-count; map_from_entries exercised
+    then collapsed to a scalar (map values don't hash portably across
+    engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    k2 = F.from_json("props", "k INT").getField("k")
+    m = F.map_from_entries(F.expr("array(struct('u', user_id))"))
+    return ev.select(
+        "event_id",
+        k.alias("prop_k"),
+        (k2 % 7).alias("prop_k_mod"),
+        F.array(
+            F.col("event_id") % 5,
+            F.col("user_id") % 5,
+            F.length("event_type").cast("long"),
+        ).alias("triple"),
+        F.array_contains(F.array(F.col("event_id") % 5, F.col("user_id") % 5), 3).alias(
+            "has_three"
+        ),
+        (F.size(F.split("event_type", "i")) - 1).cast("long").alias("n_i"),
+        m.getItem("u").alias("map_user"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hash / integrity (strengthens R8's size-only integrity check)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "hash_integrity_suite",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS text_sha256,
+           md5(text) AS text_md5,
+           length(text) AS text_len
+    FROM documents
+    """,
+    category="hash/integrity",
+    origin="R8+",
+)
+def hash_integrity_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic content integrity — the checksum the reference's
+    honor-system size check lacks (`/root/reference/transf_server.cpp:277-283`;
+    README's 'security check' is filename+clamp only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.sha2("text", 256).alias("text_sha256"),
+        F.md5("text").alias("text_md5"),
+        F.length("text").alias("text_len"),
+    )
+
+
+@register(
+    "hash_noncrypto",
+    oracle=None,  # Spark-specific hash functions (xxhash64 seed, crc32) — rows-only
+    category="hash/integrity",
+    origin="R8+",
+)
+def hash_noncrypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-cryptographic hashes for partitioning/sampling/dedup keys at
+    100 TB — xxhash64 (Spark's shuffle-grade hash), crc32, murmur3."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.xxhash64("text").alias("text_xxh64"),
+        F.crc32(F.col("text").cast("binary")).alias("text_crc32"),
+        F.hash("text").alias("text_murmur3"),
+    )
+
+
+# --------------------------------------------------------------------------
+# UDF suite (the sanctioned slow path)
+# --------------------------------------------------------------------------
+
+
+@pandas_udf(T.StringType())
+def fmt_size_udf(size: pd.Series) -> pd.Series:
+    """Reference ``fmt_size`` exact integer semantics
+    (`/root/reference/src/utils.tpp:18-33`): repeated /1024 with the
+    2-digit truncated fraction of the *last* division step, fraction
+    formatted as '0d' when <10, 'd' when a multiple of 10.
+
+    Arrow-vectorized (one Python call per batch) — and only used here;
+    every other scalar in the engine is a JVM expression.
+    """
+
+    def one(v) -> str:
+        units = ["B", "KB", "MB", "GB", "TB"]
+        s = int(v)
+        i = 0
+        p = 0
+        while s >= 1024 and i < 4:
+            p = s % 1024 * 100 // 1024 % 100
+            s //= 1024
+            i += 1
+        if p < 10:
+            p_str = "0" + str(p)
+        elif p % 10 == 0:
+            p_str = str(p // 10)
+        else:
+            p_str = str(p)
+        num = str(s) + ("" if p == 0 else "." + p_str)
+        return num + " " + units[i]
+
+    return size.map(one)
+
+
+@register(
+    "udf_suite",
+    oracle="""
+    SELECT o_orderkey,
+           sz AS size_bytes,
+           CASE
+             WHEN sz < 1024 THEN CAST(sz AS VARCHAR) || ' B'
+             ELSE CAST(sz // 1024 AS VARCHAR) ||
+               CASE WHEN p = 0 THEN ''
+                    WHEN p < 10 THEN '.0' || CAST(p AS VARCHAR)
+                    WHEN p % 10 = 0 THEN '.' || CAST(p // 10 AS VARCHAR)
+                    ELSE '.' || CAST(p AS VARCHAR) END || ' KB'
+           END AS size_h
+    FROM (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice) AS BIGINT) AS sz,
+             CAST(floor(o_totalprice) AS BIGINT) % 1024 * 100 // 1024 % 100 AS p
+      FROM orders
+    )
+    """,
+    category="udf",
+    origin="R22",
+)
+def udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-UDF scalar demo: the reference's byte-size formatter applied to
+    order totals (all < 1 MiB ⇒ oracle only needs the B/KB branches —
+    asserted in tests; the full udf is unit-tested against all units)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.floor("o_totalprice").cast("long").alias("size_bytes"),
+        fmt_size_udf(F.floor("o_totalprice").cast("long")).alias("size_h"),
+    )

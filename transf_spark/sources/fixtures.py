@@ -1,0 +1,140 @@
+"""Derived protocol fixtures (FIXTURES.md §2) — the reference's wire/state
+records restated as DataFrames, derived deterministically from ``documents``
+and ``events`` so the DuckDB oracle can re-derive them with identical SQL.
+
+Reference mapping:
+- ``chunks``      ≈ TRANSFER frames (`/root/reference/transf_client.cpp:163-170`):
+                    text sliced at 64 chars, 1-based ``seq``.
+- ``handshakes``  ≈ HS frames (`/root/reference/transf_server.cpp:154-161`),
+                    including malformed filenames mirroring the reference's own
+                    probe test (`/root/reference/tests/client-cleanup.py:38-39`)
+                    and understated filesizes to exercise the write clamp
+                    (`/root/reference/transf_server.cpp:277-283`).
+- fault-injected ``chunks_faulty``: deterministic missing + duplicate chunks
+  (stop-and-wait reject paths, `/root/reference/transf_server.cpp:268-273`).
+
+Every derivation has a SQL twin (the ``*_SQL`` constants) used verbatim as a
+CTE inside oracle queries — Spark plan and oracle recompute the same fixture
+from the same base table, so parity checks cover the derivation too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from transf_spark.sources.tables import load_table
+
+CHUNK_SZ = 64
+
+# ---- SQL twins (DuckDB dialect) ------------------------------------------
+
+CHUNKS_SQL = f"""
+  SELECT sha256(CAST(doc_id AS VARCHAR)) AS transfer_id,
+         doc_id,
+         CAST(i AS BIGINT) AS seq,
+         substring(text, CAST((i-1)*{CHUNK_SZ}+1 AS BIGINT), {CHUNK_SZ}) AS payload,
+         CAST(length(substring(text, CAST((i-1)*{CHUNK_SZ}+1 AS BIGINT), {CHUNK_SZ})) AS INT) AS payload_len
+  FROM documents,
+       UNNEST(generate_series(1, CAST(ceil(length(text)/{CHUNK_SZ}.0) AS BIGINT))) AS t(i)
+"""
+
+# Missing chunk: every doc with doc_id % 37 == 1 loses seq 2 (completion never
+# reached). Duplicate chunk: doc_id % 41 == 3 re-sends seq 1 (stop-and-wait
+# duplicate-drop path).
+CHUNKS_FAULTY_SQL = f"""
+  SELECT * FROM ({CHUNKS_SQL}) WHERE NOT (doc_id % 37 = 1 AND seq = 2)
+  UNION ALL
+  SELECT * FROM ({CHUNKS_SQL}) WHERE doc_id % 41 = 3 AND seq = 1
+"""
+
+HANDSHAKES_SQL = """
+  SELECT sha256(CAST(d.doc_id AS VARCHAR)) AS transfer_id,
+         d.doc_id,
+         CASE WHEN d.doc_id % 31 = 0 THEN ''
+              WHEN d.doc_id % 29 = 0 THEN '/' || d.source || '/doc_' || CAST(d.doc_id AS VARCHAR) || '.txt'
+              WHEN d.doc_id % 23 = 0 THEN d.source || '/../doc_' || CAST(d.doc_id AS VARCHAR) || '.txt'
+              ELSE d.source || '/doc_' || CAST(d.doc_id AS VARCHAR) || '.txt' END AS filename,
+         CAST(CASE WHEN d.doc_id % 43 = 0 THEN d.n_chars - 10 ELSE d.n_chars END AS BIGINT) AS filesize,
+         e.ts AS ts
+  FROM documents d JOIN events e ON e.event_id = d.doc_id
+"""
+
+# ---- Spark builders -------------------------------------------------------
+
+
+def transfer_id_col() -> F.Column:
+    return F.sha2(F.col("doc_id").cast("string"), 256).alias("transfer_id")
+
+
+def chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunker (R2): one row per 64-char slice, 1-based seq.
+
+    The slice array is built per-row with a higher-order function (JVM-side,
+    no Python), then exploded — at 100 TB this is a narrow map stage, no
+    shuffle; chunk count scales with text length, not row count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    slices = F.expr(
+        f"""transform(sequence(1, int(ceil(length(text)/{CHUNK_SZ}.0))),
+                      i -> struct(cast(i AS bigint) AS seq,
+                                  substring(text, (i-1)*{CHUNK_SZ}+1, {CHUNK_SZ}) AS payload))"""
+    )
+    return (
+        docs.select("doc_id", F.explode(slices).alias("c"))
+        .select(
+            transfer_id_col(),
+            "doc_id",
+            F.col("c.seq").alias("seq"),
+            F.col("c.payload").alias("payload"),
+            F.length("c.payload").alias("payload_len"),
+        )
+    )
+
+
+def chunks_faulty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunks with deterministic faults: missing seq-2 for doc_id%37==1,
+    duplicated seq-1 for doc_id%41==3 (mirrors FIXTURES.md §2 fault table)."""
+    c = chunks(spark, sf_dir)
+    kept = c.filter(~((F.col("doc_id") % 37 == 1) & (F.col("seq") == 2)))
+    dups = c.filter((F.col("doc_id") % 41 == 3) & (F.col("seq") == 1))
+    return kept.unionByName(dups)
+
+
+def handshakes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HS frames with malformed filename / understated filesize injections.
+
+    Filename faults follow the reference's reject ladder
+    (`/root/reference/transf_server.cpp:164-168`): empty, absolute,
+    traversal. ``ts`` joins from events (event_id == doc_id) for expiry
+    fixtures."""
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    fname = (
+        F.when(F.col("doc_id") % 31 == 0, F.lit(""))
+        .when(
+            F.col("doc_id") % 29 == 0,
+            F.concat(F.lit("/"), F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"), F.lit(".txt")),
+        )
+        .when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(F.col("source"), F.lit("/../doc_"), F.col("doc_id").cast("string"), F.lit(".txt")),
+        )
+        .otherwise(
+            F.concat(F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"), F.lit(".txt"))
+        )
+    )
+    fsize = (
+        F.when(F.col("doc_id") % 43 == 0, F.col("n_chars") - 10)
+        .otherwise(F.col("n_chars"))
+        .cast("long")
+    )
+    return (
+        docs.join(events, docs.doc_id == events.event_id)
+        .select(
+            transfer_id_col(),
+            "doc_id",
+            fname.alias("filename"),
+            fsize.alias("filesize"),
+            "ts",
+        )
+    )
