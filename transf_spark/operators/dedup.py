@@ -1,1 +1,280 @@
-"""Placeholder — filled in by milestone build plan (SURVEY.md §7)."""
+"""Deduplication operators (north-star LLM-data-pipeline extension).
+
+Four families, each a ``queries()`` entry with a DuckDB oracle where the
+math is engine-portable:
+
+- exact       — content-hash group-by (`dedup_exact`)
+- MinHash+LSH — shingle → K seeded minhashes → banded signature → bucket
+                self-join → exact-Jaccard verify (`dedup_fuzzy_minhash`)
+- SimHash     — 60-bit sign-aggregated token-hash fingerprint
+                (`dedup_simhash`, md5-based so the oracle can recompute it)
+- n-gram Jaccard — exact all-pairs via shingle-join (`dedup_ngram_jaccard`)
+
+Embedding-cosine near-dup lives in operators/similarity.py.
+
+Scale notes (100 TB): every stage is expression-level (no Python); the LSH
+candidate join keys on (band_id, band_hash) — high cardinality, so the
+shuffle partitions evenly; exact verification runs only on LSH candidates,
+never all pairs. The brute-force oracle is the *check*, not the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from transf_spark.queries import register
+from transf_spark.sources.tables import load_table
+
+# MinHash-LSH geometry: 16 bands × 8 rows = 128 hashes.
+# P(candidate | j=0.8) = 1-(1-0.8^8)^16 ≈ 0.95; at the fixture's injected
+# j≈0.99 pairs it is 1 - 1.5e-13 — recall is not the gating risk.
+N_HASHES = 128
+N_BANDS = 16
+ROWS_PER_BAND = 8
+JACCARD_THRESHOLD = 0.8
+
+# Token 3-gram shingles, distinct, as one JVM-side expression.
+_SHINGLES = """
+  array_distinct(transform(
+      sequence(0, size(split(text, ' ')) - 3),
+      i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2])))
+"""
+
+_SHINGLES_SQL = """
+  list_distinct([string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                 || ' ' || string_split(text,' ')[i+2]
+                 for i in generate_series(1, len(string_split(text,' ')) - 2)])
+"""
+
+
+def _with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS text_sha,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+    category="dedup",
+    origin="EXT",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest, keep lowest doc_id.
+    At 100 TB this is the canonical one-shuffle dedup — partial aggregation
+    combines map-side, and the 256-bit key makes collisions irrelevant."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2("text", 256).alias("text_sha"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "dedup_fuzzy_minhash",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+             AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+          >= {JACCARD_THRESHOLD}
+    """,
+    category="dedup",
+    origin="EXT",
+)
+def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, pure DataFrame ops.
+
+    Plan: shingle (map) → 128 seeded minhashes via ``xxhash64(seed, s)``
+    (map) → 16 band hashes (map) → explode bands → self-join on
+    (band, band_hash) → distinct candidate pairs → exact Jaccard verify ≥ 0.8.
+
+    The oracle is the brute-force all-pairs Jaccard — at driver scale
+    (500-5000 docs) that is feasible; the LSH plan is the one that survives
+    100 TB (candidates ≪ n², one even shuffle on band hash). Jaccard itself
+    is an exact int/int division — bit-identical on both engines.
+    """
+    sh = _with_shingles(spark, sf_dir)
+    # Explode + groupBy formulation: one xxhash64 per shingle (codegen'd),
+    # then 128 min-aggregates over cheap affine permutations of that hash —
+    # whole-stage-codegen throughout, vs ~100x slower interpreted nested
+    # lambdas. One shuffle on doc_id; partial min combines map-side.
+    hashed = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    )
+    # Deterministic odd multipliers/offsets (splitmix-style constants).
+    perms = [
+        (0x9E3779B97F4A7C15 * (2 * k + 1) & 0x7FFFFFFFFFFFFFFF | 1,
+         0xBF58476D1CE4E5B9 * (k + 1) & 0x7FFFFFFFFFFFFFFF)
+        for k in range(N_HASHES)
+    ]
+    sig_cols = [
+        F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"mh{k}")
+        for k, (a, b) in enumerate(perms)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*sig_cols)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias(f"band{j}")
+        for j in range(N_BANDS)
+    ]
+    stack_args = ", ".join(f"{j}, band{j}" for j in range(N_BANDS))
+    bands = (
+        sig.select("doc_id", *band_cols)
+        .select("doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) AS (band, band_hash)"))
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jaccard = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) AS hv
+      FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN ((hv >> j) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, UNNEST(generate_series(0, 59)) AS u(j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    category="dedup",
+    origin="EXT",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document.
+
+    Token hash = first 15 hex chars of md5 (portable across engines, unlike
+    xxhash64's Spark-specific seeding). Bit j of the fingerprint is the sign
+    of Σ±1 over token hashes' bit j. Computed entirely with higher-order
+    functions — a map-only stage, no shuffle, which is exactly what you want
+    fingerprinting 100 TB. Near-dup pairs then reduce to hamming distance
+    (see tests); the oracle checks the fingerprint itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Hash each distinct token once (map), then fold the 60 bit positions
+    # over the cached hash array — still a shuffle-free map-only plan.
+    hashed = docs.select(
+        "doc_id",
+        F.expr(
+            """transform(array_distinct(split(text, ' ')),
+                         t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint))"""
+        ).alias("hvs"),
+    )
+    return hashed.select(
+        "doc_id",
+        F.expr(
+            """
+            aggregate(
+              sequence(0, 59),
+              cast(0 AS bigint),
+              (acc, j) -> acc + if(
+                aggregate(hvs, cast(0 AS bigint),
+                          (s, hv) -> s + if(((hv >> j) & 1) = 1, 1, -1)) > 0,
+                shiftleft(cast(1 AS bigint), j),
+                cast(0 AS bigint))
+            )
+            """
+        ).alias("simhash"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, lang, {_SHINGLES_SQL} AS shingles FROM documents),
+    e AS (SELECT doc_id, lang, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+    pair AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM e a JOIN e b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b,
+           CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
+    FROM pair
+    WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
+    """,
+    category="dedup",
+    origin="EXT",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard via the scalable shingle-join formulation:
+    explode shingles → equi-join on shingle (blocked by ``lang``) → count
+    common per pair → |A∩B| / (|A|+|B|-|A∩B|). No n² pair enumeration —
+    only pairs sharing ≥1 shingle materialize, keyed on the shingle itself
+    (high cardinality ⇒ even shuffle)."""
+    sh = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.expr(_SHINGLES).alias("shingles"))
+        .withColumn("n", F.size("shingles"))
+    )
+    e = sh.select("doc_id", "lang", "n", F.explode("shingles").alias("s"))
+    a = e.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("lang").alias("lang_a"),
+        F.col("n").alias("na"), F.col("s").alias("s_a"),
+    )
+    b = e.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("lang").alias("lang_b"),
+        F.col("n").alias("nb"), F.col("s").alias("s_b"),
+    )
+    pair = (
+        a.join(
+            b,
+            (F.col("s_a") == F.col("s_b"))
+            & (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_id_a") < F.col("doc_id_b")),
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    jaccard = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return pair.select(
+        "doc_id_a", "doc_id_b", jaccard.alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.5)

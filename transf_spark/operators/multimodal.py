@@ -1,1 +1,120 @@
-"""Placeholder — filled in by milestone build plan (SURVEY.md §7)."""
+"""Multimodal columns (north-star extension): image/audio/video as opaque
+``binary`` columns with typed metadata, processed by Arrow-batched
+``mapInPandas`` stages.
+
+The container has no image/audio libraries, so the decode step is STUBBED:
+``_decode_stub`` is a clearly-marked deterministic fake (and ``decode_real``
+raises ``NotImplementedError``). Everything Spark-side — schema, binary
+payload plumbing, partitioning, UDF signature, Arrow batch shape — is real
+and tested; swapping the stub for PIL/ffmpeg is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from transf_spark.queries import register
+from transf_spark.sources.tables import load_table
+
+
+@register(
+    "multimodal_doc_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+           e.embedding AS embedding,
+           length(d.text) AS text_len
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    category="multimodal",
+    origin="EXT",
+)
+def multimodal_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text + vector + metadata in one row — the canonical multimodal record
+    (documents ⋈ embeddings on doc_id = vec_id). Both sides shuffle on the
+    id only if neither fits in memory; at fixture scale Catalyst broadcasts.
+    The array column rides along untouched (no serialization boundary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "label",
+            "embedding",
+            F.length("text").alias("text_len"),
+        )
+    )
+
+
+# ---- binary payload pipeline ---------------------------------------------
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("feature_norm", T.DoubleType()),
+    ]
+)
+
+
+def decode_real(payload: bytes) -> tuple[int, int, int]:
+    """Real decoder hook (PIL / ffmpeg) — not available in this container."""
+    raise NotImplementedError(
+        "media decode requires an image/audio library not present in this "
+        "environment; wire PIL/ffmpeg here and delete _decode_stub"
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, int]:
+    """STUB decode — deterministic fake dimensions derived from the payload
+    bytes so the pipeline is testable end-to-end without media libraries."""
+    h = 0
+    for b in payload[:16]:
+        h = (h * 31 + b) & 0x7FFFFFFF
+    return (64 + h % 1024, 64 + (h // 1024) % 1024, 1 + h % 30)
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batches in, feature rows out. Per-batch
+    vectorized; no per-row Python function dispatch beyond the stubbed
+    decode itself."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+            data = bytes(payload)
+            w, h, nf = _decode_stub(data)
+            feature_norm = round(sum(data[:64]) / (64.0 * 255.0), 9)
+            rows.append((doc_id, "application/octet-stream", len(data), w, h, nf, feature_norm))
+        yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+
+@register(
+    "multimodal_media_features",
+    oracle=None,  # stubbed decode — rows-only (schema + determinism in tests)
+    category="multimodal",
+    origin="EXT",
+)
+def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media feature extraction pipeline:
+
+    documents → binary payload column (UTF-8 bytes stand in for image bytes)
+    → repartition by doc_id (even Arrow batches) → ``mapInPandas`` decode/
+    feature stage → typed metadata rows.
+
+    At 100 TB the payloads come from ``binaryFile``/object storage and the
+    decode is the real library call; partition sizing
+    (``maxRecordsPerBatch``) bounds worker memory, and the stage is a pure
+    map — no shuffle besides the optional repartition."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.col("text").cast("binary").alias("content"))
+    return payloads.mapInPandas(_extract_batches, schema=MEDIA_SCHEMA)

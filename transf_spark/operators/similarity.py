@@ -1,1 +1,166 @@
-"""Placeholder — filled in by milestone build plan (SURVEY.md §7)."""
+"""Similarity search over the embedding column (north-star extension).
+
+- ``similarity_topk_cosine``   — brute-force cosine top-k (the exactness
+                                 baseline; oracle-checked)
+- ``dedup_embedding_cosine``   — all-pairs cosine ≥ threshold (embedding
+                                 near-dup; oracle-checked)
+- ``similarity_ann_lsh``       — random-hyperplane LSH bucketed ANN (the
+                                 100 TB scale path; approximate ⇒ rows-only)
+
+Float parity engineering: dot products fold left-to-right in double on both
+engines (Spark ``aggregate(zip_with(...))`` vs DuckDB ``list_dot_product``),
+norms/sqrt/division are IEEE-exact, so cosine values hash identically. The
+fixture embeddings are float32 → double widening is exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from transf_spark.queries import register
+from transf_spark.sources.tables import load_table
+
+TOP_K = 10
+NEAR_DUP_COS = 0.45  # fixture max pairwise cosine ≈ 0.51 — a few true pairs
+
+# cosine(a, b) as a JVM expression over two double arrays
+_COS = """
+  aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)
+  / (sqrt(aggregate(zip_with({a}, {a}, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v))
+     * sqrt(aggregate(zip_with({b}, {b}, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)))
+"""
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
+    )
+
+
+@register(
+    "similarity_topk_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS nn_id,
+             list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+      FROM q JOIN e ON e.vec_id <> q.q_id
+    )
+    SELECT q_id, nn_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT q_id, nn_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS rnk
+      FROM scored)
+    WHERE rnk <= {TOP_K}
+    """,
+    category="similarity",
+    origin="EXT",
+)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: every vec_id % 100 == 0 is a query; rank all
+    other vectors by cosine, keep 10. The broadcast of the (small) query set
+    makes this a map-side scored scan + per-query top-k window — the shape
+    that stays correct at any corpus size (queries ≪ corpus)."""
+    e = _emb_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("nn_id"),
+            F.expr(_COS.format(a="qv", b="v")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "nn_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= {NEAR_DUP_COS}
+    """,
+    category="dedup/similarity",
+    origin="EXT",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs formulation —
+    the correctness baseline the ANN path is judged against). At 100 TB the
+    same query runs behind ``similarity_ann_lsh`` bucketing; here the corpus
+    is small enough that exact is the honest plan."""
+    e = _emb_double(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+    cos = F.expr(_COS.format(a="va", b="vb"))
+    return pairs.select("vec_id_a", "vec_id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= NEAR_DUP_COS
+    )
+
+
+N_PLANES = 16
+_RNG = np.random.RandomState(42)
+_PLANES = _RNG.normal(size=(N_PLANES, 64)).tolist()  # deterministic hyperplanes
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=None,  # approximate by construction — rows-only
+    category="similarity",
+    origin="EXT",
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN — the scale path for similarity search.
+
+    16 fixed hyperplanes (seeded numpy, baked into the plan as literals) →
+    16 sign bits → bucket id. Candidates = same-bucket pairs; exact cosine
+    re-ranks within bucket. Sub-linear: the self-join keys on bucket id, so
+    work scales with Σ bucket² not n². Recall is tunable via multi-probe /
+    more tables; documented as approximate, hence rows-only."""
+    e = _emb_double(spark, sf_dir)
+    plane_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in p]) for p in _PLANES]
+    )
+    bucket = F.expr(
+        """
+        aggregate(
+          transform(planes, (p, i) ->
+            if(aggregate(zip_with(v, p, (x, y) -> x * y), cast(0.0 AS double),
+                         (acc, z) -> acc + z) > 0,
+               shiftleft(1, i), 0)),
+          0, (acc, bit) -> acc + bit)
+        """
+    )
+    bucketed = e.withColumn("planes", plane_arr).select(
+        "vec_id", "v", bucket.alias("bucket")
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cos = F.expr(_COS.format(a="va", b="vb"))
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_id_a") < F.col("vec_id_b")))
+        .select("vec_id_a", "vec_id_b", "bucket", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+    )

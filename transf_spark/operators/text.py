@@ -1,1 +1,204 @@
-"""Placeholder — filled in by milestone build plan (SURVEY.md §7)."""
+"""Text analysis operators (north-star extension): token statistics,
+quality scoring, token counting (whitespace + BPE-ish regex), document
+fingerprinting, language-ID heuristic.
+
+All hot-path logic is JVM expressions (split/regexp/higher-order folds) —
+no Python in any of these plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from transf_spark.queries import register
+from transf_spark.sources.tables import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+_STOP_SQL = "('" + "','".join(STOPWORDS) + "')"
+
+FP_MOD = 1_000_000_007
+FP_MUL = 31
+
+
+@register(
+    "text_analysis_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok GROUP BY lang, token
+    )
+    SELECT lang, token, n, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT lang, token, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rnk
+      FROM counts)
+    WHERE rnk <= 20
+    """,
+    category="text-analysis",
+    origin="EXT",
+)
+def text_analysis_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens per language: explode → two-phase count (map-side
+    partial then shuffle on (lang, token) — high cardinality, even spread) →
+    per-lang top-k window."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("lang", "token", "n", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_token_len,
+           CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL})) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS space_ratio,
+           0.5 * (CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL})) AS DOUBLE)
+                  / len(string_split(text, ' ')))
+             + 0.5 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) AS quality
+    FROM documents
+    """,
+    category="text-analysis",
+    origin="EXT",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features: token/char counts, mean token length,
+    stopword ratio, whitespace ratio, and a blended 0-1 quality score —
+    the standard cheap pre-filter before expensive LLM-data cleaning.
+    All ratios are exact int/int divisions ⇒ oracle-hashable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.size(F.expr(
+        f"filter(split(text, ' '), t -> array_contains(array({stop_list}), t))"
+    ))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        ((n_chars - n_tokens + 1).cast("double") / n_tokens).alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        ((n_chars - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))).cast("double") / n_chars).alias("space_ratio"),
+        (0.5 * stop_ratio + 0.5 * F.least(n_tokens.cast("double") / 100, F.lit(1.0))).alias("quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS len4_estimate
+    FROM documents
+    """,
+    category="text-analysis",
+    origin="EXT",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, a BPE-ish regex
+    (letter-runs | digit-runs | other), and the chars/4 LLM heuristic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("len4_estimate"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * {FP_MUL} + b) % {FP_MOD}) AS fingerprint,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(substring(text, 1, 64), ''),
+                                         c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * {FP_MUL} + b) % {FP_MOD}) AS head_fingerprint
+    FROM documents
+    """,
+    category="text-analysis",
+    origin="EXT",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash (h ← h·31 + c mod 1e9+7) over the full text
+    and its 64-char head — the order-sensitive fingerprint exact dedup and
+    shingling build on. Pure fold, map-only, integer-exact on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def fp(src: str) -> F.Column:
+        return F.expr(
+            f"""aggregate(
+                  transform(split({src}, ''), c -> cast(ascii(c) AS bigint)),
+                  cast(0 AS bigint),
+                  (a, b) -> (a * {FP_MUL} + b) % {FP_MOD})"""
+        )
+
+    return docs.select(
+        "doc_id",
+        fp("text").alias("fingerprint"),
+        fp("substring(text, 1, 64)").alias("head_fingerprint"),
+    )
+
+
+@register(
+    "text_language_id",
+    oracle=None,  # heuristic classifier — rows-only (self-consistency in tests)
+    category="text-analysis",
+    origin="EXT",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language-ID: build per-lang bigram profiles from the
+    corpus itself (train), score each doc against every profile (sum of log
+    relative frequencies), predict argmax.
+
+    Self-trained n-gram language identification — on the synthetic fixture
+    the lang labels are random, so the interesting output is the score
+    machinery (profile join + argmax), not accuracy. The plan: bigram
+    explode → profile aggregate (small: langs × bigrams) → broadcast back →
+    score — one shuffle to build profiles, map-side scoring after."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+    )
+    doc_bi = docs.select("doc_id", "lang", F.explode(bigrams).alias("bg"))
+    profile = (
+        doc_bi.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("total", F.sum("n").over(W.partitionBy("lang")))
+        .select("lang", "bg", (F.log(F.col("n") / F.col("total"))).alias("logp"))
+    )
+    scored = (
+        doc_bi.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(profile.withColumnRenamed("lang", "cand_lang")), "bg")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.sum(F.col("cnt") * F.col("logp")).alias("score"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("predicted_lang"), "score")
+    )
