@@ -1,0 +1,108 @@
+"""Streaming twins (SURVEY.md §5.2): the declared window queries are batch-
+evaluated; these tests run the literal readStream equivalents and assert
+result equality, plus the stateful state machine's cross-check against the
+batch completion manifest."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transf_spark import schemas
+from transf_spark.operators.transfer import completion_manifest, filter_path_security
+from transf_spark.streaming.stateful import run_stateful_reassembly
+from transf_spark.streaming.windows import stream_tumbling_window
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_window_stream_equals_batch(spark):
+    """Same window() plan under readStream (availableNow → memory sink)
+    must produce the batch result."""
+    stream = (
+        spark.readStream.schema(schemas.EVENTS_RAW)
+        .parquet(f"{SF}/events.*")  # glob: FileStreamSource rejects an exact file path
+        # watermark requires TIMESTAMP (not NTZ); session tz is pinned UTC so
+        # the final cast of window bounds to NTZ matches the batch plan
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("win_end"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("tumbling_twin")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    cols = ["win_start", "win_end", "event_type", "n_events", "sum_value"]
+    got = _rows(spark.table("tumbling_twin"), cols)
+    # Append mode emits a window only once the watermark (max ts − 1 min)
+    # passes its end; windows still open at end-of-stream are withheld.
+    from transf_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    final_wm = ev.agg((F.max("ts") - F.expr("INTERVAL 1 MINUTE")).alias("wm")).collect()[0]["wm"]
+    want = _rows(
+        stream_tumbling_window(spark, SF).filter(F.col("win_end") <= F.lit(final_wm)), cols
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_stateful_reassembly_matches_batch_manifest(spark):
+    """Streaming 'done' set == batch manifest 'done' set minus transfers
+    whose handshake the security filter rejects (the stream enforces R6
+    before accepting chunks; the batch manifest does not model it)."""
+    stream_out = run_stateful_reassembly(spark, SF, n_files=1)
+    done_stream = {
+        (r["transfer_id"], r["filesize"], r["written"])
+        for r in stream_out.filter(F.col("status") == "done").collect()
+    }
+    rejected_stream = {
+        r["transfer_id"]
+        for r in stream_out.filter(F.col("status") == "rejected_handshake").collect()
+    }
+
+    manifest = completion_manifest(spark, SF)
+    security = filter_path_security(spark, SF)
+    bad_hs = {
+        r["transfer_id"]
+        for r in security.filter(F.col("verdict") != "accept").collect()
+    }
+    done_batch = {
+        (r["transfer_id"], r["filesize"], r["written"])
+        for r in manifest.filter(F.col("status") == "done").collect()
+        if r["transfer_id"] not in bad_hs
+    }
+    assert rejected_stream == bad_hs
+    assert done_stream == done_batch
+    assert len(done_stream) > 100  # the fixture overwhelmingly completes
+
+
+def test_stateful_reassembly_multibatch_equals_single(spark):
+    """State must carry across micro-batches: replaying the protocol in 4
+    arrival-ordered files (HS wave then 3 chunk waves) yields the same
+    manifest as the single-batch replay.
+
+    Both runs use NoTimeout: with ProcessingTimeTimeout, in-flight sessions
+    expire for real if a micro-batch cadence exceeds 20 s wall-clock — correct
+    streaming behavior, but nondeterministic under load, so the determinism
+    check must disarm it."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    single = _rows(
+        run_stateful_reassembly(spark, SF, n_files=1, timeout_conf=GroupStateTimeout.NoTimeout),
+        ["transfer_id", "status", "filesize", "written"])
+    multi = _rows(
+        run_stateful_reassembly(spark, SF, n_files=4, timeout_conf=GroupStateTimeout.NoTimeout),
+        ["transfer_id", "status", "filesize", "written"])
+    assert single == multi

@@ -76,6 +76,6 @@ def _load_all_modules() -> None:
         text,
         multimodal,
     )
-    from transf_spark.streaming import windows  # noqa: F401
+    from transf_spark.streaming import stateful, windows  # noqa: F401
 
     _LOADED = True

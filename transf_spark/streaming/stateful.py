@@ -1,0 +1,283 @@
+"""Arbitrary stateful streaming: the whole transf server in one operator
+(SURVEY.md §3.2 — source → dispatch → keyed state machine → sink).
+
+``applyInPandasWithState`` keyed by ``transfer_id`` replaces:
+- the session map + both mutexes (`/root/reference/transf_server.cpp:49-74`)
+  — Spark serializes per-key state access by construction;
+- the handshake/TRANSFER dispatch (`/root/reference/transf_server.cpp:154-330`);
+- the GC thread (`/root/reference/transf_server.cpp:78-131`) — replaced by
+  ``GroupStateTimeout.ProcessingTimeTimeout``.
+
+The declared query replays the protocol fixture as a real file-source
+micro-batch stream (Trigger.AvailableNow → memory sink) and returns the
+materialized result — bounded, deterministic, still exercising genuine
+streaming state machinery.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from transf_spark.queries import register
+from transf_spark.sources import fixtures
+
+# Unioned protocol-event schema (SURVEY.md §1.5): HS + TRANSFER frames.
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("transfer_id", T.StringType()),
+        T.StructField("tag", T.StringType()),  # 'HS' | 'TRANSFER'
+        T.StructField("seq", T.LongType()),
+        T.StructField("payload_len", T.IntegerType()),
+        T.StructField("filename", T.StringType()),
+        T.StructField("filesize", T.LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("transfer_id", T.StringType()),
+        T.StructField("status", T.StringType()),  # done | rejected_handshake | expired
+        T.StructField("filesize", T.LongType()),
+        T.StructField("written", T.LongType()),
+        T.StructField("n_rejected", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("status", T.StringType()),  # HANDSHAKE | TRANSFERING (sic, ref enum)
+        T.StructField("filesize", T.LongType()),
+        T.StructField("written", T.LongType()),
+        T.StructField("expected_seq", T.LongType()),
+        T.StructField("n_rejected", T.LongType()),
+    ]
+)
+
+SESSION_TIMEOUT_MS = 20_000  # == default t_send + t_recv (BASELINE.md)
+
+_QUERY_SEQ = 0  # unique memory-sink names across repeated invocations
+
+
+def _bad_filename(fn: str) -> bool:
+    # exact reject ladder: /root/reference/transf_server.cpp:164-168
+    return len(fn) == 0 or fn.startswith("/") or ".." in fn
+
+
+def make_state_machine(set_timeout: bool = True):
+    """Build the per-transfer state-machine function.
+
+    ``set_timeout=True`` arms ``ProcessingTimeTimeout`` per key — the
+    streaming replacement for the reference's GC thread. ``False`` builds the
+    ``NoTimeout`` variant (``setTimeoutDuration`` is illegal then): wall-clock
+    expiry between micro-batches is nondeterministic under load, so the
+    multi-batch == single-batch determinism test uses this form.
+    """
+
+    def fn(key, pdfs, state):
+        return transfer_state_machine(key, pdfs, state, set_timeout=set_timeout)
+
+    return fn
+
+
+def transfer_state_machine(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState, set_timeout: bool = True
+) -> Iterator[pd.DataFrame]:
+    """Per-transfer protocol state machine (HS → sequenced chunks → DONE).
+
+    Semantics mirrored from the reference handler:
+    - HS: filename security check → reject ends session; else init state
+      (`transf_server.cpp:154-247`).
+    - TRANSFER: accept only ``seq == expected`` (stop-and-wait,
+      `transf_server.cpp:268-273`); clamp writes to declared filesize
+      (`transf_server.cpp:277-294`); on ``written >= filesize`` emit DONE
+      and drop state (`transf_server.cpp:296-316`).
+    - timeout ⇒ expired (GC thread, `transf_server.cpp:78-131`).
+    """
+    (transfer_id,) = key
+
+    if state.hasTimedOut:
+        st = state.get if state.exists else ("?", 0, 0, 1, 0)
+        state.remove()
+        yield pd.DataFrame(
+            [(transfer_id, "expired", st[1], st[2], st[4])], columns=[f.name for f in OUTPUT_SCHEMA.fields]
+        )
+        return
+
+    if state.exists:
+        status, filesize, written, expected, n_rej = state.get
+    else:
+        status, filesize, written, expected, n_rej = ("NEW", 0, 0, 1, 0)
+
+    out_rows: list[tuple] = []
+    for pdf in pdfs:
+        # protocol order within a batch: handshake first, then chunks by seq
+        hs = pdf[pdf["tag"] == "HS"]
+        tr = pdf[pdf["tag"] == "TRANSFER"].sort_values("seq")
+        for _, row in hs.iterrows():
+            if status != "NEW":
+                continue  # duplicate HS ignored
+            if _bad_filename(str(row["filename"])):
+                out_rows.append((transfer_id, "rejected_handshake", int(row["filesize"]), 0, 0))
+                status = "REJECTED"
+            else:
+                status, filesize = "TRANSFERING", int(row["filesize"])
+        for _, row in tr.iterrows():
+            if status != "TRANSFERING":
+                n_rej += 1
+                continue
+            if int(row["seq"]) != expected:
+                n_rej += 1  # out-of-order / duplicate drop
+                continue
+            this_written = min(int(row["payload_len"]), filesize - written)
+            this_written = max(this_written, 0)
+            written += this_written
+            expected += 1
+            if written >= filesize:
+                out_rows.append((transfer_id, "done", filesize, written, n_rej))
+                status = "DONE"
+
+    if status in ("DONE", "REJECTED"):
+        if state.exists:
+            state.remove()
+    else:
+        state.update((status, filesize, written, expected, n_rej))
+        if set_timeout:
+            state.setTimeoutDuration(SESSION_TIMEOUT_MS)
+
+    if out_rows:
+        yield pd.DataFrame(out_rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+
+
+def protocol_event_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 1) -> str:
+    """Materialize the protocol fixture (handshakes + faulty chunks) as a
+    deterministic parquet directory for the file streaming source.
+
+    ``n_files > 1`` splits by seq range into arrival-ordered files so
+    ``maxFilesPerTrigger=1`` replays the protocol across micro-batches with
+    state carried between them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = hashlib.sha256(f"{sf_dir}:{n_files}".encode()).hexdigest()[:12]
+    out_dir = f"/tmp/transf_spark_stream_{tag}"
+    marker = os.path.join(out_dir, "_READY")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    hs = fixtures.handshakes(spark, sf_dir).select(
+        "transfer_id",
+        F.lit("HS").alias("tag"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit(0).alias("payload_len"),
+        "filename",
+        "filesize",
+    )
+    ch = fixtures.chunks_faulty(spark, sf_dir).select(
+        "transfer_id",
+        F.lit("TRANSFER").alias("tag"),
+        "seq",
+        "payload_len",
+        F.lit("").alias("filename"),
+        F.lit(0).cast("long").alias("filesize"),
+    )
+    pdf = hs.unionByName(ch).toPandas()
+
+    def write(part: pd.DataFrame, name: str) -> None:
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                       os.path.join(out_dir, name))
+
+    if n_files == 1:
+        write(pdf, "batch_00.parquet")
+    else:
+        # arrival order: handshakes first, then chunk waves by seq range
+        write(pdf[pdf["tag"] == "HS"], "batch_00.parquet")
+        chunks_pdf = pdf[pdf["tag"] == "TRANSFER"]
+        max_seq = int(chunks_pdf["seq"].max() or 1)
+        step = max(1, (max_seq + n_files - 2) // (n_files - 1))
+        for i in range(n_files - 1):
+            lo, hi = 1 + i * step, 1 + (i + 1) * step
+            write(chunks_pdf[(chunks_pdf["seq"] >= lo) & (chunks_pdf["seq"] < hi)],
+                  f"batch_{i + 1:02d}.parquet")
+    open(marker, "w").close()
+    return out_dir
+
+
+def run_stateful_reassembly(
+    spark: SparkSession, sf_dir: str, n_files: int = 1, timeout_conf: str = GroupStateTimeout.ProcessingTimeTimeout
+) -> DataFrame:
+    """Build + run the streaming state machine to completion (AvailableNow),
+    return the materialized output as a batch DataFrame."""
+    src_dir = protocol_event_stream_dir(spark, sf_dir, n_files)
+    reader = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(f"{src_dir}/batch_*.parquet")
+    )
+    out = (
+        reader.groupBy("transfer_id")
+        .applyInPandasWithState(
+            make_state_machine(set_timeout=(timeout_conf != GroupStateTimeout.NoTimeout)),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout_conf,
+        )
+    )
+    global _QUERY_SEQ
+    _QUERY_SEQ += 1
+    qname = f"stateful_reassembly_{_QUERY_SEQ}"
+    writer = out.writeStream.format("memory").queryName(qname).outputMode("append")
+    if timeout_conf == GroupStateTimeout.NoTimeout:
+        # no timeouts armed ⇒ availableNow terminates once inputs are drained
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination(300)
+    else:
+        # With ProcessingTimeTimeout armed the engine must keep triggering
+        # batches to service future timeouts, so no self-terminating trigger
+        # exists (availableNow spins empty batches forever). Run a steady
+        # trigger and poll: once the input is drained AND the state store is
+        # empty (every session done/rejected/expired — the GC sweep finished,
+        # `transf_server.cpp:78-131`), stop the query.
+        import time as _time
+
+        query = writer.trigger(processingTime="2 seconds").start()
+        deadline = _time.time() + SESSION_TIMEOUT_MS / 1000 + 240
+        while _time.time() < deadline:
+            prog = query.lastProgress
+            ops = (prog or {}).get("stateOperators") or []
+            drained = (
+                prog is not None
+                and prog.get("batchId", 0) >= n_files
+                and all(s.get("numInputRows", 0) == 0 for s in prog.get("sources", []))
+            )
+            if drained and ops and ops[0].get("numRowsTotal") == 0:
+                break
+            _time.sleep(2)
+        query.stop()
+        query.awaitTermination(60)
+    return spark.table(qname)
+
+
+@register(
+    "stream_stateful_reassembly",
+    oracle=None,  # stateful streaming — rows-only; batch twin cross-check in tests
+    category="streaming/stateful",
+    origin="R5-R13",
+)
+def stream_stateful_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference server as ONE streaming operator (see module docstring).
+    Returns the completed/rejected session manifest; tests assert it agrees
+    with the batch ``completion_manifest`` twin (SURVEY.md §5.2 strategy)."""
+    return run_stateful_reassembly(spark, sf_dir, n_files=1)

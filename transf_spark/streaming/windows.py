@@ -1,1 +1,168 @@
-"""Placeholder — streaming queries (M3)."""
+"""Time-window queries (SURVEY.md §2 streaming rows, M3).
+
+Spark's ``window()`` / ``session_window()`` functions evaluate identically on
+static and streaming DataFrames, so each declared query here is the
+*batch-evaluated* form (DuckDB-checkable), and tests/test_streaming.py runs
+the literal ``readStream`` twin of the same plan and asserts result equality
+— the self-consistency strategy from SURVEY.md §5.2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from transf_spark.queries import register
+from transf_spark.sources.tables import load_table
+
+# 5-minute bucket via epoch arithmetic — identical in both dialects, no tz.
+_BUCKET5_SQL = "epoch_ms(CAST(floor(epoch_ms(ts) / 300000) AS BIGINT) * 300000)"
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    category="streaming/window",
+    origin="R26",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows × event_type. Same ``F.window`` plan runs
+    under readStream with a watermark (tests); batch evaluation makes it
+    oracle-checkable. Partial aggregation applies per micro-batch at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle=f"""
+    WITH starts AS (
+      SELECT event_id, value,
+             unnest([{_BUCKET5_SQL}, {_BUCKET5_SQL} - INTERVAL 5 MINUTE]) AS win_start
+      FROM events
+    )
+    SELECT win_start, win_start + INTERVAL 10 MINUTE AS win_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM starts GROUP BY 1, 2
+    """,
+    category="streaming/window",
+    origin="R5-R9",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in exactly two
+    windows; the oracle enumerates both bucket starts explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("win_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, sess
+    """,
+    category="streaming/window",
+    origin="R5-R12",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap session windows per user — the declarative equivalent
+    of the server's per-session idle-expiry bookkeeping
+    (`/root/reference/transf_server.cpp:78-131`). The oracle reconstructs
+    sessions with a lag-gap + running-count window, proving
+    ``session_window``'s gap semantics (end = last event + gap)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_watermark_late_drop",
+    oracle="""
+    SELECT event_id, ts,
+           CASE WHEN ts < MAX(ts) OVER (ORDER BY event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         - INTERVAL 10 MINUTE
+                THEN true ELSE false END AS is_late
+    FROM events
+    """,
+    category="streaming/late-data",
+    origin="R7,R12",
+)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, batch-stated: an event is *late* when its event
+    time lags the high-water mark (max event time seen so far in arrival
+    order = event_id) by more than the 10-minute delay — exactly what
+    ``withWatermark("ts", "10 minutes")`` drops for an aggregation.
+    tests/test_streaming.py replays the same data through a real watermarked
+    stream in arrival-ordered micro-batches and cross-checks the drop set."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hwm = F.max("ts").over(
+        W.orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)
+    )
+    return ev.select(
+        "event_id",
+        "ts",
+        F.when(F.col("ts") < hwm - F.expr("INTERVAL 10 MINUTES"), F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("is_late"),
+    )
