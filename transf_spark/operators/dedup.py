@@ -33,11 +33,16 @@ N_BANDS = 16
 ROWS_PER_BAND = 8
 JACCARD_THRESHOLD = 0.8
 
-# Token 3-gram shingles, distinct, as one JVM-side expression.
+# Token 3-gram shingles, distinct, as one JVM-side expression over a
+# pre-split word array (splitting inside the lambda would re-tokenize the
+# whole text per element — O(words^2) per document). The size guard matters:
+# Spark's sequence(0, -1) is a DESCENDING sequence, not empty.
 _SHINGLES = """
-  array_distinct(transform(
-      sequence(0, size(split(text, ' ')) - 3),
-      i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2])))
+  CASE WHEN size(w) >= 3 THEN
+    array_distinct(transform(
+        sequence(0, size(w) - 3),
+        i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+  ELSE array() END
 """
 
 _SHINGLES_SQL = """
@@ -45,11 +50,6 @@ _SHINGLES_SQL = """
                  || ' ' || string_split(text,' ')[i+2]
                  for i in generate_series(1, len(string_split(text,' ')) - 2)])
 """
-
-
-def _with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.expr(_SHINGLES).alias("shingles"))
 
 
 @register(
@@ -106,13 +106,28 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB (candidates ≪ n², one even shuffle on band hash). Jaccard itself
     is an exact int/int division — bit-identical on both engines.
     """
-    sh = _with_shingles(spark, sf_dir)
     # Explode + groupBy formulation: one xxhash64 per shingle (codegen'd),
     # then 128 min-aggregates over cheap affine permutations of that hash —
     # whole-stage-codegen throughout, vs ~100x slower interpreted nested
     # lambdas. One shuffle on doc_id; partial min combines map-side.
-    hashed = sh.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("h")
+    # No array_distinct here: MinHash over a multiset == MinHash over its set
+    # (duplicates never change a min), and interpreted array_distinct is the
+    # single most expensive expression in the naive plan.
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    hashed = (
+        w.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    """CASE WHEN size(w) >= 3 THEN
+                         transform(sequence(1, size(w) - 2),
+                                   i -> concat_ws(' ', w[i-1], w[i], w[i+1]))
+                       ELSE array() END"""
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.xxhash64("s").alias("h"))
     )
     # Deterministic odd multipliers/offsets (splitmix-style constants).
     perms = [
@@ -145,14 +160,29 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
         .distinct()
     )
-    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jaccard = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    # Exact-Jaccard verify on the LSH candidates, computed over the distinct
+    # 64-bit shingle-hash sets: joins/aggregates on long keys stay inside
+    # whole-stage codegen, unlike interpreted array_intersect over string
+    # arrays. P(a 64-bit collision perturbs any Jaccard here) ≲ 1e-8.
+    from pyspark.sql import Window as W
+
+    eh = hashed.distinct()
+    # set size carried along via window (one subtree per join side instead of
+    # separate size-aggregate joins — 2× fewer recomputations of `hashed`)
+    ehn = eh.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    common = (
+        cand.join(ehn.withColumnsRenamed({"doc_id": "doc_id_a", "n": "na"}), "doc_id_a")
+        .join(ehn.withColumnsRenamed({"doc_id": "doc_id_b", "n": "nb"}), ["doc_id_b", "h"])
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    jaccard = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        cand.join(a, "doc_id_a")
-        .join(b, "doc_id_b")
-        .select("doc_id_a", "doc_id_b", jaccard.alias("jaccard"))
+        common.select("doc_id_a", "doc_id_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -246,24 +276,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     common per pair → |A∩B| / (|A|+|B|-|A∩B|). No n² pair enumeration —
     only pairs sharing ≥1 shingle materialize, keyed on the shingle itself
     (high cardinality ⇒ even shuffle)."""
-    sh = (
+    from pyspark.sql import Window as W
+
+    # Distinct 64-bit shingle hashes (join keys stay codegen'd longs, not
+    # strings), set size via window — same plan shape as the minhash verify.
+    eh = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", F.expr(_SHINGLES).alias("shingles"))
-        .withColumn("n", F.size("shingles"))
+        .select("doc_id", "lang", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    """CASE WHEN size(w) >= 3 THEN
+                         transform(sequence(1, size(w) - 2),
+                                   i -> concat_ws(' ', w[i-1], w[i], w[i+1]))
+                       ELSE array() END"""
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "lang", F.xxhash64("s").alias("h"))
+        .distinct()
     )
-    e = sh.select("doc_id", "lang", "n", F.explode("shingles").alias("s"))
-    a = e.select(
+    ehn = eh.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    a = ehn.select(
         F.col("doc_id").alias("doc_id_a"), F.col("lang").alias("lang_a"),
-        F.col("n").alias("na"), F.col("s").alias("s_a"),
+        F.col("n").alias("na"), "h",
     )
-    b = e.select(
+    b = ehn.select(
         F.col("doc_id").alias("doc_id_b"), F.col("lang").alias("lang_b"),
-        F.col("n").alias("nb"), F.col("s").alias("s_b"),
+        F.col("n").alias("nb"), F.col("h").alias("h_b"),
     )
     pair = (
         a.join(
             b,
-            (F.col("s_a") == F.col("s_b"))
+            (F.col("h") == F.col("h_b"))
             & (F.col("lang_a") == F.col("lang_b"))
             & (F.col("doc_id_a") < F.col("doc_id_b")),
         )
