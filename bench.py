@@ -61,8 +61,16 @@ def main() -> None:
     registry = q.queries()
     names = [n for n in HEADLINE if n in registry]
 
-    # Warmup: spin up JVM, codegen, parquet footer caches.
+    # Warmup: spin up JVM, codegen paths (parquet reader, decimal agg, joins,
+    # windows) at sf0.001 so timed runs measure steady-state execution, not
+    # first-compile overhead.
     spark.range(1_000_000).select(F.sum("id")).collect()
+    warm_sf = "/root/testdata/sf0.001"
+    for name in names:
+        try:
+            materialize(registry[name](spark, warm_sf))
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in names:

@@ -1,0 +1,41 @@
+"""ANN quality gate (SURVEY.md §2.B `similarity_ann_lsh`): the multi-probe
+LSH path is approximate by construction, so instead of a DuckDB oracle it is
+judged against the exact brute-force baseline (`similarity_topk_cosine`).
+
+The fixture embeddings are near-random (max pairwise cosine ≈ 0.5), so the
+*achievable* recall for any sublinear index is low — the assertions pin the
+deterministic floor (fixed data, seeded hyperplanes), not an aspiration.
+"""
+
+from __future__ import annotations
+
+from transf_spark.queries import queries
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_ann_lsh_topk_recall_vs_bruteforce(spark):
+    qs = queries()
+    ann = qs["similarity_ann_lsh"](spark, SF).collect()
+    bf = qs["similarity_topk_cosine"](spark, SF).collect()
+
+    bf_queries = {r["q_id"] for r in bf}
+    ann_by_q: dict[int, list] = {}
+    for r in ann:
+        ann_by_q.setdefault(r["q_id"], []).append(r)
+
+    # same query surface: every brute-force query answered, k rows each
+    assert set(ann_by_q) == bf_queries
+    for q_id, rows in ann_by_q.items():
+        assert len(rows) == 10
+        ranks = sorted(r["rnk"] for r in rows)
+        assert ranks == list(range(1, 11))
+        cosines = [r["cosine"] for r in sorted(rows, key=lambda r: r["rnk"])]
+        assert cosines == sorted(cosines, reverse=True)
+
+    ann_set = {(r["q_id"], r["nn_id"]) for r in ann}
+    bf_set = {(r["q_id"], r["nn_id"]) for r in bf}
+    recall = len(ann_set & bf_set) / len(bf_set)
+    # deterministic: 0.08 on this fixture; bound leaves headroom for plan
+    # changes but catches a broken index (random recall ≈ 9/500 ≈ 0.02)
+    assert recall >= 0.05

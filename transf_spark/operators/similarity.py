@@ -115,29 +115,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_PLANES = 16
+N_PLANES = 8  # 256 buckets — sized so buckets stay populated at test scale
 _RNG = np.random.RandomState(42)
 _PLANES = _RNG.normal(size=(N_PLANES, 64)).tolist()  # deterministic hyperplanes
 
 
-@register(
-    "similarity_ann_lsh",
-    oracle=None,  # approximate by construction — rows-only
-    category="similarity",
-    origin="EXT",
-)
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN — the scale path for similarity search.
-
-    16 fixed hyperplanes (seeded numpy, baked into the plan as literals) →
-    16 sign bits → bucket id. Candidates = same-bucket pairs; exact cosine
-    re-ranks within bucket. Sub-linear: the self-join keys on bucket id, so
-    work scales with Σ bucket² not n². Recall is tunable via multi-probe /
-    more tables; documented as approximate, hence rows-only."""
+def _bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id, v, bucket — sign-bit bucket over N_PLANES fixed hyperplanes."""
     e = _emb_double(spark, sf_dir)
-    plane_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in p]) for p in _PLANES]
-    )
+    plane_arr = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in _PLANES])
     bucket = F.expr(
         """
         aggregate(
@@ -148,19 +134,49 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
           0, (acc, bit) -> acc + bit)
         """
     )
-    bucketed = e.withColumn("planes", plane_arr).select(
-        "vec_id", "v", bucket.alias("bucket")
+    return e.withColumn("planes", plane_arr).select("vec_id", "v", bucket.alias("bucket"))
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=None,  # approximate by construction — rows-only; recall vs brute
+    # force asserted in tests/test_ann_recall.py
+    category="similarity",
+    origin="EXT",
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe random-hyperplane LSH top-k — the similarity-search scale
+    path (same query surface as ``similarity_topk_cosine``, approximate).
+
+    Index side: 8 sign bits over fixed seeded hyperplanes → 256-way bucket
+    id (an IVF-style partition of the corpus; at 100 TB this is the
+    pre-partitioned/bucketed layout, so a probe touches 9/256 of the data
+    instead of all of it). Query side: every vec_id % 100 == 0 probes its
+    own bucket plus the 8 hamming-1 neighbors (multi-probe recovers most of
+    the recall a single bucket loses), exact cosine re-ranks candidates,
+    row_number keeps top-10 per query."""
+    bucketed = _bucketed(spark, sf_dir)
+    probes = (
+        bucketed.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.explode(
+                F.expr(
+                    f"array_union(array(bucket), transform(sequence(0, {N_PLANES - 1}),"
+                    " i -> int(bucket ^ shiftleft(1, i))))"
+                )
+            ).alias("bucket"),
+        )
     )
-    a = bucketed.select(
-        F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"), "bucket"
+    cand = bucketed.join(F.broadcast(probes), "bucket").filter(
+        F.col("vec_id") != F.col("q_id")
     )
-    b = bucketed.select(
-        F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"),
-        F.col("bucket").alias("bucket_b"),
-    )
-    cos = F.expr(_COS.format(a="va", b="vb"))
+    cos = F.expr(_COS.format(a="qv", b="v"))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id").asc())
     return (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_id_a") < F.col("vec_id_b")))
-        .select("vec_id_a", "vec_id_b", "bucket", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.3)
+        cand.select("q_id", F.col("vec_id").alias("nn_id"), cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "nn_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
     )
