@@ -1,0 +1,84 @@
+"""Physical-plan regression gates (SURVEY.md §4.2 — 100 TB design rules).
+
+Correctness tests prove the answers match DuckDB; these prove the *plans*
+are the ones that survive a 1000-executor cluster: dimension joins
+broadcast, predicates/projections reach the parquet scan, single-shuffle
+aggregations stay single-shuffle, and the hot path stays in whole-stage
+codegen. A refactor that silently degrades any of these fails here, not in
+production.
+"""
+
+from __future__ import annotations
+
+from transf_spark.plans.inspect import plan_stats, scan_columns
+from transf_spark.queries import queries
+
+SF = "/root/testdata/sf0.01"
+
+
+def _q(spark, name):
+    return queries()[name](spark, SF)
+
+
+def test_star_join_broadcasts_all_dimensions(spark):
+    """lineitem⋈orders⋈customer⋈nation⋈region: every dimension side must
+    broadcast — a sort-merge join here would shuffle the fact table once per
+    dimension at 100 TB."""
+    st = plan_stats(_q(spark, "join_multiway_star"))
+    assert st.broadcast_joins >= 3
+    assert st.sort_merge_joins == 0
+
+
+def test_inner_equi_join_broadcasts_dimension(spark):
+    st = plan_stats(_q(spark, "join_inner_equi"))
+    assert st.broadcast_joins == 1
+    assert st.sort_merge_joins == 0
+
+
+def test_flagship_agg_is_single_shuffle_with_pushdown(spark):
+    """TPC-H Q1 shape: one exchange (the groupBy), shipdate predicate pushed
+    into the parquet scan, and only the needed columns read."""
+    df = _q(spark, "agg_hash_groupby")
+    st = plan_stats(df)
+    assert st.exchanges == 1
+    assert any("l_shipdate" in pf for pf in st.pushed_filters)
+    cols = scan_columns(df)
+    assert cols, "expected a parquet scan"
+    assert all(len(c) <= 7 for c in cols), f"column pruning lost: {cols}"
+
+
+def test_projection_filter_pushdown_and_pruning(spark):
+    df = _q(spark, "project_filter_predicates")
+    st = plan_stats(df)
+    joined = " ".join(st.pushed_filters)
+    assert "o_orderstatus" in joined and "o_totalprice" in joined
+    (cols,) = scan_columns(df)
+    assert cols == {"o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority", "o_orderstatus"}
+
+
+def test_exact_dedup_is_single_shuffle(spark):
+    st = plan_stats(_q(spark, "dedup_exact"))
+    assert st.exchanges == 1
+    assert st.sort_merge_joins == 0
+
+
+def test_topk_similarity_broadcasts_query_side(spark):
+    """Scored scan shape: the small query set broadcasts; the corpus is
+    never shuffled for scoring."""
+    st = plan_stats(_q(spark, "similarity_topk_cosine"))
+    assert st.broadcast_joins + st.nested_loop_joins >= 1
+    assert st.sort_merge_joins == 0
+
+
+def test_flagship_agg_runs_in_whole_stage_codegen(spark):
+    """Post-AQE final plan: scan → partial agg → final agg all inside
+    codegen spans (interpreted fallback would show zero spans)."""
+    st = plan_stats(_q(spark, "agg_hash_groupby"), final=True)
+    assert st.codegen_spans >= 1
+
+
+def test_minhash_signature_stays_in_codegen(spark):
+    """The 128-column signature aggregate must not fall out of codegen
+    (guarded by spark.sql.codegen.maxFields=256 in session conf)."""
+    st = plan_stats(_q(spark, "dedup_fuzzy_minhash"), final=True)
+    assert st.codegen_spans >= 1
