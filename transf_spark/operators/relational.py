@@ -397,6 +397,45 @@ def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_skew_salted_two_stage",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+    category="aggregation/skew",
+    origin="EXT",
+)
+def agg_skew_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation — the hand-rolled skew pattern for
+    low-cardinality hot keys (event_type has ~6 values: at 100 TB a plain
+    groupBy lands each key's entire volume on one task).
+
+    Stage 1 shuffles on (event_type, salt16) — 16× the parallelism, even
+    partitions; stage 2 combines the 16 partials per key, a ~100-row
+    shuffle. Results are decimal-exact, so identical to the direct groupBy
+    (AQE's skew handling only splits join partitions, not agg keys — this
+    pattern is still the scale answer for aggregation skew)."""
+    ev = load_table(spark, sf_dir, "events")
+    stage1 = (
+        ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("psum"),
+            F.count(F.lit(1)).alias("pcnt"),
+        )
+    )
+    return stage1.groupBy("event_type").agg(
+        F.sum("psum").cast("double").alias("sum_value"),
+        F.sum("pcnt").alias("n_events"),
+        (F.sum("psum").cast("double") / F.sum("pcnt")).alias("avg_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Windows / sort / set ops
 # --------------------------------------------------------------------------
