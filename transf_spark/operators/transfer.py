@@ -41,10 +41,13 @@ def scan_binary_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result is manifest-sized."""
     sz = 64 * 1024
     bf = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    # empty-file guard: sequence(1, 0) is DESCENDING in Spark, not empty
     slices = F.expr(
-        f"""transform(sequence(1, int(ceil(length(content)/{sz}.0))),
-                      i -> struct(cast(i AS bigint) AS seq,
-                                  substring(content, (i-1)*{sz}+1, {sz}) AS payload))"""
+        f"""CASE WHEN length(content) > 0 THEN
+              transform(sequence(1, int(ceil(length(content)/{sz}.0))),
+                        i -> struct(cast(i AS bigint) AS seq,
+                                    substring(content, (i-1)*{sz}+1, {sz}) AS payload))
+            ELSE array() END"""
     )
     return (
         bf.select(basename("path").alias("file"), F.col("length").alias("filesize"),
