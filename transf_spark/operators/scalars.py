@@ -66,6 +66,55 @@ def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Network validators (R20 check_ip/check_port/get_ipversion)
+# --------------------------------------------------------------------------
+
+_IPV4_RE = r"((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+
+
+@register(
+    "scalar_net_validators",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(doc_id % 300 AS VARCHAR) || '.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS ip,
+           CAST(doc_id % 70000 AS BIGINT) AS port,
+           regexp_full_match(CAST(doc_id % 300 AS VARCHAR) || '.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1',
+                             '{_IPV4_RE}') AS ip_ok,
+           doc_id % 70000 BETWEEN 1 AND 65535 AS port_ok,
+           CASE WHEN regexp_full_match(CAST(doc_id % 300 AS VARCHAR) || '.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1',
+                                       '{_IPV4_RE}') THEN 'IPv4' ELSE 'invalid' END AS ip_version
+    FROM documents
+    """,
+    category="scalar/net",
+    origin="R20",
+)
+def scalar_net_validators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`check_ip` / `check_port` / `get_ipversion`
+    (`/root/reference/src/network.cpp:885-905`) as pure expressions: a full
+    dotted-quad regex (octets derived from doc_id so ~15% are deliberately
+    out of range), the (0, 65536) port interval, and the version classifier.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ip = F.concat_ws(
+        ".",
+        (F.col("doc_id") % 300).cast("string"),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("0"),
+        F.lit("1"),
+    )
+    port = (F.col("doc_id") % 70000).cast("long")
+    ip_ok = ip.rlike(f"^{_IPV4_RE}$")
+    return docs.select(
+        "doc_id",
+        ip.alias("ip"),
+        port.alias("port"),
+        ip_ok.alias("ip_ok"),
+        port.between(1, 65535).alias("port_ok"),
+        F.when(ip_ok, "IPv4").otherwise("invalid").alias("ip_version"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Date / math suite (R15 RTT math, R24 Timer)
 # --------------------------------------------------------------------------
 

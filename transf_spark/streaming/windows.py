@@ -9,7 +9,7 @@ the literal ``readStream`` twin of the same plan and asserts result equality
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from transf_spark.queries import register
 from transf_spark.sources.tables import load_table
@@ -134,6 +134,57 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_ack_verify_join",
+    oracle="""
+    WITH sent AS (
+      SELECT sha256(CAST(doc_id AS VARCHAR)) AS transfer_id,
+             CAST(i AS BIGINT) AS seq,
+             CAST(ceil(length(text)/64.0) AS BIGINT) AS tot_chunk
+      FROM documents, UNNEST(generate_series(1, CAST(ceil(length(text)/64.0) AS BIGINT))) AS t(i)
+      WHERE length(text) > 0
+    ),
+    acks AS (SELECT transfer_id, seq + 1 AS next_expected FROM sent)
+    SELECT s.transfer_id, s.seq,
+           CAST(s.seq = s.tot_chunk AS BOOLEAN) AS is_final,
+           a.next_expected
+    FROM sent s
+    JOIN acks a ON a.transfer_id = s.transfer_id AND a.next_expected = s.seq + 1
+    """,
+    category="streaming/join",
+    origin="R11",
+)
+def stream_ack_verify_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Client-side ack verification (R11,
+    `/root/reference/transf_client.cpp:176-194`): each sent frame is matched
+    to the ack carrying ``next_expected == seq + 1`` — an equi-join on
+    (transfer_id, seq). Batch-evaluated here (oracle-checkable);
+    tests/test_streaming.py runs the literal watermarked stream-stream join
+    twin of the same plan. At scale both sides shuffle once on the same
+    (transfer_id, seq) key — co-partitioned, skew-free (seq is unique per
+    transfer)."""
+    from transf_spark.sources import fixtures
+
+    c = fixtures.chunks(spark, sf_dir)
+    tot = F.count(F.lit(1)).over(W.partitionBy("transfer_id"))
+    sent = c.select("transfer_id", "seq").withColumn("tot_chunk", tot)
+    acks = sent.select("transfer_id", (F.col("seq") + 1).alias("next_expected"))
+    return (
+        sent.alias("s")
+        .join(
+            acks.alias("a"),
+            (F.col("s.transfer_id") == F.col("a.transfer_id"))
+            & (F.col("a.next_expected") == F.col("s.seq") + 1),
+        )
+        .select(
+            F.col("s.transfer_id").alias("transfer_id"),
+            F.col("s.seq").alias("seq"),
+            (F.col("s.seq") == F.col("s.tot_chunk")).alias("is_final"),
+            F.col("a.next_expected").alias("next_expected"),
+        )
+    )
+
+
+@register(
     "stream_watermark_late_drop",
     oracle="""
     SELECT event_id, ts,
@@ -153,8 +204,6 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``withWatermark("ts", "10 minutes")`` drops for an aggregation.
     tests/test_streaming.py replays the same data through a real watermarked
     stream in arrival-ordered micro-batches and cross-checks the drop set."""
-    from pyspark.sql import Window as W
-
     ev = load_table(spark, sf_dir, "events")
     hwm = F.max("ts").over(
         W.orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)
