@@ -41,8 +41,6 @@ def _norm(v):
         return v
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
-    if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
     return v
 
 
@@ -53,8 +51,26 @@ def _key(row):
 
 
 def compare(spark_df, con, sql: str) -> list[str]:
-    """Return a list of mismatch descriptions (empty = pass)."""
+    """Return a list of mismatch descriptions (empty = pass).
+
+    Array/map/struct-typed output columns are REJECTED outright: the
+    driver's canonicalizer sorts pandas object columns and dies on
+    unhashable ndarrays, so the local gate must be at least as strict
+    (round-1 lesson — two driver-only failures hid behind a lenient
+    list→tuple normalization here). Serialize such columns (``to_json``)
+    in the query itself.
+    """
     problems: list[str] = []
+    from pyspark.sql import types as T
+
+    for f in spark_df.schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            problems.append(
+                f"column {f.name!r} has non-scalar type {f.dataType.simpleString()} — "
+                "the driver canonicalizer cannot hash it; emit to_json(...) instead"
+            )
+    if problems:
+        return problems
     spark_cols = sorted(spark_df.columns)
     sdf = spark_df.select(*spark_cols)
     srows = [tuple(_norm(v) for v in r) for r in sdf.collect()]

@@ -25,7 +25,9 @@ from transf_spark.sources.tables import load_table
     "multimodal_doc_join",
     oracle="""
     SELECT d.doc_id, d.lang, d.n_chars, e.label,
-           e.embedding AS embedding,
+           CAST(len(e.embedding) AS BIGINT) AS emb_dim,
+           sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[]))) AS emb_norm,
            length(d.text) AS text_len
     FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
     """,
@@ -36,9 +38,19 @@ def multimodal_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text + vector + metadata in one row — the canonical multimodal record
     (documents ⋈ embeddings on doc_id = vec_id). Both sides shuffle on the
     id only if neither fits in memory; at fixture scale Catalyst broadcasts.
-    The array column rides along untouched (no serialization boundary)."""
+    The embedding is summarized as (dim, L2 norm) — raw array columns break
+    the driver's canonicalizer, and the left-to-right double fold matches
+    DuckDB's ``list_dot_product`` bit-exactly (same parity engineering as
+    similarity.py)."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        """sqrt(aggregate(
+             zip_with(transform(embedding, x -> cast(x AS double)),
+                      transform(embedding, x -> cast(x AS double)),
+                      (x, y) -> x * y),
+             cast(0.0 AS double), (acc, v) -> acc + v))"""
+    )
     return (
         docs.join(emb, docs.doc_id == emb.vec_id)
         .select(
@@ -46,7 +58,8 @@ def multimodal_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_chars",
             "label",
-            "embedding",
+            F.size("embedding").cast("long").alias("emb_dim"),
+            norm.alias("emb_norm"),
             F.length("text").alias("text_len"),
         )
     )

@@ -184,7 +184,7 @@ def scalar_date_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
            CAST(json_extract_string(props, '$.k') AS INT) % 7 AS prop_k_mod,
-           [event_id % 5, user_id % 5, CAST(length(event_type) AS BIGINT)] AS triple,
+           CAST(to_json([event_id % 5, user_id % 5, CAST(length(event_type) AS BIGINT)]) AS VARCHAR) AS triple,
            list_contains([event_id % 5, user_id % 5], 3) AS has_three,
            len(string_split(event_type, 'i')) - 1 AS n_i,
            CAST(user_id AS BIGINT) AS map_user
@@ -197,7 +197,9 @@ def scalar_array_map_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over ``events.props`` (get_json_object + from_json),
     array construction/membership, split-count; map_from_entries exercised
     then collapsed to a scalar (map values don't hash portably across
-    engines)."""
+    engines). The constructed array is emitted as ``to_json`` text — raw
+    array columns break the driver's canonicalizer (unhashable ndarray), and
+    both engines render int-array JSON identically (``[1,2,3]``)."""
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     k2 = F.from_json("props", "k INT").getField("k")
@@ -206,10 +208,12 @@ def scalar_array_map_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         k.alias("prop_k"),
         (k2 % 7).alias("prop_k_mod"),
-        F.array(
-            F.col("event_id") % 5,
-            F.col("user_id") % 5,
-            F.length("event_type").cast("long"),
+        F.to_json(
+            F.array(
+                F.col("event_id") % 5,
+                F.col("user_id") % 5,
+                F.length("event_type").cast("long"),
+            )
         ).alias("triple"),
         F.array_contains(F.array(F.col("event_id") % 5, F.col("user_id") % 5), 3).alias(
             "has_three"
