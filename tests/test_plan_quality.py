@@ -82,3 +82,28 @@ def test_minhash_signature_stays_in_codegen(spark):
     (guarded by spark.sql.codegen.maxFields=256 in session conf)."""
     st = plan_stats(_q(spark, "dedup_fuzzy_minhash"), final=True)
     assert st.codegen_spans >= 1
+
+
+def test_watermark_late_drop_has_no_global_event_window(spark):
+    """The high-water-mark prefix scan must not funnel all events through a
+    single-partition window: the events-level running max partitions by
+    bucket, and the only SinglePartition exchange feeds the tiny per-bucket
+    summary prefix-max."""
+    import re
+
+    from transf_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(_q(spark, "stream_watermark_late_drop"))
+    assert re.search(r"\], \[bucket#\d+L?\], \[event_id", plan), (
+        "events-level window must partition by bucket:\n" + plan
+    )
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_embedding_dedup_has_no_nested_loop_join(spark):
+    """Exact all-pairs cosine must run as tiled block-pair equi-joins, not a
+    BroadcastNestedLoopJoin of the whole table (the round-1 scale-killer:
+    full-table broadcast + one join operator doing n² work)."""
+    st = plan_stats(_q(spark, "dedup_embedding_cosine"))
+    assert st.nested_loop_joins == 0
+    assert st.broadcast_joins >= 2  # the tiny (bi, bj) pair table, per side

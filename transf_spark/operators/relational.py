@@ -380,8 +380,8 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup region→nation with grouping_id disambiguating
-    subtotal rows. (cube() exercised in tests; rollup is the oracle-checked
-    shape.)"""
+    subtotal rows. (``agg_cube_grouping`` is the oracle-checked cube()
+    twin.)"""
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
@@ -393,6 +393,46 @@ def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "sum_acctbal"),
             F.count(F.lit(1)).alias("n_customers"),
             F.grouping_id("r_name", "n_name").alias("gid"),
+        )
+    )
+
+
+@register(
+    "agg_cube_grouping",
+    oracle=f"""
+    SELECT r_name, o_orderstatus,
+           {sql_dsum("o_totalprice", "sum_price")},
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           GROUPING(r_name, o_orderstatus) AS gid
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE (r_name, o_orderstatus)
+    """,
+    category="aggregation",
+    origin="EXT",
+)
+def agg_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (region, order status) with ``grouping_id`` tagging
+    each of the 4 grouping sets — the cube() twin of ``agg_rollup_cube``
+    (round-1 gap: cube was claimed but untested). Same scale shape as any
+    grouping-sets aggregate: Spark expands the cube before the shuffle, so
+    it stays a single-exchange, map-side-combinable aggregation; dims
+    broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .cube("r_name", "o_orderstatus")
+        .agg(
+            dsum("o_totalprice", "sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id("r_name", "o_orderstatus").alias("gid"),
         )
     )
 

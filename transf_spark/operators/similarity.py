@@ -102,15 +102,47 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact all-pairs formulation —
-    the correctness baseline the ANN path is judged against). At 100 TB the
-    same query runs behind ``similarity_ann_lsh`` bucketing; here the corpus
-    is small enough that exact is the honest plan."""
-    e = _emb_double(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
-    pairs = a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+    the correctness baseline the ANN path is judged against).
+
+    Exactness at a 0.45 threshold (≈63°) admits no lossless LSH prefilter —
+    random-hyperplane collision probability at that angle is far below 1, so
+    any bucketed prefilter silently drops true pairs. The honest exact plan
+    is all-pairs, but NOT as round 1's BroadcastNestedLoopJoin (which ships
+    the whole table to every executor and runs on one join operator): here
+    the n² work is tiled into B² block-pairs via an equi-join —
+
+    - each vector lands in block ``pmod(xxhash64(vec_id), B)``;
+    - a broadcast (bi, bj) pair table replicates each vector B times per
+      side (rows shuffled: 2nB, evenly — every block appears in exactly B
+      ordered pairs per role);
+    - the SortMergeJoin on ``pair_id`` materializes each block×block tile in
+      its own task; ``vec_id_a < vec_id_b`` keeps each unordered pair exactly
+      once (cross-block pairs appear in both (i,j) and (j,i); the id filter
+      picks one), and cosine is evaluated only on surviving rows.
+
+    Compute stays O(n²) — inherent to the exact answer — but distributed
+    across B² tasks with per-task memory n/B · 2 vectors, no full-table
+    broadcast, no nested-loop operator. B scales as √(n/rows-per-task). The
+    subquadratic path at 100 TB is ``similarity_ann_lsh`` (approximate, and
+    declared as such)."""
+    n_blocks = 8
+    e = _emb_double(spark, sf_dir).withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+    block_pairs = spark.range(n_blocks * n_blocks).select(
+        F.col("id").alias("pair_id"),
+        (F.col("id") / n_blocks).cast("int").alias("bi"),
+        F.pmod(F.col("id"), F.lit(n_blocks)).cast("int").alias("bj"),
+    )
+    a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"), "blk").join(
+        F.broadcast(block_pairs), F.col("blk") == F.col("bi")
+    ).select("pair_id", "vec_id_a", "va")
+    b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"), "blk").join(
+        F.broadcast(block_pairs), F.col("blk") == F.col("bj")
+    ).select("pair_id", "vec_id_b", "vb")
+    cand = a.join(b, "pair_id").filter(F.col("vec_id_a") < F.col("vec_id_b"))
     cos = F.expr(_COS.format(a="va", b="vb"))
-    return pairs.select("vec_id_a", "vec_id_b", cos.alias("cosine")).filter(
+    return cand.select("vec_id_a", "vec_id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= NEAR_DUP_COS
     )
 

@@ -203,15 +203,38 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = event_id) by more than the 10-minute delay — exactly what
     ``withWatermark("ts", "10 minutes")`` drops for an aggregation.
     tests/test_streaming.py replays the same data through a real watermarked
-    stream in arrival-ordered micro-batches and cross-checks the drop set."""
-    ev = load_table(spark, sf_dir, "events")
-    hwm = F.max("ts").over(
-        W.orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)
+    stream in arrival-ordered micro-batches and cross-checks the drop set.
+
+    The prefix-max is computed as a distributed two-level scan — NOT a
+    global ``orderBy(event_id)`` window, which funnels every event through
+    one task (the round-1 scale-killer). Level 1: running max within
+    fixed-width ``event_id`` buckets (parallel, partitioned window).
+    Level 2: a prefix max over the tiny per-bucket summary (rows = n /
+    bucket_width; the only single-partition step, and it sees one row per
+    bucket — at 10^12 events pick width ~√n or add a third level), broadcast
+    back. hwm = greatest(previous-buckets max, within-bucket running max).
+    """
+    bucket_width = 4096
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bucket", F.floor(F.col("event_id") / bucket_width)
     )
-    return ev.select(
-        "event_id",
-        "ts",
-        F.when(F.col("ts") < hwm - F.expr("INTERVAL 10 MINUTES"), F.lit(True))
-        .otherwise(F.lit(False))
-        .alias("is_late"),
+    local_hwm = F.max("ts").over(
+        W.partitionBy("bucket").orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)
+    )
+    summary = ev.groupBy("bucket").agg(F.max("ts").alias("bucket_max"))
+    prev_max = F.max("bucket_max").over(
+        W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    )
+    prefix = summary.select("bucket", prev_max.alias("prev_buckets_max"))
+    hwm = F.greatest(F.col("local_hwm"), F.col("prev_buckets_max"))
+    return (
+        ev.withColumn("local_hwm", local_hwm)
+        .join(F.broadcast(prefix), "bucket")
+        .select(
+            "event_id",
+            "ts",
+            F.when(F.col("ts") < hwm - F.expr("INTERVAL 10 MINUTES"), F.lit(True))
+            .otherwise(F.lit(False))
+            .alias("is_late"),
+        )
     )
