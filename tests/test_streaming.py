@@ -89,52 +89,14 @@ def test_stateful_reassembly_matches_batch_manifest(spark):
 
 
 def test_ack_verify_stream_stream_join(spark):
-    """R11 as a REAL watermarked stream-stream join: sent frames and acks
-    replayed as two file streams, inner-joined on (transfer_id, seq+1)
-    within the watermark window — result must equal the batch-declared
-    `stream_ack_verify_join` (minus tot_chunk bookkeeping, which needs the
-    full partition and is batch-only)."""
-    import tempfile
+    """The DECLARED `stream_ack_verify_join` is now the real watermarked
+    stream-stream join; it must reproduce the batch-evaluated twin exactly
+    (the inverse of round 1, where the stream lived only in this test)."""
+    from transf_spark.streaming.windows import ack_join_batch, stream_ack_verify_join
 
-    from transf_spark.sources import fixtures
-    from transf_spark.streaming.windows import stream_ack_verify_join
-
-    c = fixtures.chunks(spark, SF).select("transfer_id", "seq")
-    base_ts = F.timestamp_millis(F.lit(1_700_000_000_000) + F.col("seq") * 1000)
-    sent = c.withColumn("ts", base_ts)
-    acks = c.select(
-        "transfer_id", (F.col("seq") + 1).alias("next_expected")
-    ).withColumn("ack_ts", F.timestamp_millis(F.lit(1_700_000_000_000) + (F.col("next_expected")) * 1000))
-
-    with tempfile.TemporaryDirectory() as d:
-        sent.write.parquet(f"{d}/sent")
-        acks.write.parquet(f"{d}/acks")
-        s_stream = (
-            spark.readStream.schema(sent.schema).parquet(f"{d}/sent/*.parquet")
-            .withWatermark("ts", "10 seconds")
-        )
-        a_stream = (
-            spark.readStream.schema(acks.schema).parquet(f"{d}/acks/*.parquet")
-            .withWatermark("ack_ts", "10 seconds")
-        )
-        joined = s_stream.alias("s").join(
-            a_stream.alias("a"),
-            F.expr(
-                """s.transfer_id = a.transfer_id
-                   AND a.next_expected = s.seq + 1
-                   AND a.ack_ts BETWEEN s.ts AND s.ts + INTERVAL 30 SECONDS"""
-            ),
-        ).select("s.transfer_id", "s.seq", "a.next_expected")
-        q = (
-            joined.writeStream.format("memory").queryName("ack_twin")
-            .outputMode("append").trigger(availableNow=True).start()
-        )
-        q.awaitTermination(180)
-        got = _rows(spark.table("ack_twin"), ["transfer_id", "seq", "next_expected"])
-    want = _rows(
-        stream_ack_verify_join(spark, SF).select("transfer_id", "seq", "next_expected"),
-        ["transfer_id", "seq", "next_expected"],
-    )
+    cols = ["transfer_id", "seq", "is_final", "next_expected"]
+    got = _rows(stream_ack_verify_join(spark, SF), cols)
+    want = _rows(ack_join_batch(spark, SF), cols)
     assert got == want
     assert len(got) > 1000
 

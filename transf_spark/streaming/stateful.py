@@ -107,6 +107,8 @@ def transfer_state_machine(
     if state.hasTimedOut:
         st = state.get if state.exists else ("?", 0, 0, 1, 0)
         state.remove()
+        if st[0] in ("DONE", "REJECTED"):
+            return  # tombstone reaped silently — session already reported
         yield pd.DataFrame(
             [(transfer_id, "expired", st[1], st[2], st[4])], columns=[f.name for f in OUTPUT_SCHEMA.fields]
         )
@@ -145,13 +147,16 @@ def transfer_state_machine(
                 out_rows.append((transfer_id, "done", filesize, written, n_rej))
                 status = "DONE"
 
-    if status in ("DONE", "REJECTED"):
-        if state.exists:
-            state.remove()
-    else:
-        state.update((status, filesize, written, expected, n_rej))
-        if set_timeout:
-            state.setTimeoutDuration(SESSION_TIMEOUT_MS)
+    # Terminal sessions keep a TOMBSTONE in state (reaped silently at
+    # timeout) instead of being removed: removal lets straggler chunks in a
+    # later micro-batch resurrect the key as NEW, which either leaks state
+    # (NoTimeout) or emits a spurious filesize-0 'expired' row
+    # (ProcessingTimeTimeout). The reference has the same tombstone need —
+    # its GC thread only reaps sessions the map still holds
+    # (`transf_server.cpp:78-131`).
+    state.update((status, filesize, written, expected, n_rej))
+    if set_timeout:
+        state.setTimeoutDuration(SESSION_TIMEOUT_MS)
 
     if out_rows:
         yield pd.DataFrame(out_rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
@@ -163,9 +168,15 @@ def protocol_event_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 1
 
     ``n_files > 1`` splits by seq range into arrival-ordered files so
     ``maxFilesPerTrigger=1`` replays the protocol across micro-batches with
-    state carried between them."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    state carried between them.
+
+    Written with Spark's own writer (executor → file; the round-1 version
+    funneled the whole fixture through the driver via ``toPandas``). Each
+    wave coalesces to one task/file — a replay-fidelity constraint, not a
+    scale one: ``maxFilesPerTrigger=1`` equates files with micro-batches, so
+    a wave split across part-files would deliver chunks out of seq order and
+    the stop-and-wait machine would (correctly) drop them."""
+    import glob as _glob
 
     tag = hashlib.sha256(f"{sf_dir}:{n_files}".encode()).hexdigest()[:12]
     out_dir = f"/tmp/transf_spark_stream_{tag}"
@@ -191,23 +202,24 @@ def protocol_event_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 1
         F.lit("").alias("filename"),
         F.lit(0).cast("long").alias("filesize"),
     )
-    pdf = hs.unionByName(ch).toPandas()
 
-    def write(part: pd.DataFrame, name: str) -> None:
-        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
-                       os.path.join(out_dir, name))
+    def write(df, name: str) -> None:
+        staging = os.path.join(out_dir, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        (part,) = _glob.glob(os.path.join(staging, "part-*.parquet"))
+        os.replace(part, os.path.join(out_dir, name))
+        shutil.rmtree(staging, ignore_errors=True)
 
     if n_files == 1:
-        write(pdf, "batch_00.parquet")
+        write(hs.unionByName(ch), "batch_00.parquet")
     else:
         # arrival order: handshakes first, then chunk waves by seq range
-        write(pdf[pdf["tag"] == "HS"], "batch_00.parquet")
-        chunks_pdf = pdf[pdf["tag"] == "TRANSFER"]
-        max_seq = int(chunks_pdf["seq"].max() or 1)
+        write(hs, "batch_00.parquet")
+        max_seq = int(ch.agg(F.max("seq")).collect()[0][0] or 1)
         step = max(1, (max_seq + n_files - 2) // (n_files - 1))
         for i in range(n_files - 1):
             lo, hi = 1 + i * step, 1 + (i + 1) * step
-            write(chunks_pdf[(chunks_pdf["seq"] >= lo) & (chunks_pdf["seq"] < hi)],
+            write(ch.filter((F.col("seq") >= lo) & (F.col("seq") < hi)),
                   f"batch_{i + 1:02d}.parquet")
     open(marker, "w").close()
     return out_dir

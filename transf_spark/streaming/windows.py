@@ -133,6 +133,74 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ACK_BASE_MS = 1_700_000_000_000
+_ACK_QUERY_SEQ = 0  # unique memory-sink names across repeated invocations
+
+
+def ack_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(sent, acks) frame DataFrames with deterministic event times.
+
+    ``sent`` carries ``tot_chunk`` (the sender knows the total up-front —
+    it's in the handshake, `/root/reference/transf_client.cpp:149-152`) and
+    ``ts = base + seq``; each ack carries ``next_expected`` and arrives one
+    tick later."""
+    from transf_spark.sources import fixtures
+
+    c = fixtures.chunks(spark, sf_dir)
+    tot = F.count(F.lit(1)).over(W.partitionBy("transfer_id"))
+    sent = (
+        c.select("transfer_id", "seq")
+        .withColumn("tot_chunk", tot)
+        .withColumn("ts", F.timestamp_millis(F.lit(_ACK_BASE_MS) + F.col("seq") * 1000))
+    )
+    acks = (
+        sent.select("transfer_id", (F.col("seq") + 1).alias("next_expected"))
+        .withColumn(
+            "ack_ts",
+            F.timestamp_millis(F.lit(_ACK_BASE_MS) + F.col("next_expected") * 1000),
+        )
+    )
+    return sent, acks
+
+
+def ack_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-evaluated twin of the ack-verify join (used by tests as the
+    cross-check oracle for the declared streaming form)."""
+    sent, acks = ack_frames(spark, sf_dir)
+    return (
+        sent.alias("s")
+        .join(
+            acks.alias("a"),
+            (F.col("s.transfer_id") == F.col("a.transfer_id"))
+            & (F.col("a.next_expected") == F.col("s.seq") + 1),
+        )
+        .select(
+            F.col("s.transfer_id").alias("transfer_id"),
+            F.col("s.seq").alias("seq"),
+            (F.col("s.seq") == F.col("s.tot_chunk")).alias("is_final"),
+            F.col("a.next_expected").alias("next_expected"),
+        )
+    )
+
+
+def _ack_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage sent/ack frames as parquet for the file stream source — written
+    with Spark's own partitioned writer (no driver-side toPandas funnel)."""
+    import hashlib
+    import os
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    out_dir = f"/tmp/transf_spark_ackstream_{tag}"
+    marker = os.path.join(out_dir, "_READY")
+    if os.path.exists(marker):
+        return out_dir
+    sent, acks = ack_frames(spark, sf_dir)
+    sent.write.mode("overwrite").parquet(f"{out_dir}/sent")
+    acks.write.mode("overwrite").parquet(f"{out_dir}/acks")
+    open(marker, "w").close()
+    return out_dir
+
+
 @register(
     "stream_ack_verify_join",
     oracle="""
@@ -155,25 +223,39 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_ack_verify_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Client-side ack verification (R11,
-    `/root/reference/transf_client.cpp:176-194`): each sent frame is matched
-    to the ack carrying ``next_expected == seq + 1`` — an equi-join on
-    (transfer_id, seq). Batch-evaluated here (oracle-checkable);
-    tests/test_streaming.py runs the literal watermarked stream-stream join
-    twin of the same plan. At scale both sides shuffle once on the same
-    (transfer_id, seq) key — co-partitioned, skew-free (seq is unique per
-    transfer)."""
-    from transf_spark.sources import fixtures
+    `/root/reference/transf_client.cpp:176-194`) as a REAL watermarked
+    stream-stream inner join (round-1 gap: the declared query was batch-only
+    and the genuine streaming join lived only in tests).
 
-    c = fixtures.chunks(spark, sf_dir)
-    tot = F.count(F.lit(1)).over(W.partitionBy("transfer_id"))
-    sent = c.select("transfer_id", "seq").withColumn("tot_chunk", tot)
-    acks = sent.select("transfer_id", (F.col("seq") + 1).alias("next_expected"))
-    return (
-        sent.alias("s")
+    Sent frames and acks replay as two file-source streams; the join keys on
+    (transfer_id, next_expected == seq + 1) with an event-time range bound
+    (``ack_ts ∈ [ts, ts + 30s]``) so Spark can size join state, and both
+    sides carry watermarks for state eviction. Trigger.AvailableNow drains
+    the bounded replay into a memory sink; the materialized result is
+    returned for the (batch-equivalent) oracle check. At scale both sides
+    shuffle once on transfer_id — co-partitioned, skew-free (seq is unique
+    per transfer), state bounded by the watermark delay."""
+    src = _ack_stream_dir(spark, sf_dir)
+    sent_schema, acks_schema = (d.schema for d in ack_frames(spark, sf_dir))
+    s = (
+        spark.readStream.schema(sent_schema)
+        .parquet(f"{src}/sent/*.parquet")
+        .withWatermark("ts", "1 hour")
+    )
+    a = (
+        spark.readStream.schema(acks_schema)
+        .parquet(f"{src}/acks/*.parquet")
+        .withWatermark("ack_ts", "1 hour")
+    )
+    joined = (
+        s.alias("s")
         .join(
-            acks.alias("a"),
-            (F.col("s.transfer_id") == F.col("a.transfer_id"))
-            & (F.col("a.next_expected") == F.col("s.seq") + 1),
+            a.alias("a"),
+            F.expr(
+                """s.transfer_id = a.transfer_id
+                   AND a.next_expected = s.seq + 1
+                   AND a.ack_ts BETWEEN s.ts AND s.ts + INTERVAL 30 SECONDS"""
+            ),
         )
         .select(
             F.col("s.transfer_id").alias("transfer_id"),
@@ -182,6 +264,18 @@ def stream_ack_verify_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.next_expected").alias("next_expected"),
         )
     )
+    global _ACK_QUERY_SEQ
+    _ACK_QUERY_SEQ += 1
+    qname = f"ack_verify_join_{_ACK_QUERY_SEQ}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
 
 
 @register(
