@@ -1,0 +1,32 @@
+"""Multimodal feature pipeline: the vectorized mapInPandas stage must agree
+with a straightforward per-row recomputation (guards the numpy batch math),
+and the declared query must be deterministic across runs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transf_spark.operators.multimodal import _decode_stub, multimodal_media_features
+from transf_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_media_features_match_per_row_reference(spark):
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["width"], r["height"], r["n_frames"], r["feature_norm"])
+        for r in multimodal_media_features(spark, SF).collect()
+    }
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs) > 0
+    for r in docs:
+        data = r["text"].encode("utf-8")
+        w, h, nf = _decode_stub(data)
+        want = (len(data), w, h, nf, round(sum(data[:64]) / (64.0 * 255.0), 9))
+        assert got[r["doc_id"]] == want, r["doc_id"]
+
+
+def test_media_features_deterministic(spark):
+    a = sorted(map(tuple, multimodal_media_features(spark, SF).collect()))
+    b = sorted(map(tuple, multimodal_media_features(spark, SF).collect()))
+    assert a == b

@@ -42,3 +42,17 @@ def test_rows_only_queries_run(spark):
         df = spec.fn(spark, SF)
         assert df.columns, name
         df.limit(5).collect()
+
+
+def test_readme_query_count_matches_registry():
+    """Docs-honesty gate (ADVICE round 1): the README's declared-query count
+    is derived from the registry, not hand-maintained."""
+    import re
+
+    with open("README.md") as f:
+        m = re.search(r"(\d+) declared queries total \((\d+) oracle-checked \+ (\d+) rows-only\)", f.read())
+    assert m, "README is missing the declared-query count line"
+    total, oracled, rows_only = map(int, m.groups())
+    assert total == len(q.queries())
+    assert oracled == len(q.oracle_sql())
+    assert rows_only == total - oracled

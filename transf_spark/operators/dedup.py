@@ -25,12 +25,18 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from transf_spark.queries import register
 from transf_spark.sources.tables import load_table
 
-# MinHash-LSH geometry: 16 bands × 8 rows = 128 hashes.
-# P(candidate | j=0.8) = 1-(1-0.8^8)^16 ≈ 0.95; at the fixture's injected
-# j≈0.99 pairs it is 1 - 1.5e-13 — recall is not the gating risk.
+# MinHash-LSH geometry: 32 bands × 4 rows = 128 hashes.
+# The declared oracle is EXACT all-pairs Jaccard, so LSH recall must be
+# near-certain at the threshold, not just at the fixture's near-dup pairs:
+# with r=4, b=32 the miss probability is (1-j^4)^32 ≈ 5e-8 at j=0.80,
+# 6e-11 at j=0.85, 1e-12 at j=0.89 (the lowest true pair the fixtures
+# contain). The round-1 geometry (16×8) missed j=0.80 pairs ~5% of the
+# time — a fixture-regeneration landmine flagged in ADVICE.md. The cost is
+# looser bands (more sub-threshold candidates), which the exact-Jaccard
+# verify filters; below-threshold candidates can never corrupt the result.
 N_HASHES = 128
-N_BANDS = 16
-ROWS_PER_BAND = 8
+N_BANDS = 32
+ROWS_PER_BAND = 4
 JACCARD_THRESHOLD = 0.8
 
 # Token 3-gram shingles, distinct, as one JVM-side expression over a

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -98,17 +99,34 @@ def _decode_stub(payload: bytes) -> tuple[int, int, int]:
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: Arrow batches in, feature rows out. Per-batch
-    vectorized; no per-row Python function dispatch beyond the stubbed
-    decode itself."""
+    """mapInPandas worker: Arrow batches in, feature rows out. All feature
+    math is numpy over the whole batch (lengths, zero-padded 64-byte prefix
+    matrix → row sums → norms); the only per-row Python left is the stubbed
+    decode call itself — exactly what a real PIL/ffmpeg hook would be."""
     for pdf in batches:
-        rows = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
-            data = bytes(payload)
-            w, h, nf = _decode_stub(data)
-            feature_norm = round(sum(data[:64]) / (64.0 * 255.0), 9)
-            rows.append((doc_id, "application/octet-stream", len(data), w, h, nf, feature_norm))
-        yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+        payloads = [bytes(p) for p in pdf["content"]]
+        decoded = np.array(
+            [_decode_stub(p) for p in payloads], dtype=np.int32
+        ).reshape(-1, 3)
+        prefix = np.frombuffer(
+            b"".join(p[:64].ljust(64, b"\0") for p in payloads), dtype=np.uint8
+        ).reshape(-1, 64)
+        feature_norm = np.round(
+            prefix.sum(axis=1, dtype=np.float64) / (64.0 * 255.0), 9
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "mime": "application/octet-stream",
+                "n_bytes": np.fromiter(
+                    (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+                ),
+                "width": decoded[:, 0],
+                "height": decoded[:, 1],
+                "n_frames": decoded[:, 2],
+                "feature_norm": feature_norm,
+            }
+        )
 
 
 @register(

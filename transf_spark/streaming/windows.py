@@ -94,7 +94,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
-                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_start
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -119,7 +119,9 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the server's per-session idle-expiry bookkeeping
     (`/root/reference/transf_server.cpp:78-131`). The oracle reconstructs
     sessions with a lag-gap + running-count window, proving
-    ``session_window``'s gap semantics (end = last event + gap)."""
+    ``session_window``'s gap semantics (end = last event + gap; the gap
+    predicate is ``>=`` — Spark's per-event ranges are half-open
+    ``[ts, ts+gap)``, so two events exactly gap apart do NOT merge)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
