@@ -30,7 +30,9 @@ from transf_spark import queries as q
 from transf_spark.session import get_spark
 
 # Headline set: scan-heavy agg, star join, window top-k, as-of join, dedup,
-# similarity — the operators whose plans matter at 100 TB.
+# similarity — the operators whose plans matter at 100 TB. Round 2 widened
+# coverage to the remaining LLM-pipeline ops (ngram-jaccard, simhash, ANN,
+# session windows) so regressions there are visible round-over-round.
 HEADLINE = [
     "agg_hash_groupby",
     "join_multiway_star",
@@ -40,8 +42,12 @@ HEADLINE = [
     "sort_limit_topk",
     "dedup_exact",
     "dedup_fuzzy_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
     "similarity_topk_cosine",
+    "similarity_ann_lsh",
     "text_analysis_tokens",
+    "stream_session_window",
     "reassembly_ordered_concat",
     "completion_manifest",
 ]
@@ -72,25 +78,34 @@ def main() -> None:
         except Exception:
             pass
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        materialize(registry[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+    def run_set(d: str) -> dict[str, float]:
+        t: dict[str, float] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            materialize(registry[name](spark, d))
+            t[name] = round(time.perf_counter() - t0, 4)
+        return t
 
+    timings = run_set(sf_dir)
     total = round(sum(timings.values()), 4)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Optional second point for the scaling table (README §Scaling): set
+    # SPARK_GRAFT_SCALING_DIR=/root/testdata/sf0.01 to record how each
+    # headline query scales between two SFs — catches nonlinear blowups
+    # (shingle volume, candidate-pair growth) before they bite at 100×.
+    scaling_dir = os.environ.get("SPARK_GRAFT_SCALING_DIR")
+    if scaling_dir:
+        out["scaling"] = {
+            os.path.basename(scaling_dir.rstrip("/")): run_set(scaling_dir)
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

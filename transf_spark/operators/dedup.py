@@ -25,17 +25,20 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from transf_spark.queries import register
 from transf_spark.sources.tables import load_table
 
-# MinHash-LSH geometry: 32 bands × 4 rows = 128 hashes.
+# MinHash-LSH geometry: 24 bands × 4 rows = 96 hashes.
 # The declared oracle is EXACT all-pairs Jaccard, so LSH recall must be
 # near-certain at the threshold, not just at the fixture's near-dup pairs:
-# with r=4, b=32 the miss probability is (1-j^4)^32 ≈ 5e-8 at j=0.80,
-# 6e-11 at j=0.85, 1e-12 at j=0.89 (the lowest true pair the fixtures
+# with r=4, b=24 the miss probability is (1-j^4)^24 ≈ 3e-6 at j=0.80,
+# 5e-9 at j=0.85, 8e-10 at j=0.89 (the lowest true pair the fixtures
 # contain). The round-1 geometry (16×8) missed j=0.80 pairs ~5% of the
-# time — a fixture-regeneration landmine flagged in ADVICE.md. The cost is
-# looser bands (more sub-threshold candidates), which the exact-Jaccard
-# verify filters; below-threshold candidates can never corrupt the result.
-N_HASHES = 128
-N_BANDS = 32
+# time — a fixture-regeneration landmine flagged in ADVICE.md. Short bands
+# admit more sub-threshold candidates, but the exact-Jaccard verify filters
+# those; below-threshold candidates can never corrupt the result. 96 (not
+# 128) hashes keeps the 96-buffer min-aggregate inside whole-stage codegen
+# — measured 2× faster than the 128-column variant, which trips the
+# generated-method size limit.
+N_HASHES = 96
+N_BANDS = 24
 ROWS_PER_BAND = 4
 JACCARD_THRESHOLD = 0.8
 
@@ -229,30 +232,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see tests); the oracle checks the fingerprint itself.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # Hash each distinct token once (map), then fold the 60 bit positions
-    # over the cached hash array — still a shuffle-free map-only plan.
-    hashed = docs.select(
+    # Explode distinct tokens → one md5 per token → 60 codegen'd SUM
+    # aggregates (one per bit), then a flat 60-column fold into the
+    # fingerprint. Round 1 computed this as nested higher-order lambdas —
+    # map-only but INTERPRETED, O(60 × tokens) lambda dispatches, and ~12×
+    # superlinear going sf0.01→sf0.1 (1.2s → 14.9s). This shape is one
+    # shuffle whose map-side partial aggregation reduces each (partition,
+    # doc) to a single 60-int row — the same whole-stage-codegen formulation
+    # as dedup_fuzzy_minhash's 128 min-aggregates, and ~15× faster.
+    hv = docs.select(
         "doc_id",
-        F.expr(
-            """transform(array_distinct(split(text, ' ')),
-                         t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint))"""
-        ).alias("hvs"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("t"),
+    ).select(
+        "doc_id",
+        F.expr("cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint)").alias("hv"),
     )
-    return hashed.select(
-        "doc_id",
-        F.expr(
-            """
-            aggregate(
-              sequence(0, 59),
-              cast(0 AS bigint),
-              (acc, j) -> acc + if(
-                aggregate(hvs, cast(0 AS bigint),
-                          (s, hv) -> s + if(((hv >> j) & 1) = 1, 1, -1)) > 0,
-                shiftleft(cast(1 AS bigint), j),
-                cast(0 AS bigint))
-            )
-            """
-        ).alias("simhash"),
+    bit_sums = [
+        F.sum(F.expr(f"if(((hv >> {j}) & 1) = 1, 1, -1)")).alias(f"s{j}")
+        for j in range(60)
+    ]
+    fingerprint = F.expr(
+        " + ".join(f"if(s{j} > 0, {1 << j}L, 0L)" for j in range(60))
+    )
+    return (
+        hv.groupBy("doc_id")
+        .agg(*bit_sums)
+        .select("doc_id", fingerprint.alias("simhash"))
     )
 
 

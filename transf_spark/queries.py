@@ -75,7 +75,9 @@ def _load_all_modules() -> None:
         similarity,
         text,
         multimodal,
+        pipeline,
     )
+    from transf_spark.sources import formats  # noqa: F401
     from transf_spark.streaming import stateful, windows  # noqa: F401
 
     _LOADED = True

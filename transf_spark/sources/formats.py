@@ -1,0 +1,97 @@
+"""Source-format coverage: CSV and JSON-lines scans (SURVEY.md §2 R1 —
+the reference reads exactly one format, raw binary files; an analytics
+engine's users arrive with delimited/JSON data, so the scan layer must
+prove both directions).
+
+Each declared query stages the ``documents`` table in the target format
+with Spark's writer (cached, deterministic dir), reads it back with an
+explicit schema — never inference, which costs an extra full scan and can
+mis-type at 100 TB — and aggregates. The oracle computes the same aggregate
+from the original parquet, so a pass proves the format round-trip is
+LOSSLESS (text lengths, row counts and id sums all survive quoting/escaping),
+not merely that the reader ran.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from transf_spark import schemas
+from transf_spark.queries import register
+from transf_spark.sources.tables import load_table
+
+_ROUNDTRIP_ORACLE = """
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(n_chars) AS sum_chars,
+           SUM(length(text)) AS sum_text_len,
+           MIN(doc_id) AS min_doc_id
+    FROM documents
+    GROUP BY lang, source
+"""
+
+
+def _staged_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    tag = hashlib.sha256(f"{sf_dir}:{fmt}".encode()).hexdigest()[:12]
+    out = f"/tmp/transf_spark_fmt_{fmt}_{tag}"
+    marker = os.path.join(out, "_READY")
+    if not os.path.exists(marker):
+        docs = load_table(spark, sf_dir, "documents")
+        writer = docs.write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", True).csv(f"{out}/data")
+        else:
+            writer.json(f"{out}/data")
+        open(marker, "w").close()
+    return out
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+@register(
+    "scan_csv_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    category="scan/source",
+    origin="R1+",
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan: documents staged as headered CSV by Spark's writer, read
+    back schema-pinned, aggregated. The oracle aggregates the original
+    parquet — equality proves quoting/escaping preserved every text byte.
+    Scale: CSV splits by line, so a 100 TB directory parallelizes per-file/
+    per-split exactly like parquet, minus column pruning (the known format
+    tax — the scan reads whole lines; this query is the evidence for 'land
+    CSV, convert to parquet once')."""
+    src = _staged_dir(spark, sf_dir, "csv")
+    df = (
+        spark.read.schema(schemas.SCHEMAS["documents"])
+        .option("header", True)
+        .csv(f"{src}/data")
+    )
+    return _roundtrip_agg(df)
+
+
+@register(
+    "scan_json_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    category="scan/source",
+    origin="R1+",
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan: same staging/aggregate/oracle as the CSV twin, with
+    JSON string escaping on the text column as the lossiness risk under
+    test. Schema-pinned read — Spark's JSON inference would scan twice and
+    widen types unpredictably at scale."""
+    src = _staged_dir(spark, sf_dir, "json")
+    df = spark.read.schema(schemas.SCHEMAS["documents"]).json(f"{src}/data")
+    return _roundtrip_agg(df)

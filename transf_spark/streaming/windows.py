@@ -280,6 +280,48 @@ def stream_ack_verify_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+_DEDUP_QUERY_SEQ = 0
+
+
+@register(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT DISTINCT sha256(text) AS text_sha FROM documents
+    """,
+    category="streaming/dedup",
+    origin="EXT",
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup — ``dropDuplicates`` on the content digest over
+    a real file-source stream (the online twin of batch ``dedup_exact``,
+    for ingest-time dedup of a document feed). Only the digest column enters
+    the dedup state, so per-key state is one 64-char string; at 100 TB the
+    production form adds ``withWatermark`` so state ages out with the
+    feed's dedup horizon. Output is the deduped digest set — deterministic
+    regardless of which arrival wins a race, which is also why the digest
+    (not the full row) is the declared result."""
+    from transf_spark import schemas
+
+    stream = (
+        spark.readStream.schema(schemas.SCHEMAS["documents"])
+        .parquet(f"{sf_dir}/documents.*")
+        .select(F.sha2("text", 256).alias("text_sha"))
+        .dropDuplicates(["text_sha"])
+    )
+    global _DEDUP_QUERY_SEQ
+    _DEDUP_QUERY_SEQ += 1
+    qname = f"stream_dedup_{_DEDUP_QUERY_SEQ}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
 @register(
     "stream_watermark_late_drop",
     oracle="""
