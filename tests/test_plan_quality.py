@@ -107,3 +107,32 @@ def test_embedding_dedup_has_no_nested_loop_join(spark):
     st = plan_stats(_q(spark, "dedup_embedding_cosine"))
     assert st.nested_loop_joins == 0
     assert st.broadcast_joins >= 2  # the tiny (bi, bj) pair table, per side
+
+
+def test_pack_sequences_is_single_exchange(spark):
+    """Window over (lang, shard) and the following (lang, shard, bin)
+    aggregate must share one hash partitioning — the aggregate's required
+    clustering is satisfied by the window's, so a second exchange would be
+    a planner regression."""
+    st = plan_stats(_q(spark, "docs_pack_sequences"))
+    assert st.exchanges == 1
+
+
+def test_pivot_heavy_aggregate_shuffles_once(spark):
+    """Pivot = (group, value) aggregate + tiny pivotfirst re-aggregate:
+    exactly the two exchanges, dims all broadcast. The first exchange is the
+    only one that sees fact-table volume."""
+    st = plan_stats(_q(spark, "agg_pivot"))
+    assert st.broadcast_joins >= 3
+    assert st.sort_merge_joins == 0
+    assert st.exchanges == 2
+
+
+def test_stratified_sample_prunes_columns(spark):
+    """The hash-sample filter is a pure map: exactly one scan reading only
+    the three output columns, zero exchanges."""
+    df = _q(spark, "sample_stratified")
+    st = plan_stats(df)
+    assert st.exchanges == 0
+    (cols,) = scan_columns(df)
+    assert cols == {"doc_id", "lang", "source"}

@@ -566,3 +566,171 @@ def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rich.intersect(furn).withColumn("op", F.lit("intersect")))
         .unionByName(rich.subtract(furn).withColumn("op", F.lit("except")))
     )
+
+
+@register(
+    "agg_pivot",
+    oracle=f"""
+    SELECT r_name,
+           {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", "sum_f")},
+           {sql_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END", "sum_o")},
+           {sql_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END", "sum_p")}
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    category="aggregation",
+    origin="EXT",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): order totals per region × status, statuses
+    as columns. ``pivot`` with an EXPLICIT value list — omitting it makes
+    Spark run a distinct-scan planning query first, a full extra pass at
+    100 TB. Spark plans this as a two-level aggregate: the heavy
+    (group, pivot-value) aggregate with map-side combine, then a pivotfirst
+    re-aggregate whose exchange carries one row per (group, value) —
+    negligible at any scale. The oracle states the equivalent conditional
+    aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(dec("o_totalprice")).cast("double"))
+        .withColumnsRenamed({"F": "sum_f", "O": "sum_o", "P": "sum_p"})
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(u.user_id, c.c_custkey) AS key_id,
+           COALESCE(u.n_events, 0) AS n_events,
+           CAST(COALESCE(u.sum_value, 0.0) AS DOUBLE) AS sum_value,
+           COALESCE(CAST(c.c_acctbal AS DOUBLE), 0.0) AS acctbal,
+           u.user_id IS NOT NULL AS has_events,
+           c.c_custkey IS NOT NULL AS has_account
+    FROM (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY user_id
+    ) u
+    FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey >= 5) c
+      ON u.user_id = c.c_custkey
+    """,
+    category="join",
+    origin="EXT",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — per-user event stats vs account records, with
+    unmatched rows surviving on BOTH sides (users < 5 have events but no
+    account row; customers ≥ 15 have accounts but no events). Nulls are
+    coalesced in the output so the result is canonicalizer-friendly; the
+    match flags carry the outer-join information. At 100 TB a full outer
+    join cannot broadcast (both sides must keep unmatched rows) — it
+    shuffles both sides on the key, which is the plan here."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") >= 5)
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
+    j = u.join(cust, u.user_id == cust.c_custkey, "full_outer")
+    return j.select(
+        F.coalesce("user_id", "c_custkey").alias("key_id"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        F.coalesce(F.col("c_acctbal").cast("double"), F.lit(0.0)).alias("acctbal"),
+        F.col("user_id").isNotNull().alias("has_events"),
+        F.col("c_custkey").isNotNull().alias("has_account"),
+    )
+
+
+@register(
+    "window_percentile_suite",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    category="window",
+    origin="EXT",
+)
+def window_percentile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window suite: quartile bucket, percent_rank and
+    cume_dist of each order's price within its priority class. The ordering
+    includes o_orderkey as a unique tiebreaker — ntile assigns by row
+    position, so without it the bucket of tied prices is engine/partition
+    dependent. percent_rank/cume_dist are exact divisions of row counts:
+    bit-identical on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS median,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category="aggregation",
+    origin="EXT",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (linear interpolation — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the (n-1)·p
+    definition, so results hash-match). Exact percentile is a
+    sort-per-group aggregate — fine per group here; at 100 TB the
+    scale path is ``approx_percentile`` (t-digest style sketch, map-side
+    combinable), declared separately as a rows-only sketch like
+    ``agg_approx_distinct``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25D)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.50D)").alias("median"),
+        F.expr("percentile(l_quantity, 0.75D)").alias("q75"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_approx_percentile",
+    oracle=None,  # sketch-based by design — rows-only; exact twin is agg_percentiles
+    category="aggregation (sketch)",
+    origin="EXT",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) — the 100 TB scale
+    path for ``agg_percentiles``: map-side-combinable sketch, no per-group
+    sort, bounded memory at any cardinality. Accuracy 1/10000; the exact
+    twin is the oracle-checked ``agg_percentiles``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, array(0.25D, 0.5D, 0.75D), 10000)")
+        .cast("array<double>")
+        .getItem(0)
+        .alias("q25_approx"),
+        F.expr("approx_percentile(l_quantity, 0.5D, 10000)").alias("median_approx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
