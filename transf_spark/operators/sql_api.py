@@ -1,0 +1,106 @@
+"""SQL-facing API surface: declared queries expressed as ``spark.sql`` text
+over registered views (SURVEY.md §1.5 — the engine exposes BOTH the
+DataFrame API and plain SQL; ``cli.py repl`` is the interactive form, these
+are the graded form).
+
+Catalyst compiles SQL text and DataFrame calls to the same logical plans,
+so these also pin that parity: the physical shapes (broadcasts, single
+shuffles) asserted for the DataFrame queries hold here too. The oracle SQL
+is deliberately near-identical text — the dialect differences (decimal
+casts, date literals) are the honest part of the exercise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from transf_spark.functions.exprs import SQL_DISC_PRICE, sql_dsum_raw
+from transf_spark.queries import register
+from transf_spark.sources.tables import register_views
+
+_Q3_CUTOFF = "TIMESTAMP '1998-01-01 00:00:00'"
+
+
+@register(
+    "sql_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum_raw(SQL_DISC_PRICE, "revenue")},
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < {_Q3_CUTOFF}
+      AND l_shipdate > {_Q3_CUTOFF}
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    category="sql-api",
+    origin="EXT",
+)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape through the SQL entry point: top-10 pending-shipment
+    orders by decimal-exact revenue. Plan shape: customer broadcasts into
+    orders, one shuffle join to lineitem, single aggregate, then TakeOrdered
+    (limit pushed into the sort — no global sort materializes). The ORDER BY
+    carries a unique l_orderkey tiebreak so the LIMIT cut is deterministic
+    on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+               o_orderdate
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < {_Q3_CUTOFF}
+          AND l_shipdate > {_Q3_CUTOFF}
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+@register(
+    "sql_exists_late_orders",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    category="sql-api",
+    origin="EXT",
+)
+def sql_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS through the SQL entry point —
+    Catalyst rewrites the subquery to a left-semi join on l_orderkey, the
+    shape asserted for ``join_left_semi_anti``. Counts 1996 orders with at
+    least one lineitem shipped >60 days after ordering, per priority."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        """
+    )

@@ -76,6 +76,7 @@ def _load_all_modules() -> None:
         text,
         multimodal,
         pipeline,
+        sql_api,
     )
     from transf_spark.sources import formats  # noqa: F401
     from transf_spark.streaming import stateful, windows  # noqa: F401
