@@ -136,3 +136,12 @@ def test_stratified_sample_prunes_columns(spark):
     assert st.exchanges == 0
     (cols,) = scan_columns(df)
     assert cols == {"doc_id", "lang", "source"}
+
+
+def test_sql_exists_rewrites_to_semi_join(spark):
+    """Catalyst must rewrite the correlated EXISTS to a (left) semi join —
+    a correlated per-row subquery execution would be catastrophic at scale."""
+    from transf_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(_q(spark, "sql_exists_late_orders"))
+    assert "LeftSemi" in plan, plan

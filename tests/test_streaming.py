@@ -119,3 +119,21 @@ def test_stateful_reassembly_multibatch_equals_single(spark):
         run_stateful_reassembly(spark, SF, n_files=4, timeout_conf=GroupStateTimeout.NoTimeout),
         ["transfer_id", "status", "filesize", "written"])
     assert single == multi
+
+
+def test_stateful_reassembly_multibatch_with_timeouts_no_resurrection(spark):
+    """Terminal-state tombstones (round-2 fix): with ProcessingTimeTimeout
+    armed AND the protocol split across micro-batches, straggler/duplicate
+    chunks arriving after a session completes must NOT resurrect its key —
+    resurrection shows up as spurious filesize-0 'expired' rows and
+    double-reported transfer_ids."""
+    out = run_stateful_reassembly(spark, SF, n_files=3)
+    rows = out.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["transfer_id"], []).append(r["status"])
+    dupes = {k: v for k, v in by_id.items() if len(v) > 1}
+    assert not dupes, f"transfer_ids reported more than once: {dupes}"
+    ghosts = [r for r in rows if r["status"] == "expired" and r["filesize"] == 0]
+    assert not ghosts, f"spurious expired rows from resurrected keys: {ghosts[:5]}"
+    assert sum(1 for r in rows if r["status"] == "done") > 100

@@ -179,29 +179,39 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
         .distinct()
     )
-    # Exact-Jaccard verify on the LSH candidates, computed over the distinct
-    # 64-bit shingle-hash sets: joins/aggregates on long keys stay inside
-    # whole-stage codegen, unlike interpreted array_intersect over string
-    # arrays. P(a 64-bit collision perturbs any Jaccard here) ≲ 1e-8.
-    from pyspark.sql import Window as W
-
-    eh = hashed.distinct()
-    # set size carried along via window (one subtree per join side instead of
-    # separate size-aggregate joins — 2× fewer recomputations of `hashed`)
-    ehn = eh.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
-    common = (
-        cand.join(ehn.withColumnsRenamed({"doc_id": "doc_id_a", "n": "na"}), "doc_id_a")
-        .join(ehn.withColumnsRenamed({"doc_id": "doc_id_b", "n": "nb"}), ["doc_id_b", "h"])
+    # Exact-Jaccard verify on the LSH candidates. The shingle corpus is
+    # traversed exactly ONCE for the verify: each doc's distinct hash set is
+    # collected per doc_id (one shuffle, map-side partial), the tiny
+    # candidate-pair list is melted to (pair, role, doc_id) rows and
+    # BROADCAST into that single pass, and the pair's two sets meet in a
+    # ~|cand|-row aggregate where array_intersect computes |A∩B|. (Round 1
+    # joined the corpus twice through per-doc count windows — two extra
+    # full shuffles + sorts of every shingle.) P(a 64-bit collision perturbs
+    # any Jaccard here) ≲ 1e-8; interpreted array_intersect touches only
+    # candidate rows, never the corpus.
+    melt = cand.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id_a").alias("doc_id"), F.lit(0).alias("role")),
+                F.struct(F.col("doc_id_b").alias("doc_id"), F.lit(1).alias("role")),
+            )
+        ).alias("m"),
+    ).select("doc_id_a", "doc_id_b", F.col("m.doc_id").alias("doc_id"), F.col("m.role").alias("role"))
+    sets = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
+    pair_sets = (
+        sets.join(F.broadcast(melt), "doc_id")
         .groupBy("doc_id_a", "doc_id_b")
         .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
+            F.first(F.when(F.col("role") == 0, F.col("hs")), ignorenulls=True).alias("hs_a"),
+            F.first(F.when(F.col("role") == 1, F.col("hs")), ignorenulls=True).alias("hs_b"),
         )
     )
-    jaccard = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    jaccard = inter.cast("double") / (F.size("hs_a") + F.size("hs_b") - inter)
     return (
-        common.select("doc_id_a", "doc_id_b", jaccard.alias("jaccard"))
+        pair_sets.select("doc_id_a", "doc_id_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
