@@ -137,3 +137,77 @@ def test_stateful_reassembly_multibatch_with_timeouts_no_resurrection(spark):
     ghosts = [r for r in rows if r["status"] == "expired" and r["filesize"] == 0]
     assert not ghosts, f"spurious expired rows from resurrected keys: {ghosts[:5]}"
     assert sum(1 for r in rows if r["status"] == "done") > 100
+
+
+def _windowed_twin(spark, agg_builder, table_name, cols, batch_df, end_col):
+    """Run a windowed readStream twin to completion and return (stream rows,
+    batch rows filtered to windows the final watermark closed — append mode
+    only emits a window once the watermark passes ``end_col``)."""
+    from transf_spark.sources.tables import load_table
+
+    stream = agg_builder(
+        spark.readStream.schema(schemas.EVENTS_RAW)
+        .parquet(f"{SF}/events.*")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 minute")
+    )
+    q = (
+        stream.writeStream.format("memory").queryName(table_name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = _rows(spark.table(table_name), cols)
+    ev = load_table(spark, SF, "events")
+    final_wm = ev.agg((F.max("ts") - F.expr("INTERVAL 1 MINUTE")).alias("wm")).collect()[0]["wm"]
+    want = _rows(batch_df.filter(F.col(end_col) <= F.lit(final_wm)), cols)
+    return got, want
+
+
+def test_sliding_window_stream_equals_batch(spark):
+    from transf_spark.streaming.windows import stream_sliding_window
+
+    def build(src):
+        return (
+            src.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"))
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+                F.col("w.end").cast("timestamp_ntz").alias("win_end"),
+                "n_events", "sum_value",
+            )
+        )
+
+    got, want = _windowed_twin(
+        spark, build, "sliding_twin",
+        ["win_start", "win_end", "n_events", "sum_value"],
+        stream_sliding_window(spark, SF),
+        end_col="win_end",
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_session_window_stream_equals_batch(spark):
+    from transf_spark.streaming.windows import stream_session_window
+
+    def build(src):
+        return (
+            src.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+                F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    got, want = _windowed_twin(
+        spark, build, "session_twin",
+        ["user_id", "session_start", "session_end", "n_events"],
+        stream_session_window(spark, SF),
+        end_col="session_end",
+    )
+    assert got == want
+    assert len(got) > 0
