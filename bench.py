@@ -47,6 +47,11 @@ HEADLINE = [
     "similarity_topk_cosine",
     "similarity_ann_lsh",
     "text_analysis_tokens",
+    "text_repetition_filter",
+    "sample_stratified",
+    "docs_pack_sequences",
+    "agg_pivot",
+    "sql_shipping_priority",
     "stream_session_window",
     "reassembly_ordered_concat",
     "completion_manifest",
