@@ -30,3 +30,32 @@ def test_media_features_deterministic(spark):
     a = sorted(map(tuple, multimodal_media_features(spark, SF).collect()))
     b = sorted(map(tuple, multimodal_media_features(spark, SF).collect()))
     assert a == b
+
+
+def test_frame_sample_expansion_matches_stub_decode(spark):
+    """Every doc yields ceil(n_frames / stride) rows with stride-spaced
+    indices and offsets consistent with the stub decode."""
+    from transf_spark.operators.multimodal import (
+        FRAME_STRIDE,
+        THUMB_MAX,
+        multimodal_frame_sample,
+    )
+
+    rows = multimodal_frame_sample(spark, SF).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    assert len(by_doc) == len(docs)
+    for d in docs:
+        data = d["text"].encode("utf-8")
+        w, h, n_frames = _decode_stub(data)
+        got = sorted(by_doc[d["doc_id"]], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in got] == list(range(0, n_frames, FRAME_STRIDE))
+        frame_bytes = max(1, len(data) // max(1, n_frames))
+        scale = THUMB_MAX / max(w, h)
+        for r in got:
+            assert r["frame_offset"] == r["frame_idx"] * frame_bytes
+            assert r["thumb_w"] == max(1, int(w * scale))
+            assert r["thumb_h"] == max(1, int(h * scale))
+            assert max(r["thumb_w"], r["thumb_h"]) <= THUMB_MAX

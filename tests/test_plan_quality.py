@@ -78,7 +78,7 @@ def test_flagship_agg_runs_in_whole_stage_codegen(spark):
 
 
 def test_minhash_signature_stays_in_codegen(spark):
-    """The 128-column signature aggregate must not fall out of codegen
+    """The 96-column signature aggregate must not fall out of codegen
     (guarded by spark.sql.codegen.maxFields=256 in session conf)."""
     st = plan_stats(_q(spark, "dedup_fuzzy_minhash"), final=True)
     assert st.codegen_spans >= 1

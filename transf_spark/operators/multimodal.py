@@ -149,3 +149,69 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.col("text").cast("binary").alias("content"))
     return payloads.mapInPandas(_extract_batches, schema=MEDIA_SCHEMA)
+
+
+# ---- frame sampling (video-style 1→N expansion) ---------------------------
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+    ]
+)
+
+FRAME_STRIDE = 5  # sample every 5th frame
+THUMB_MAX = 128  # longest thumbnail edge after resize
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker with 1→N row expansion: each payload yields one
+    row per sampled frame (stride FRAME_STRIDE over the stub-decoded frame
+    count), with the aspect-preserving thumbnail dimensions a real resize
+    would produce. Expansion happens inside the Arrow batch — the output
+    row count is data-dependent, which is exactly what mapInPandas (unlike
+    a scalar pandas_udf) supports."""
+    for pdf in batches:
+        out_doc, out_idx, out_off, out_w, out_h = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+            data = bytes(payload)
+            w, h, n_frames = _decode_stub(data)
+            frame_bytes = max(1, len(data) // max(1, n_frames))
+            scale = THUMB_MAX / max(w, h)
+            tw, th = max(1, int(w * scale)), max(1, int(h * scale))
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                out_doc.append(doc_id)
+                out_idx.append(idx)
+                out_off.append(idx * frame_bytes)
+                out_w.append(tw)
+                out_h.append(th)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int32"),
+                "frame_offset": pd.Series(out_off, dtype="int64"),
+                "thumb_w": pd.Series(out_w, dtype="int32"),
+                "thumb_h": pd.Series(out_h, dtype="int32"),
+            }
+        )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,  # stubbed decode — rows-only (determinism + shape in tests)
+    category="multimodal",
+    origin="EXT",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling + resize metadata: binary payload →
+    ``mapInPandas`` → one row per sampled frame (stride 5) with byte offset
+    and aspect-preserving 128px-max thumbnail dims. The Spark-side contract
+    being exercised is 1→N expansion inside an Arrow batch — the shape a
+    real ffmpeg keyframe sampler plugs into unchanged (swap ``_decode_stub``
+    for the demuxer). Pure map stage: no shuffle, scales with input bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.col("text").cast("binary").alias("content"))
+    return payloads.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)

@@ -32,7 +32,7 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Wide aggregates (e.g. the 128-column MinHash signature) fall out of
+    # Wide aggregates (e.g. the 96-column MinHash signature) fall out of
     # whole-stage codegen at the default 100-field cap.
     "spark.sql.codegen.maxFields": "256",
     # ANSI off: mirror permissive reference semantics (clamps, not errors).
