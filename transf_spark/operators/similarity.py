@@ -134,12 +134,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") / n_blocks).cast("int").alias("bi"),
         F.pmod(F.col("id"), F.lit(n_blocks)).cast("int").alias("bj"),
     )
+    # One partition per block-pair tile, pinned with an explicit repartition:
+    # AQE coalesces post-shuffle partitions by BYTE size, but each tile row
+    # fans out into |block|² cosine evaluations — letting AQE fold 64 tiles
+    # into 5 partitions serializes the quadratic compute (measured 4× slower
+    # at sf0.1). User-specified repartitioning is exempt from coalescing.
+    n_tiles = n_blocks * n_blocks
     a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"), "blk").join(
         F.broadcast(block_pairs), F.col("blk") == F.col("bi")
-    ).select("pair_id", "vec_id_a", "va")
+    ).select("pair_id", "vec_id_a", "va").repartition(n_tiles, "pair_id")
     b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"), "blk").join(
         F.broadcast(block_pairs), F.col("blk") == F.col("bj")
-    ).select("pair_id", "vec_id_b", "vb")
+    ).select("pair_id", "vec_id_b", "vb").repartition(n_tiles, "pair_id")
     cand = a.join(b, "pair_id").filter(F.col("vec_id_a") < F.col("vec_id_b"))
     cos = F.expr(_COS.format(a="va", b="vb"))
     return cand.select("vec_id_a", "vec_id_b", cos.alias("cosine")).filter(
