@@ -1,0 +1,134 @@
+"""Near-duplicate cluster formation (north-star extension).
+
+``dedup_fuzzy_minhash`` emits near-dup *pairs*; a real dedup pipeline needs
+the transitive closure of those pairs — connected components — so each
+group of mutual near-dups keeps exactly one canonical document. This module
+adds that step as a declared, oracle-checked query:
+
+- ``dedup_cluster_cc`` — every document labeled with its component's
+  minimum doc_id (singletons label themselves) plus the component size.
+
+Spark-first formulation: iterative min-label propagation with pointer
+jumping (each round a node adopts the min label over itself and its
+neighbors, then labels are collapsed through the label table itself —
+``label := label[label]``). Pointer jumping makes convergence O(log
+diameter) rounds instead of O(diameter), the standard Spark/MapReduce CC
+move (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+the large-star/small-star family; min-label + pointer jumping is its
+simplest member and enough here because near-dup components are shallow).
+Each round is two shuffles over the (tiny relative to corpus) edge set;
+``localCheckpoint`` truncates lineage so round N's plan doesn't replay
+rounds 1..N-1. At 100 TB the edge set is the minhash candidate output —
+orders of magnitude smaller than the corpus — so the loop runs on a
+fraction of the data the pair-finder already shuffled.
+
+The oracle recomputes components in DuckDB with a recursive CTE over the
+brute-force exact-Jaccard pair set (same pair semantics the minhash oracle
+uses; LSH recall at the 24×4 geometry makes Spark's pair set exact with
+probability ≳ 1-3e-6 per pair at the 0.8 threshold — see dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from transf_spark.operators.dedup import (
+    _SHINGLES_SQL,
+    JACCARD_THRESHOLD,
+    dedup_fuzzy_minhash,
+)
+from transf_spark.queries import register
+from transf_spark.sources.tables import load_table
+
+_MAX_ROUNDS = 16  # pointer jumping: 2^16 ≫ any real component diameter
+
+
+def _connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(node, label) — label = min node id in the connected component.
+
+    ``nodes``: one column ``node``; ``edges``: columns ``src``, ``dst``
+    (undirected; symmetry is established here).
+    """
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    lab = nodes.select(F.col("node"), F.col("node").alias("label"))
+    for _ in range(_MAX_ROUNDS):
+        # Min over self + neighborhood labels.
+        nbr = sym.join(
+            lab.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        new = (
+            lab.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        # Pointer jump: collapse label chains through the label table itself
+        # (every label IS a node id, so the self-join always resolves).
+        jump = new.select(
+            F.col("node").alias("label"), F.col("label").alias("label2")
+        )
+        new = new.join(jump, "label", "left").select(
+            "node", F.coalesce("label2", "label").alias("label")
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(lab.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            return lab
+    raise RuntimeError(f"connected components did not converge in {_MAX_ROUNDS} rounds")
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+            >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ),
+    reach (node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    lab AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM lab
+    """,
+    category="dedup/clustering",
+    origin="EXT",
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the minhash pair graph.
+
+    Every document appears exactly once; ``cluster_id`` is the minimum
+    doc_id reachable through near-dup pairs (singleton docs label
+    themselves), ``cluster_size`` the component population — the keep-one-
+    per-cluster decision is then ``doc_id == cluster_id``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_fuzzy_minhash(spark, sf_dir).select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    lab = _connected_components(nodes, pairs)
+    sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return lab.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )

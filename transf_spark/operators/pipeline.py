@@ -9,6 +9,8 @@ quality scoring (text.py):
 - ``docs_pack_sequences``   — token-budget sequence packing (cumsum bins)
 - ``text_denylist_scrub``   — dictionary scrub with redaction counts
 - ``text_domain_cap``       — per-source document cap (crawl anti-bias)
+- ``text_decontaminate``    — eval-set n-gram overlap flagging (round 2)
+- ``text_pii_redact``       — email/IPv4 regex redaction with counts (round 2)
 
 All five are pure JVM expressions (no Python in the hot path) and every one
 is oracle-checked against DuckDB.  Hash-based sampling uses md5 (portable
@@ -35,6 +37,14 @@ _DENY_RE = r"\b(customer|vector|secret)\b"
 
 DOMAIN_CAP = 20  # max docs kept per source
 
+DECON_N = 5  # n-gram length for eval-overlap decontamination
+DECON_HOLDOUT_MOD = 20  # doc_id % 20 == 0 plays the held-out eval set
+
+# PII patterns — simple-feature regexes (char classes + bounded repeats,
+# no lookaround) so Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}"
+_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
 
 def _sample_case_sql() -> str:
     arms = " ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_PCT.items())
@@ -46,7 +56,7 @@ def _sample_case_sql() -> str:
     oracle=f"""
     SELECT doc_id, lang, source
     FROM documents
-    WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+    WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT) % 100
           < {_sample_case_sql()}
     """,
     category="pipeline/sampling",
@@ -239,4 +249,134 @@ def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source")
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= DOMAIN_CAP)
+    )
+
+
+_DECON_GRAM_SQL = (
+    "w[i]"
+    + "".join(f" || ' ' || w[i+{k}]" for k in range(1, DECON_N))
+)
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct([{_DECON_GRAM_SQL}
+                     for i in generate_series(1, len(w) - {DECON_N - 1})])) AS s
+      FROM ws WHERE len(w) >= {DECON_N}
+    ),
+    ev AS (SELECT DISTINCT s FROM g WHERE doc_id % {DECON_HOLDOUT_MOD} = 0)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM g JOIN ev USING (s)
+    WHERE doc_id % {DECON_HOLDOUT_MOD} <> 0
+    GROUP BY doc_id
+    """,
+    category="pipeline/decontamination",
+    origin="EXT",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination: flag training documents sharing any
+    word {DECON_N}-gram with the held-out eval split (doc_id % {MOD} == 0
+    plays the eval set; a real pipeline feeds its benchmark suites here).
+
+    Plan: one split per document, {DECON_N}-grams hashed INSIDE the
+    transform lambda (same trick as dedup.py's shingles — no intermediate
+    string materialized), distinct per doc, then an equi-join keyed on the
+    64-bit gram hash. The join key is high-cardinality so the shuffle
+    spreads evenly; at 100 TB the eval side is benchmark-sized (thousands
+    of docs), so Spark broadcast-hashes it and the whole check degenerates
+    to a map-side filter over the corpus — the only shape that scales.
+    Gram-hash equality stands in for string equality modulo 64-bit
+    collisions (P ≲ 1e-8 corpus-wide), the same trade dedup_ngram_jaccard
+    makes."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ", ".join(f"w[i+{k - 1}]" for k in range(DECON_N))
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= DECON_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {DECON_N - 1}),"
+                    f" i -> xxhash64({terms}))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    ev = (
+        grams.filter(F.col("doc_id") % DECON_HOLDOUT_MOD == 0)
+        .select("h")
+        .distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % DECON_HOLDOUT_MOD != 0)
+        .join(ev, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+# Deterministic PII injection shared by the Spark plan and the oracle: the
+# fixture corpus is letters-only (no '@', no digits — verified), so the op
+# plants synthetic contact lines on every third document and the redaction
+# machinery (the thing under test) must find exactly those.
+_PII_ENRICH_SQL = """
+  CASE WHEN doc_id % 3 = 0 THEN
+    text || ' contact user' || CAST(doc_id AS STRING) || '@' || source
+         || '.example.com from 10.' || CAST(doc_id % 256 AS STRING)
+         || '.0.' || CAST((doc_id {div} 256) % 256 AS STRING)
+  ELSE text END
+"""
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id, {_PII_ENRICH_SQL.format(div="//")} AS t FROM documents
+    ),
+    red AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(t, '{_IPV4_RE}')) AS BIGINT) AS n_ips,
+             regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_IPV4_RE}', '<IP>', 'g') AS rt
+      FROM enriched
+    )
+    SELECT doc_id, n_emails, n_ips,
+           sha256(rt) AS redacted_sha, length(rt) AS redacted_len
+    FROM red
+    """,
+    category="pipeline/scrub",
+    origin="EXT",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: find-and-replace emails and IPv4 addresses, emitting
+    match counts plus a digest of the rewritten text so the oracle verifies
+    the actual rewrite byte-for-byte (not just the counts).
+
+    Single map stage — two ``regexp_count`` + two nested ``regexp_replace``
+    per row, no shuffle, trivially linear at 100 TB. Patterns use only
+    character classes and bounded repeats so Java regex and RE2 produce
+    identical matches. The synthetic-injection preamble exists because the
+    fixture corpus contains no PII-shaped bytes at all; a production run
+    drops the CASE and scans raw text with the same two patterns."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id", F.expr(_PII_ENRICH_SQL.format(div="div")).alias("t")
+    )
+    rt = F.regexp_replace(
+        F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>"
+    )
+    return enriched.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("t", F.lit(_IPV4_RE)).cast("long").alias("n_ips"),
+        F.sha2(rt, 256).alias("redacted_sha"),
+        F.length(rt).alias("redacted_len"),
     )

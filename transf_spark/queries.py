@@ -77,6 +77,7 @@ def _load_all_modules() -> None:
         multimodal,
         pipeline,
         sql_api,
+        clustering,
     )
     from transf_spark.sources import formats  # noqa: F401
     from transf_spark.streaming import stateful, windows  # noqa: F401
