@@ -70,7 +70,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("transf_spark_bench")
     registry = q.queries()
-    names = [n for n in HEADLINE if n in registry]
+    # SPARK_GRAFT_HEADLINE="a,b,c" restricts the run — used to re-time a
+    # subset in isolation (round-2 bench drift triage: a 21-query session
+    # slows individual queries vs a 12-query session through JVM/GC contention,
+    # so cross-round comparisons must be same-subset).
+    subset = os.environ.get("SPARK_GRAFT_HEADLINE")
+    headline = [s.strip() for s in subset.split(",") if s.strip()] if subset else HEADLINE
+    names = [n for n in headline if n in registry]
 
     # Warmup: spin up JVM, codegen paths (parquet reader, decimal agg, joins,
     # windows) at sf0.001 so timed runs measure steady-state execution, not

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from transf_spark import schemas
 from transf_spark.operators.transfer import completion_manifest, filter_path_security
+from transf_spark.sources.tables import ts_micros_col
 from transf_spark.streaming.stateful import run_stateful_reassembly
 from transf_spark.streaming.windows import stream_tumbling_window
 
@@ -27,7 +28,7 @@ def test_tumbling_window_stream_equals_batch(spark):
         .parquet(f"{SF}/events.*")  # glob: FileStreamSource rejects an exact file path
         # watermark requires TIMESTAMP (not NTZ); session tz is pinned UTC so
         # the final cast of window bounds to NTZ matches the batch plan
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", ts_micros_col(SF))
         .withWatermark("ts", "1 minute")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
@@ -61,8 +62,14 @@ def test_tumbling_window_stream_equals_batch(spark):
 def test_stateful_reassembly_matches_batch_manifest(spark):
     """Streaming 'done' set == batch manifest 'done' set minus transfers
     whose handshake the security filter rejects (the stream enforces R6
-    before accepting chunks; the batch manifest does not model it)."""
-    stream_out = run_stateful_reassembly(spark, SF, n_files=1)
+    before accepting chunks; the batch manifest does not model it).
+
+    Uses the declared (NoTimeout + AvailableNow) path — done/rejected sets
+    are timeout-independent; expiry semantics are covered by the
+    ProcessingTimeTimeout tests below."""
+    from transf_spark.streaming.stateful import stream_stateful_reassembly
+
+    stream_out = stream_stateful_reassembly(spark, SF)
     done_stream = {
         (r["transfer_id"], r["filesize"], r["written"])
         for r in stream_out.filter(F.col("status") == "done").collect()
@@ -139,6 +146,25 @@ def test_stateful_reassembly_multibatch_with_timeouts_no_resurrection(spark):
     assert sum(1 for r in rows if r["status"] == "done") > 100
 
 
+def test_stateful_reassembly_repeat_stability(spark):
+    """Round-2 flake regression gate: the declared query errored once under a
+    busy shared session (StreamingQueryException in the memory sink after the
+    polling deadline). The declared path is now self-terminating; repeated
+    invocations in the same (already heavily used) session must return the
+    identical manifest every time."""
+    from transf_spark.streaming.stateful import stream_stateful_reassembly
+
+    baseline = _rows(
+        stream_stateful_reassembly(spark, SF),
+        ["transfer_id", "status", "filesize", "written"])
+    assert len(baseline) > 100
+    for _ in range(4):
+        again = _rows(
+            stream_stateful_reassembly(spark, SF),
+            ["transfer_id", "status", "filesize", "written"])
+        assert again == baseline
+
+
 def _windowed_twin(spark, agg_builder, table_name, cols, batch_df, end_col):
     """Run a windowed readStream twin to completion and return (stream rows,
     batch rows filtered to windows the final watermark closed — append mode
@@ -148,7 +174,7 @@ def _windowed_twin(spark, agg_builder, table_name, cols, batch_df, end_col):
     stream = agg_builder(
         spark.readStream.schema(schemas.EVENTS_RAW)
         .parquet(f"{SF}/events.*")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", ts_micros_col(SF))
         .withWatermark("ts", "1 minute")
     )
     q = (

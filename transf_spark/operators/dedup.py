@@ -200,8 +200,12 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m"),
     ).select("doc_id_a", "doc_id_b", F.col("m.doc_id").alias("doc_id"), F.col("m.role").alias("role"))
     sets = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
+    # No forced broadcast on the candidate melt: its size is data-dependent
+    # (a dup-heavy 100 TB corpus can produce a candidate set that would OOM a
+    # forced broadcast), so AQE picks broadcast-vs-shuffle from the measured
+    # runtime size — small candidate sets still get the broadcast plan.
     pair_sets = (
-        sets.join(F.broadcast(melt), "doc_id")
+        sets.join(melt, "doc_id")
         .groupBy("doc_id_a", "doc_id_b")
         .agg(
             F.first(F.when(F.col("role") == 0, F.col("hs")), ignorenulls=True).alias("hs_a"),

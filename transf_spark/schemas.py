@@ -7,11 +7,12 @@ every ``spark.read`` gets an explicit ``StructType``; ``inferSchema`` is never
 used.  Pinning also keeps the parquet scans stable under schema evolution and
 lets Catalyst prune columns against a known shape.
 
-``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
-``spark.sql.legacy.parquet.nanosAsLong=true`` it surfaces as a raw int64
-nanosecond count (column ``ts`` below is LongType at scan, normalized to a
-microsecond-truncated TIMESTAMP_NTZ by sources/tables.py to match the DuckDB
-oracle's read of the same file).
+``events.ts`` is stored as parquet TIMESTAMP(NANOS) or TIMESTAMP(MICROS)
+depending on the fixture generation (the driver has shipped both); with
+``spark.sql.legacy.parquet.nanosAsLong=true`` either surfaces as a raw int64
+count (column ``ts`` below is LongType at scan). sources/tables.py detects
+the unit from the parquet footer and normalizes to a microsecond
+TIMESTAMP_NTZ matching the DuckDB oracle's read of the same file.
 """
 
 from __future__ import annotations
@@ -103,8 +104,8 @@ LINEITEM = T.StructType(
     ]
 )
 
-# At-scan schema (ts = int64 nanos via nanosAsLong); canonical post-load shape
-# replaces ts with TIMESTAMP_NTZ micros.
+# At-scan schema (ts = raw int64 count via nanosAsLong — unit detected from
+# the footer); canonical post-load shape replaces ts with TIMESTAMP_NTZ micros.
 EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

@@ -14,13 +14,13 @@ not merely that the reader ran.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from transf_spark import schemas
 from transf_spark.queries import register
+from transf_spark.sources import tables
 from transf_spark.sources.tables import load_table
 
 _ROUNDTRIP_ORACLE = """
@@ -35,7 +35,9 @@ _ROUNDTRIP_ORACLE = """
 
 
 def _staged_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
-    tag = hashlib.sha256(f"{sf_dir}:{fmt}".encode()).hexdigest()[:12]
+    # content-fingerprinted tag (source parquet mtime+size): regenerating the
+    # fixture in place invalidates the staged copy (round-2 ADVICE)
+    tag = tables.staging_tag(sf_dir, "documents", extra=fmt)
     out = f"/tmp/transf_spark_fmt_{fmt}_{tag}"
     marker = os.path.join(out, "_READY")
     if not os.path.exists(marker):

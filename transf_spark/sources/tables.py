@@ -27,27 +27,76 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def staging_tag(sf_dir: str, *tables: str, extra: str = "") -> str:
+    """Cache tag for /tmp staging dirs derived from fixture tables.
+
+    Includes each source parquet's (mtime_ns, size) so regenerating fixtures
+    in place invalidates the staged copy instead of silently replaying stale
+    data against a fresh oracle (round-2 ADVICE). The tag is content-derived,
+    so distinct fixtures can't collide on a predictable path either.
+    """
+    import hashlib
+
+    parts = [sf_dir, extra]
+    for name in tables:
+        p = table_path(sf_dir, name)
+        st = os.stat(p)
+        parts.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
+# events.ts parquet time-unit per file path — the driver's generator has
+# shipped this column as both TIMESTAMP(NANOS) (rounds 1-2) and
+# TIMESTAMP(MICROS) (round 3); assuming one of them silently shifts every
+# timestamp by 1000× when the fixture changes, so the unit is detected from
+# the parquet footer (one cheap driver-side metadata read, cached by
+# (path, mtime) so a regenerated fixture re-detects).
+_TS_UNIT_CACHE: dict[tuple[str, int], str] = {}
+
+
+def events_ts_unit(sf_dir: str) -> str:
+    """'ns' or 'us' — the physical unit of events.ts in this fixture."""
+    path = table_path(sf_dir, "events")
+    key = (path, os.stat(path).st_mtime_ns)
+    if key not in _TS_UNIT_CACHE:
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(path).field("ts").type
+        unit = getattr(t, "unit", "ns")
+        if unit not in ("ns", "us"):
+            raise ValueError(f"unsupported events.ts unit {unit!r} in {path}")
+        _TS_UNIT_CACHE[key] = unit
+    return _TS_UNIT_CACHE[key]
+
+
+def ts_micros_col(sf_dir: str, col: str = "ts") -> F.Column:
+    """Raw int64 ``ts`` (read under ``nanosAsLong``) → TIMESTAMP at
+    microsecond precision, whatever unit the parquet stores.
+
+    Integer div truncation toward -inf matches DuckDB's ns→us cast for
+    post-epoch data (all fixture timestamps are 2024+)."""
+    raw = F.expr(f"{col} div 1000") if events_ts_unit(sf_dir) == "ns" else F.col(col)
+    return F.timestamp_micros(raw)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table with its pinned schema.
 
-    ``events`` is normalized: parquet TIMESTAMP(NANOS) → int64 nanos (via
-    ``spark.sql.legacy.parquet.nanosAsLong``) → microsecond-truncated
-    TIMESTAMP_NTZ, bit-identical to DuckDB's read of the same file.  The raw
-    nano count is kept as ``ts_ns`` for ordering fidelity.
+    ``events`` is normalized: parquet TIMESTAMP(NANOS or MICROS) → int64 (via
+    ``spark.sql.legacy.parquet.nanosAsLong``; a micros column under a pinned
+    LongType field likewise surfaces as the raw count) → microsecond
+    TIMESTAMP_NTZ, bit-identical to DuckDB's read of the same file.  The
+    nano-precision count is kept as ``ts_ns`` for ordering fidelity.
     """
     ensure_conf(spark)
     if name not in schemas.SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {schemas.TABLE_NAMES}")
     df = spark.read.schema(schemas.SCHEMAS[name]).parquet(table_path(sf_dir, name))
     if name == "events":
+        ns = F.col("ts") if events_ts_unit(sf_dir) == "ns" else F.col("ts") * 1000
         df = (
-            df.withColumn("ts_ns", F.col("ts"))
-            # integer div: truncation toward -inf matches DuckDB's ns→us cast
-            # for post-epoch data (all fixture timestamps are 2024+).
-            .withColumn(
-                "ts",
-                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-            )
+            df.withColumn("ts_ns", ns)
+            .withColumn("ts", ts_micros_col(sf_dir).cast("timestamp_ntz"))
             .select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns")
         )
     return df

@@ -188,10 +188,12 @@ def ack_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ack_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage sent/ack frames as parquet for the file stream source — written
     with Spark's own partitioned writer (no driver-side toPandas funnel)."""
-    import hashlib
     import os
 
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    from transf_spark.sources.tables import staging_tag
+
+    # content-fingerprinted tag: regenerated fixtures invalidate the cache
+    tag = staging_tag(sf_dir, "documents")
     out_dir = f"/tmp/transf_spark_ackstream_{tag}"
     marker = os.path.join(out_dir, "_READY")
     if os.path.exists(marker):
@@ -276,7 +278,12 @@ def stream_ack_verify_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # A False return means the drain outran the deadline — the memory sink
+    # would be only partially populated, silently corrupting the oracle
+    # check, so fail loudly instead (round-2 ADVICE).
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"{qname}: AvailableNow drain exceeded 300 s")
     return spark.table(qname)
 
 
@@ -318,7 +325,9 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"{qname}: AvailableNow drain exceeded 300 s")
     return spark.table(qname)
 
 
