@@ -55,6 +55,11 @@ HEADLINE = [
     "stream_session_window",
     "reassembly_ordered_concat",
     "completion_manifest",
+    # round-3 additions
+    "scalar_bitwise_suite",
+    "window_value_suite",
+    "agg_stats_suite",
+    "dedup_cluster_cc",
 ]
 
 
@@ -89,12 +94,22 @@ def main() -> None:
         except Exception:
             pass
 
+    # Two timed reps per query, report the min: round-3 triage showed ±26%
+    # total drift between IDENTICAL back-to-back runs on this shared host
+    # (15.4s vs 19.4s for the same 12-query subset) — far larger than any
+    # real plan change. min-of-2 measures steady-state plan cost, not host
+    # contention; "reps"/"agg" in the JSON make the protocol explicit.
+    REPS = 2
+
     def run_set(d: str) -> dict[str, float]:
         t: dict[str, float] = {}
         for name in names:
-            t0 = time.perf_counter()
-            materialize(registry[name](spark, d))
-            t[name] = round(time.perf_counter() - t0, 4)
+            best = float("inf")
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                materialize(registry[name](spark, d))
+                best = min(best, time.perf_counter() - t0)
+            t[name] = round(best, 4)
         return t
 
     timings = run_set(sf_dir)
@@ -106,6 +121,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "reps": REPS,
+        "agg": "min",
     }
     # Optional second point for the scaling table (README §Scaling): set
     # SPARK_GRAFT_SCALING_DIR=/root/testdata/sf0.01 to record how each

@@ -145,3 +145,29 @@ def test_sql_exists_rewrites_to_semi_join(spark):
 
     plan = physical_plan(_q(spark, "sql_exists_late_orders"))
     assert "LeftSemi" in plan, plan
+
+
+def test_bitwise_suite_is_pure_map_with_pruning(spark):
+    """Bit arithmetic is a zero-exchange map stage; the scan must read only
+    (doc_id, n_chars) — dragging the text column through a header-packing
+    kernel would be a 100 TB bandwidth bug."""
+    df = _q(spark, "scalar_bitwise_suite")
+    st = plan_stats(df)
+    assert st.exchanges == 0
+    (cols,) = scan_columns(df)
+    assert cols == {"doc_id", "n_chars"}
+
+
+def test_stats_suite_is_single_shuffle(spark):
+    """All six moment component sums ride one map-side-combinable aggregate:
+    exactly the groupBy exchange, nothing else."""
+    st = plan_stats(_q(spark, "agg_stats_suite"))
+    assert st.exchanges == 1
+
+
+def test_window_value_suite_is_single_shuffle(spark):
+    """first/last/nth/count share one window partitioning (o_custkey):
+    one exchange, no join."""
+    st = plan_stats(_q(spark, "window_value_suite"))
+    assert st.exchanges == 1
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0

@@ -734,3 +734,115 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_quantity, 0.5D, 10000)").alias("median_approx"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "window_value_suite",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_orderdate) OVER w AS first_order,
+           LAST_VALUE(o_orderdate) OVER w AS last_order,
+           NTH_VALUE(o_orderdate, 2) OVER w AS second_order,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    category="window",
+    origin="EXT",
+)
+def window_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-extraction window suite: each order annotated with its
+    customer's first/last/second order date and lifetime order count — the
+    per-entity timeline-context shape (customer history, session firsts).
+    The frame is pinned UNBOUNDED..UNBOUNDED because last_value/nth_value
+    under the default frame (..CURRENT ROW) see only the prefix — the classic
+    silent-wrong-answer window; o_orderkey tiebreaks equal dates so both
+    engines pick the same row. One shuffle on o_custkey, no join."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderdate").over(w).alias("first_order"),
+        F.last("o_orderdate").over(w).alias("last_order"),
+        F.nth_value("o_orderdate", 2).over(w).alias("second_order"),
+        F.count(F.lit(1)).over(w).alias("n_orders"),
+    )
+
+
+# Derived moments are rounded to 10 decimals in BOTH dialects: the component
+# sums are exact, but DuckDB's compiled expression eval may contract a
+# multiply-subtract into an FMA where the JVM never does, leaving a 1-ulp
+# difference in the correlation composite (observed at sf0.001). 10 decimals
+# is ~5 orders of magnitude above ulp at these magnitudes and far below any
+# statistical meaning.
+# Moment formulas shared verbatim between the Spark plan and the oracle:
+# variance/correlation are derived in DOUBLE from decimal-exact component
+# sums (n, Σx, Σx², Σy, Σy², Σxy), so the only floating-point ops are the
+# same handful of divisions/multiplications evaluated in the same order in
+# both engines — bit-identical results, immune to partial-aggregation order
+# (the same parity device as functions/exprs.py dsum/davg; a straight
+# STDDEV/CORR call would diverge because the engines' streaming-moment
+# algorithms round differently).
+_VAR_X = "((sxx - sx * sx / nd) / (nd - 1))"
+_VAR_Y = "((syy - sy * sy / nd) / (nd - 1))"
+_COV_XY = "((sxy - sx * sy / nd) / (nd - 1))"
+
+
+@register(
+    "agg_stats_suite",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_rows,
+           round((sx / nd), 10) AS mean_qty,
+           round({_VAR_X}, 10) AS var_qty,
+           round(sqrt({_VAR_X}), 10) AS std_qty,
+           round(({_COV_XY} / sqrt({_VAR_X} * {_VAR_Y})), 10) AS corr_qty_price
+    FROM m
+    """,
+    category="aggregation",
+    origin="EXT",
+)
+def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (mean / sample variance / stddev / Pearson
+    correlation) per return flag — the data-profiling shape every quality
+    pipeline runs. Computed from decimal-exact component sums (see the
+    shared formula constants above) rather than the engines' native
+    STDDEV/CORR so the result is deterministic and hash-matches the oracle.
+    One map-side-combinable shuffle; the six component sums ride in the same
+    aggregate the mean already needed — variance costs no extra pass, which
+    is also the 100 TB play (single-pass moments, no per-group sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = dec("l_quantity"), dec("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n_rows",
+        F.expr("round((sx / nd), 10)").alias("mean_qty"),
+        F.expr(f"round({_VAR_X}, 10)").alias("var_qty"),
+        F.expr(f"round(sqrt({_VAR_X}), 10)").alias("std_qty"),
+        F.expr(f"round(({_COV_XY} / sqrt({_VAR_X} * {_VAR_Y})), 10)").alias("corr_qty_price"),
+    )

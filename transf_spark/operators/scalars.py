@@ -272,6 +272,57 @@ def hash_noncrypto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bitwise / byte-order suite (R3-R4 frame header packing)
+# --------------------------------------------------------------------------
+
+# htonl of a u32 (`/root/reference/transf_client.cpp:111,163`): byte-reverse
+# via shifts+masks — one expression string shared verbatim by both dialects so
+# the arithmetic is literally identical.
+_BSWAP32 = (
+    "(((({v}) & 255) << 24) | (((({v}) >> 8) & 255) << 16)"
+    " | (((({v}) >> 16) & 255) << 8) | ((({v}) >> 24) & 255))"
+)
+
+
+@register(
+    "scalar_bitwise_suite",
+    oracle=f"""
+    SELECT doc_id,
+           ((doc_id << 32) | (n_chars & 4294967295)) AS packed_header,
+           (((doc_id << 32) | (n_chars & 4294967295)) >> 32) AS seq_back,
+           (((doc_id << 32) | (n_chars & 4294967295)) & 4294967295) AS len_back,
+           {_BSWAP32.format(v="doc_id")} AS seq_be,
+           CAST(bit_count(CAST(doc_id AS BIGINT)) AS INT) AS seq_bits,
+           xor(doc_id, n_chars) AS hdr_xor
+    FROM documents
+    """,
+    category="scalar/bitwise",
+    origin="R3,R4",
+)
+def scalar_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-header packing as bit arithmetic: the reference builds its wire
+    frames by memcpy-ing a network-byte-order u32 seq next to the tag
+    (`/root/reference/transf_client.cpp:111-114,163-167`, unpacked with
+    ``ntohl`` at `:180-188`). Re-expressed relationally: pack (seq, len) into
+    one 64-bit word, unpack it back, byte-swap the seq (htonl), popcount and
+    xor — all JVM-side codegen'd expressions, the kind of integer kernel a
+    columnar engine chews through at memory bandwidth."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = "((doc_id << 32) | (n_chars & 4294967295))"
+    return docs.select(
+        "doc_id",
+        F.expr(packed).alias("packed_header"),
+        F.expr(f"({packed} >> 32)").alias("seq_back"),
+        F.expr(f"({packed} & 4294967295)").alias("len_back"),
+        # identical expression text to the oracle's — both dialects parse
+        # C-style shift/mask operators, so the arithmetic is literally shared
+        F.expr(_BSWAP32.format(v="doc_id")).alias("seq_be"),
+        F.bit_count("doc_id").alias("seq_bits"),
+        F.expr("doc_id ^ n_chars").alias("hdr_xor"),
+    )
+
+
+# --------------------------------------------------------------------------
 # UDF suite (the sanctioned slow path)
 # --------------------------------------------------------------------------
 
