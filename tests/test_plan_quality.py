@@ -171,3 +171,15 @@ def test_window_value_suite_is_single_shuffle(spark):
     st = plan_stats(_q(spark, "window_value_suite"))
     assert st.exchanges == 1
     assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+
+
+def test_partitioned_scan_prunes_partitions(spark):
+    """The lang='en' predicate must prune at planning time (PartitionFilters
+    on the scan), not per-row — the property that makes selective reads on a
+    directory-partitioned 100 TB corpus read only matching directories."""
+    import re
+
+    from transf_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(_q(spark, "scan_partitioned_pruning"))
+    assert re.search(r"PartitionFilters: \[[^\]]*lang[^\]]*=[^\]]*en[^\]]*\]", plan), plan

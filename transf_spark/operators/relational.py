@@ -775,20 +775,18 @@ def window_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Derived moments are rounded to 10 decimals in BOTH dialects: the component
-# sums are exact, but DuckDB's compiled expression eval may contract a
-# multiply-subtract into an FMA where the JVM never does, leaving a 1-ulp
-# difference in the correlation composite (observed at sf0.001). 10 decimals
-# is ~5 orders of magnitude above ulp at these magnitudes and far below any
-# statistical meaning.
 # Moment formulas shared verbatim between the Spark plan and the oracle:
 # variance/correlation are derived in DOUBLE from decimal-exact component
-# sums (n, Σx, Σx², Σy, Σy², Σxy), so the only floating-point ops are the
-# same handful of divisions/multiplications evaluated in the same order in
-# both engines — bit-identical results, immune to partial-aggregation order
-# (the same parity device as functions/exprs.py dsum/davg; a straight
-# STDDEV/CORR call would diverge because the engines' streaming-moment
-# algorithms round differently).
+# sums (n, Σx, Σx², Σy, Σy², Σxy), so the floating-point ops are the same
+# handful of divisions/multiplications in the same order in both engines —
+# immune to partial-aggregation order (the same parity device as
+# functions/exprs.py dsum/davg; a straight STDDEV/CORR call would diverge
+# because the engines' streaming-moment algorithms round differently).
+# Derived moments are additionally rounded to 10 decimals in BOTH dialects:
+# DuckDB's compiled expression eval may contract a multiply-subtract into an
+# FMA where the JVM never does, leaving a 1-ulp difference in the correlation
+# composite (observed at sf0.001); 10 decimals sits ~5 orders of magnitude
+# above ulp at these magnitudes and far below statistical meaning.
 _VAR_X = "((sxx - sx * sx / nd) / (nd - 1))"
 _VAR_Y = "((syy - sy * sy / nd) / (nd - 1))"
 _COV_XY = "((sxy - sx * sy / nd) / (nd - 1))"

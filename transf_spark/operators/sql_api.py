@@ -104,3 +104,44 @@ def sql_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "sql_grouping_sets",
+    oracle="""
+    SELECT n_name, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           CAST(GROUPING(n_name) AS INT) AS g_nation,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderstatus), (n_name, o_orderstatus))
+    """,
+    category="sql-api",
+    origin="EXT",
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL entry point — the irregular
+    multi-level aggregate rollup/cube can't express (exactly three levels:
+    by nation, by status, by both; no grand total). GROUPING() flags
+    disambiguate real NULLs from subtotal rows, same device as
+    ``agg_rollup_cube``. One pass over the joined fact side: Spark expands
+    the grouping sets before the exchange, so partial aggregation still
+    combines map-side — the same single-fact-shuffle shape as a plain
+    groupBy at 100 TB."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+               CAST(GROUPING(n_name) AS INT) AS g_nation,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (o_orderstatus), (n_name, o_orderstatus))
+        """
+    )

@@ -97,3 +97,46 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _staged_dir(spark, sf_dir, "json")
     df = spark.read.schema(schemas.SCHEMAS["documents"]).json(f"{src}/data")
     return _roundtrip_agg(df)
+
+
+@register(
+    "scan_partitioned_pruning",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(n_chars) AS sum_chars,
+           MIN(doc_id) AS min_doc_id
+    FROM documents
+    WHERE lang = 'en'
+    GROUP BY source
+    """,
+    category="scan/source",
+    origin="R1+",
+)
+def scan_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-partitioned scan with partition pruning — the layout that
+    makes 100 TB selective reads cheap: documents staged once as
+    ``lang=<v>/part-*.parquet`` (Spark's partitionBy writer, fingerprint-
+    cached like the CSV/JSON stages), then a ``lang = 'en'`` query reads ONLY
+    that directory. The filter never reaches row evaluation — it prunes at
+    planning via the partition column, which `tests/test_plan_quality.py`
+    asserts on the physical plan. The oracle aggregates the original parquet
+    with the same predicate, proving the partitioned round-trip is lossless
+    AND the pruned read is complete."""
+    tag = tables.staging_tag(sf_dir, "documents", extra="partitioned")
+    out = f"/tmp/transf_spark_part_{tag}"
+    marker = os.path.join(out, "_READY")
+    if not os.path.exists(marker):
+        docs = load_table(spark, sf_dir, "documents")
+        docs.write.mode("overwrite").partitionBy("lang").parquet(f"{out}/data")
+        open(marker, "w").close()
+    df = spark.read.schema(schemas.SCHEMAS["documents"]).parquet(f"{out}/data")
+    return (
+        df.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
