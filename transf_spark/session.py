@@ -40,6 +40,21 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def _runtime_confs() -> dict[str, str]:
+    """RUNTIME_CONFS plus the parallelism-derived entries.
+
+    ``spark.sql.shuffle.partitions`` is pinned to local parallelism even on a
+    driver-provided session: batch plans are insensitive (AQE re-coalesces at
+    runtime), but STREAMING stateful operators are not — the state store
+    inherits the shuffle partition count and AQE never applies, so a bare
+    session's default 200 turns every micro-batch of a stream-stream join
+    into 200 tiny state tasks (measured 27s vs ~4s for the ack-verify join
+    at sf0.01). On a real cluster this would be executor-cores×2-3.
+    """
+    return {**RUNTIME_CONFS,
+            "spark.sql.shuffle.partitions": str(max(default_parallelism(), 8))}
+
+
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
@@ -71,7 +86,7 @@ def get_spark(app_name: str = "transf_spark", cpus: int | None = None) -> SparkS
 
 def ensure_conf(spark: SparkSession) -> SparkSession:
     """Pin runtime-settable confs on an externally-provided session."""
-    for k, v in RUNTIME_CONFS.items():
+    for k, v in _runtime_confs().items():
         try:
             spark.conf.set(k, v)
         except Exception:
