@@ -218,3 +218,50 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "nn_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             CAST(len(embedding) AS BIGINT) AS dim,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MIN(dim) AS min_dim,
+           MAX(dim) AS max_dim,
+           CAST(SUM(CAST(round(nrm, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm6,
+           MIN(nrm) AS min_norm,
+           MAX(nrm) AS max_norm
+    FROM e GROUP BY label
+    """,
+    category="similarity/preprocess",
+    origin="EXT",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus profiling — the preflight every vector pipeline runs
+    before normalizing/indexing: per label, vector count, dimension bounds
+    (a dim mismatch here means a corrupt batch upstream) and L2-norm
+    aggregates. Norms fold left-to-right in double (bit-identical to DuckDB's
+    ``list_dot_product``, same device as the cosine queries); the norm SUM
+    rounds each norm to 6 decimals and sums in DECIMAL because a double sum's
+    value depends on partial-aggregation order — min/max are order-free and
+    stay raw. One map stage + one map-side-combinable aggregate; at 100 TB
+    this is a single pass over the vector corpus."""
+    emb = _emb_double(spark, sf_dir)
+    nrm = F.expr(
+        "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v))"
+    )
+    e = emb.select("label", F.size("v").cast("long").alias("dim"), nrm.alias("nrm"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("dim").alias("min_dim"),
+        F.max("dim").alias("max_dim"),
+        F.sum(F.round("nrm", 6).cast("decimal(18,6)")).cast("double").alias("sum_norm6"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )

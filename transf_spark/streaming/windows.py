@@ -385,3 +385,54 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_late"),
         )
     )
+
+
+_ENRICH_QUERY_SEQ = 0
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT d.doc_id, d.lang, e.label,
+           CAST(len(e.embedding) AS BIGINT) AS emb_dim
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    category="streaming/join",
+    origin="EXT",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the ingest-time shape of
+    ``multimodal_doc_join``: a live document feed joins a STATIC embeddings
+    table (no watermark needed; only the stream side is unbounded, so no join
+    state accumulates). At 100 TB the static side is a broadcast dimension
+    refreshed per micro-batch — the standard enrich-on-ingest topology, and
+    the third join topology the engine declares (stream-stream:
+    ``stream_ack_verify_join``; batch-batch: ``join_*``). Runs as a real file
+    stream → inner join → AvailableNow drain into a memory sink."""
+    from transf_spark import schemas
+    from transf_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.size("embedding").cast("long").alias("emb_dim")
+    )
+    stream = (
+        spark.readStream.schema(schemas.SCHEMAS["documents"])
+        .parquet(f"{sf_dir}/documents.*")
+        .select("doc_id", "lang")
+        .join(emb, F.col("doc_id") == F.col("vec_id"))
+        .select("doc_id", "lang", "label", "emb_dim")
+    )
+    global _ENRICH_QUERY_SEQ
+    _ENRICH_QUERY_SEQ += 1
+    qname = f"stream_static_enrich_{_ENRICH_QUERY_SEQ}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"{qname}: AvailableNow drain exceeded 300 s")
+    return spark.table(qname)
