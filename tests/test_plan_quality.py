@@ -183,3 +183,11 @@ def test_partitioned_scan_prunes_partitions(spark):
 
     plan = physical_plan(_q(spark, "scan_partitioned_pruning"))
     assert re.search(r"PartitionFilters: \[[^\]]*lang[^\]]*=[^\]]*en[^\]]*\]", plan), plan
+
+
+def test_embedding_norm_stats_single_shuffle(spark):
+    """Norm computation is a map stage; all aggregates (count, dim bounds,
+    decimal norm sum, norm min/max) ride ONE map-side-combinable exchange —
+    the single-pass-over-the-vector-corpus property claimed for 100 TB."""
+    st = plan_stats(_q(spark, "embedding_norm_stats"))
+    assert st.exchanges == 1
