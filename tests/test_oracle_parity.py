@@ -56,3 +56,24 @@ def test_readme_query_count_matches_registry():
     assert total == len(q.queries())
     assert oracled == len(q.oracle_sql())
     assert rows_only == total - oracled
+
+
+def test_survey_inventory_matches_registry():
+    """SURVEY §2.B twin of the README gate: the count line AND the table's
+    row set must both track the registry (round 2 shipped a stale table)."""
+    import re
+
+    with open("SURVEY.md") as f:
+        text = f.read()
+    m = re.search(r"\((\d+) declared queries — (\d+) oracle-checked, (\d+) rows-only", text)
+    assert m, "SURVEY.md is missing the declared-query count line"
+    total, oracled, rows_only = map(int, m.groups())
+    assert total == len(q.queries())
+    assert oracled == len(q.oracle_sql())
+    assert rows_only == total - oracled
+    sec = text.split("### 2.B", 1)[1].split("declared queries —", 1)[0]
+    table_names = set(re.findall(r"^\| `([a-z0-9_]+)`", sec, re.M))
+    assert table_names == set(q.queries()), (
+        f"missing from table: {set(q.queries()) - table_names}; "
+        f"stale in table: {table_names - set(q.queries())}"
+    )
