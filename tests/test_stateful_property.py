@@ -1,0 +1,124 @@
+"""Property-based check of the transfer state machine (unit level, no Spark).
+
+`transfer_state_machine` is exercised end-to-end by the streaming tests, but
+only on the one protocol fixture. This fuzzes it directly with a fake
+GroupState: random protocol sessions (good/bad/missing handshake, in-order
+chunk streams with duplicates, gaps and oversize payloads) and asserts
+BATCH-BOUNDARY INVARIANCE — the outputs must not depend on how the arrival
+stream is sliced into micro-batches. That is the property the real engine
+relies on when `maxFilesPerTrigger` changes or a backlog drains in one gulp,
+and exactly what the round-2 tombstone bug violated.
+
+Chunk streams are generated in arrival order (stop-and-wait semantics: the
+client never sends chunk n+1 before chunk n is acked), because in-batch
+processing sorts by seq — cross-batch reordering is NOT invariance the
+protocol promises.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from transf_spark.streaming.stateful import OUTPUT_SCHEMA, transfer_state_machine
+
+_COLS = ["transfer_id", "tag", "seq", "payload_len", "filename", "filesize"]
+
+
+class FakeState:
+    """Minimal stand-in for pyspark GroupState (NoTimeout semantics)."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        if self._v is None:
+            raise ValueError("state does not exist")
+        return self._v
+
+    @property
+    def hasTimedOut(self):
+        return False
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):  # pragma: no cover - NoTimeout path
+        raise AssertionError("NoTimeout variant must not arm timeouts")
+
+
+def _run(events, cuts):
+    """Feed `events` split at `cuts` (consecutive slices) through the machine,
+    one slice per micro-batch, carrying state; return emitted output rows."""
+    state = FakeState()
+    out = []
+    bounds = [0, *sorted(cuts), len(events)]
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = events[lo:hi]
+        if not batch:
+            continue
+        pdf = pd.DataFrame(batch, columns=_COLS)
+        for res in transfer_state_machine(
+            ("t1",), iter([pdf]), state, set_timeout=False
+        ):
+            out.extend(tuple(r) for r in res[[f.name for f in OUTPUT_SCHEMA.fields]].itertuples(index=False))
+    return out
+
+
+@st.composite
+def _session(draw):
+    filesize = draw(st.integers(0, 40))
+    hs_kind = draw(st.sampled_from(["good", "bad", "missing"]))
+    events = []
+    if hs_kind != "missing":
+        fname = "dir/f.txt" if hs_kind == "good" else draw(st.sampled_from(["", "/abs.txt", "a/../b"]))
+        events.append(("t1", "HS", 0, 0, fname, filesize))
+    # in-order chunk walk: advance, duplicate, or skip a seq
+    seq, remaining = 1, draw(st.integers(0, 8))
+    for _ in range(remaining):
+        step = draw(st.sampled_from(["send", "dup", "skip"]))
+        if step == "dup" and seq > 1:
+            s = seq - 1
+        elif step == "skip":
+            seq += 1
+            continue
+        else:
+            s = seq
+            seq += 1
+        payload = draw(st.integers(0, 12))
+        events.append(("t1", "TRANSFER", s, payload, "", 0))
+    cuts = draw(st.lists(st.integers(0, max(0, len(events))), max_size=4))
+    return events, cuts
+
+
+@settings(max_examples=200, deadline=None)
+@given(_session())
+def test_outputs_invariant_to_batch_slicing(sess):
+    events, cuts = sess
+    assert _run(events, cuts) == _run(events, [])
+
+
+@settings(max_examples=100, deadline=None)
+@given(_session())
+def test_terminal_state_removed_in_notimeout(sess):
+    """After a session reports done/rejected, the NoTimeout machine must not
+    retain its state (there is no timeout to reap a tombstone — retention is
+    the unbounded-growth case ADVICE flagged in round 2)."""
+    events, _ = sess
+    state = FakeState()
+    out = []
+    if not events:
+        return
+    pdf = pd.DataFrame(events, columns=_COLS)
+    for res in transfer_state_machine(("t1",), iter([pdf]), state, set_timeout=False):
+        out.extend(res["status"].tolist())
+    if any(s in ("done", "rejected_handshake") for s in out):
+        assert not state.exists
