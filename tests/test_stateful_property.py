@@ -81,10 +81,20 @@ def _session(draw):
     if hs_kind != "missing":
         fname = "dir/f.txt" if hs_kind == "good" else draw(st.sampled_from(["", "/abs.txt", "a/../b"]))
         events.append(("t1", "HS", 0, 0, fname, filesize))
-    # in-order chunk walk: advance, duplicate, or skip a seq
+    # in-order chunk walk: advance, duplicate, or skip a seq. A client retry
+    # can also re-send the handshake mid- or post-stream ("dup_hs" — round-3
+    # ADVICE: late/duplicate HS after a terminal state must NOT resurrect the
+    # session; only the FIRST HS of a session is guaranteed to precede its
+    # chunks, so dup_hs is generated only when an initial HS exists).
     seq, remaining = 1, draw(st.integers(0, 8))
     for _ in range(remaining):
-        step = draw(st.sampled_from(["send", "dup", "skip"]))
+        step = draw(st.sampled_from(["send", "dup", "skip", "dup_hs"]))
+        if step == "dup_hs":
+            if hs_kind == "missing":
+                continue
+            refname = draw(st.sampled_from(["dir/f.txt", "", "/abs.txt"]))
+            events.append(("t1", "HS", 0, 0, refname, filesize))
+            continue
         if step == "dup" and seq > 1:
             s = seq - 1
         elif step == "skip":
@@ -108,10 +118,13 @@ def test_outputs_invariant_to_batch_slicing(sess):
 
 @settings(max_examples=100, deadline=None)
 @given(_session())
-def test_terminal_state_removed_in_notimeout(sess):
-    """After a session reports done/rejected, the NoTimeout machine must not
-    retain its state (there is no timeout to reap a tombstone — retention is
-    the unbounded-growth case ADVICE flagged in round 2)."""
+def test_terminal_state_is_tombstone_in_notimeout(sess):
+    """After a session reports done/rejected, the NoTimeout machine keeps a
+    terminal TOMBSTONE (round-3 ADVICE: removal would let a late/duplicate HS
+    resurrect the key as a fresh session and emit duplicate output, breaking
+    slicing invariance). NoTimeout is declared only for bounded AvailableNow
+    drains, so tombstone cardinality is bounded by the input's distinct keys
+    and dies with the query — not the unbounded-growth case."""
     events, _ = sess
     state = FakeState()
     out = []
@@ -121,4 +134,4 @@ def test_terminal_state_removed_in_notimeout(sess):
     for res in transfer_state_machine(("t1",), iter([pdf]), state, set_timeout=False):
         out.extend(res["status"].tolist())
     if any(s in ("done", "rejected_handshake") for s in out):
-        assert not state.exists
+        assert state.exists and state.get[0] in ("DONE", "REJECTED")

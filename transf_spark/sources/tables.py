@@ -65,6 +65,11 @@ def events_ts_unit(sf_dir: str) -> str:
         unit = getattr(t, "unit", "ns")
         if unit not in ("ns", "us"):
             raise ValueError(f"unsupported events.ts unit {unit!r} in {path}")
+        # Stale mtimes for the same path are dead (fixture regenerated in
+        # place); dropping them keeps the dict bounded by live fixture count
+        # in a long-lived process (round-3 ADVICE).
+        for dead in [k for k in _TS_UNIT_CACHE if k[0] == path]:
+            del _TS_UNIT_CACHE[dead]
         _TS_UNIT_CACHE[key] = unit
     return _TS_UNIT_CACHE[key]
 

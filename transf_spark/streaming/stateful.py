@@ -146,25 +146,26 @@ def transfer_state_machine(
                 out_rows.append((transfer_id, "done", filesize, written, n_rej))
                 status = "DONE"
 
-    # Terminal-state handling differs by timeout mode:
-    # - ProcessingTimeTimeout: keep a TOMBSTONE (reaped silently at timeout).
-    #   Removing the key lets straggler chunks in a later micro-batch
-    #   resurrect it as NEW, and the armed timeout then emits a spurious
-    #   filesize-0 'expired' row. The reference has the same tombstone need —
-    #   its GC thread only reaps sessions the map still holds
-    #   (`transf_server.cpp:78-131`).
-    # - NoTimeout: remove terminal state immediately — no timeout will ever
-    #   reap a tombstone, so keeping it is the unbounded-growth case here.
-    #   Resurrection is harmless without timeouts (a straggler re-creates the
-    #   key as NEW, silently rejects, and emits nothing); the residual NEW
-    #   state is bounded by the straggler count of the bounded AvailableNow
-    #   input this mode is declared for.
-    if status in ("DONE", "REJECTED") and not set_timeout:
-        state.remove()
-    else:
-        state.update((status, filesize, written, expected, n_rej))
-        if set_timeout:
-            state.setTimeoutDuration(SESSION_TIMEOUT_MS)
+    # Terminal state is a TOMBSTONE in BOTH timeout modes. Removing the key
+    # would let stragglers in a later micro-batch resurrect it as NEW:
+    # - a straggler chunk under ProcessingTimeTimeout re-arms the timeout and
+    #   later emits a spurious filesize-0 'expired' row;
+    # - a late/duplicate HS in ANY mode would be processed as a fresh
+    #   handshake (post-remove, nothing distinguishes it from a new session)
+    #   and could emit a second rejected_handshake or re-open toward a
+    #   duplicate done row — breaking batch-slicing invariance (round-3
+    #   ADVICE; tests/test_stateful_property.py now generates these frames).
+    # The tombstone makes both impossible: duplicate HS hits the
+    # status != NEW guard, straggler chunks just bump n_rejected. The
+    # reference has the same need — its GC thread only reaps sessions the map
+    # still holds (`transf_server.cpp:78-131`). Growth is bounded:
+    # ProcessingTimeTimeout reaps tombstones at expiry (the GC path above);
+    # NoTimeout is declared only for bounded AvailableNow drains, where state
+    # cardinality ≤ distinct transfer_ids in the (finite) input and dies with
+    # the query.
+    state.update((status, filesize, written, expected, n_rej))
+    if set_timeout:
+        state.setTimeoutDuration(SESSION_TIMEOUT_MS)
 
     if out_rows:
         yield pd.DataFrame(out_rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])

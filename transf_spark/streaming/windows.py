@@ -271,13 +271,26 @@ def stream_ack_verify_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _ACK_QUERY_SEQ
     _ACK_QUERY_SEQ += 1
     qname = f"ack_verify_join_{_ACK_QUERY_SEQ}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # The drain cost is ~all state-store machinery: each micro-batch commits
+    # one state store per shuffle partition PER JOIN SIDE, independent of row
+    # count. The join keys are few at bench scale, so cap this stream's
+    # partitions at 8 for the duration of the start (the stream locks in the
+    # count at query start; the session conf is restored right after). A
+    # long-running production stream sizes this to key cardinality instead —
+    # the cap is a bounded-drain optimization, not a semantic change
+    # (round-3 verdict item 7: 200-partition default was 27 s, 32 was ~7 s).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # A False return means the drain outran the deadline — the memory sink
     # would be only partially populated, silently corrupting the oracle
     # check, so fail loudly instead (round-2 ADVICE).
