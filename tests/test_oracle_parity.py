@@ -102,3 +102,25 @@ def test_registry_emits_validation_debt_first():
     # a debt query to tier 2.
     unknown = (set(q._NEVER_DRIVER_GRADED) | set(q._STALE_DRIVER_GREEN)) - set(q.REGISTRY)
     assert not unknown, f"debt tiers name unknown queries: {unknown}"
+
+
+def test_debt_tiers_match_correctness_history():
+    """The hard-coded tier lists must equal what the CORRECTNESS_r0{1,2,3}
+    history actually says (a transcription slip would silently starve a
+    query of its grading slot). These three files are frozen history —
+    when a future round rotates the tiers, update the tier lists AND the
+    round list here together."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    graded: set[str] = set()
+    for r in (1, 2, 3):
+        with open(os.path.join(root, f"CORRECTNESS_r0{r}.json")) as f:
+            graded |= set(json.load(f))
+    q.queries()  # force registry load
+    reg = set(q.REGISTRY)
+    assert reg - graded == set(q._NEVER_DRIVER_GRADED)
+    with open(os.path.join(root, "CORRECTNESS_r03.json")) as f:
+        r3 = set(json.load(f))
+    assert (reg & graded) - r3 == set(q._STALE_DRIVER_GREEN)
