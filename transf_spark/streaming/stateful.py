@@ -262,10 +262,30 @@ def run_stateful_reassembly(
     global _QUERY_SEQ
     _QUERY_SEQ += 1
     qname = f"stateful_reassembly_{_QUERY_SEQ}"
+    # State-store commits dominate a bounded drain (one store per shuffle
+    # partition per micro-batch, regardless of rows), but the pandas state
+    # machine itself is CPU-bound per partition — so size partitions to KEY
+    # CARDINALITY (~128 transfers/partition, floor 8, ceiling the session
+    # default) instead of a fixed cap: 8 at sf0.01 (487 keys, 2.3 s → 1.6 s)
+    # without starving sf0.1 (4.9k keys → full parallelism; a fixed cap of 8
+    # measured 1.7× slower there). Transfer count ≈ documents rows, read
+    # from the parquet footer — no Spark job. Locked in at query start;
+    # session conf restored right after.
+    import pyarrow.parquet as pq
+
+    from transf_spark.sources.tables import table_path
+
+    n_transfers = pq.ParquetFile(table_path(sf_dir, "documents")).metadata.num_rows
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    sized = min(max(8, n_transfers // 128), int(prev_parts))
+    spark.conf.set("spark.sql.shuffle.partitions", str(sized))
     writer = out.writeStream.format("memory").queryName(qname).outputMode("append")
     if timeout_conf == GroupStateTimeout.NoTimeout:
         # no timeouts armed ⇒ availableNow terminates once inputs are drained
-        query = writer.trigger(availableNow=True).start()
+        try:
+            query = writer.trigger(availableNow=True).start()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if not query.awaitTermination(300):
             query.stop()
             raise TimeoutError(f"{qname}: AvailableNow drain exceeded 300 s")
@@ -278,7 +298,10 @@ def run_stateful_reassembly(
         # `transf_server.cpp:78-131`), stop the query.
         import time as _time
 
-        query = writer.trigger(processingTime="2 seconds").start()
+        try:
+            query = writer.trigger(processingTime="2 seconds").start()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         deadline = _time.time() + SESSION_TIMEOUT_MS / 1000 + 240
         while _time.time() < deadline:
             prog = query.lastProgress
