@@ -202,3 +202,78 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("cand_lang").alias("predicted_lang"), "score")
     )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, token AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) * ((n.n_docs + 1.0) / (df.df + 1.0)) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT doc_id, term, tf, df, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+    category="text-analysis",
+    origin="EXT",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 salient terms per document by TF-IDF-style weighting — the
+    standard keyword/topic signal a training-data pipeline derives before
+    clustering or quality filtering.
+
+    The IDF factor is the RATIONAL form ``(N+1)/(df+1)`` rather than its
+    logarithm: ``log`` is evaluated by different libm implementations on the
+    JVM vs DuckDB and can differ in the last ulp, which would break the
+    oracle's value-hash; the rational form is a single IEEE division, exact
+    on both engines, and preserves the salient-term intent (monotone
+    decreasing in df).
+
+    Plan shape: one shuffle on (doc_id, term) for TF with map-side combine,
+    one map-side-combinable aggregate of that result for DF (term
+    cardinality ≪ corpus — AQE broadcasts the join back), corpus count as a
+    broadcast 1-row cross join, then a per-doc top-k window partitioned on
+    doc_id. No step touches the corpus more than once; at 100 TB the only
+    large shuffle is the (doc_id, term) count — high-cardinality keys, even
+    spread."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * ((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "term", "tf", "df", "score", F.col("rnk").cast("long").alias("rnk"))
+    )
