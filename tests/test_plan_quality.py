@@ -191,3 +191,22 @@ def test_embedding_norm_stats_single_shuffle(spark):
     the single-pass-over-the-vector-corpus property claimed for 100 TB."""
     st = plan_stats(_q(spark, "embedding_norm_stats"))
     assert st.exchanges == 1
+
+
+def test_quantize_int8_is_map_only(spark):
+    """Symmetric int8 quantization is one codegen map pass over the vector
+    corpus — any exchange here means a refactor introduced a shuffle into
+    what must stay an embarrassingly-parallel scan at 100 TB."""
+    df = _q(spark, "embedding_quantize_int8")
+    st = plan_stats(df)
+    assert st.exchanges == 0, "quantization must not shuffle"
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+
+
+def test_tfidf_single_corpus_pass_no_sort_merge(spark):
+    """TF-IDF top-k: the corpus is tokenized once; DF and the corpus count
+    join back via broadcast (term table and 1-row count are both small
+    relative to the (doc,term) set) — a sort-merge join would re-shuffle
+    the full term expansion twice."""
+    st = plan_stats(_q(spark, "text_tfidf_topk"))
+    assert st.sort_merge_joins == 0, "DF/count joins must broadcast"
