@@ -60,6 +60,9 @@ HEADLINE = [
     "window_value_suite",
     "agg_stats_suite",
     "dedup_cluster_cc",
+    # round-4 additions
+    "text_tfidf_topk",
+    "embedding_quantize_int8",
 ]
 
 
