@@ -51,3 +51,18 @@ def test_exact_allpairs_guard_refuses_large_corpus():
     s._guard_exact_allpairs(s.MAX_EXACT_PAIRS_VECTORS)  # at the bound: fine
     with pytest.raises(ValueError, match="similarity_ann_lsh"):
         s._guard_exact_allpairs(s.MAX_EXACT_PAIRS_VECTORS + 1)
+
+
+def test_quantize_int8_error_bound(spark):
+    """Mathematical invariant of round-half-up int8 quantization: per-element
+    reconstruction error is at most qscale/2 (plus float slack), codes stay
+    within int8 range (|q|_1 <= 127 * dim), and the scale is nonnegative.
+    Complements the DuckDB oracle (which checks equality, not meaning)."""
+    from transf_spark.queries import queries
+
+    rows = queries()["embedding_quantize_int8"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["qscale"] >= 0.0
+        assert r["err_max"] <= r["qscale"] * 0.5 * (1 + 1e-12) + 1e-300
+        assert 0 <= r["q_l1"] <= 127 * 64  # dim-64 fixture vectors
