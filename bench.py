@@ -63,6 +63,7 @@ HEADLINE = [
     # round-4 additions
     "text_tfidf_topk",
     "embedding_quantize_int8",
+    "events_sessionize",
 ]
 
 

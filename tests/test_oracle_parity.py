@@ -94,7 +94,7 @@ def test_registry_emits_validation_debt_first():
         + ", ".join(f"{n}(t{t})" for n, t in zip(names, tiers))
     )
     debt = [n for n, t in zip(names, tiers) if t < 2]
-    assert len(debt) == 27, f"expected 27 tier-0/1 queries, got {len(debt)}"
+    assert len(debt) == 28, f"expected 28 tier-0/1 queries, got {len(debt)}"
     assert max(names.index(n) for n in debt) < 50, (
         "a debt-tier query sits outside the driver's 50-entry window"
     )

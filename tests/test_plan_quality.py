@@ -210,3 +210,14 @@ def test_tfidf_single_corpus_pass_no_sort_merge(spark):
     the full term expansion twice."""
     st = plan_stats(_q(spark, "text_tfidf_topk"))
     assert st.sort_merge_joins == 0, "DF/count joins must broadcast"
+
+
+def test_sessionize_single_shuffle(spark):
+    """Batch sessionization: lag-flag window, running-sum window, and the
+    per-session aggregate must all reuse ONE hash(user_id) exchange — the
+    (user_id, session_idx) grouping is satisfied by the user_id
+    distribution already in place. A second exchange would re-shuffle the
+    full event log at 100 TB."""
+    st = plan_stats(_q(spark, "events_sessionize"))
+    assert st.exchanges == 1
+    assert st.sort_merge_joins == 0

@@ -844,3 +844,68 @@ def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"round(sqrt({_VAR_X}), 10)").alias("std_qty"),
         F.expr(f"round(({_COV_XY} / sqrt({_VAR_X} * {_VAR_Y})), 10)").alias("corr_qty_price"),
     )
+
+
+SESSION_GAP_NS = 30 * 60 * 1_000_000_000  # 30-minute inactivity gap
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type, epoch_ns(ts) AS tns FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, ts, event_type, tns,
+             CASE WHEN tns - LAG(tns) OVER w IS NULL
+                       OR tns - LAG(tns) OVER w > {SESSION_GAP_NS}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM m
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types
+    FROM s GROUP BY user_id, session_idx
+    """,
+    category="window/sessionize",
+    origin="EXT",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization of the event stream — gap-based islands: a new
+    session starts whenever a user is idle longer than 30 minutes. The batch
+    twin of ``stream_session_window`` (same semantics the reference's GC
+    thread applies to transfer sessions, `transf_server.cpp:78-131`:
+    inactivity beyond the timeout ends the session).
+
+    Classic islands formulation: ``lag`` flags session starts, a running sum
+    over the same (user, time) ordering numbers the sessions, then one
+    aggregate per (user, session). Gap math runs on the raw nanosecond
+    count (``ts_ns``) so it is integer-exact; the oracle's ``epoch_ns``
+    yields the identical count for both fixture time-units. Plan: ONE
+    shuffle on user_id — both windows share its sort, and the final
+    groupBy's (user_id, session_idx) clustering is satisfied by the
+    hash(user_id) distribution already in place, so no second exchange
+    (plan-gated). At 100 TB this is the minimum movement sessionization
+    admits: each user's timeline lands on one task once."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    flagged = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > SESSION_GAP_NS), 1).otherwise(0)
+    ).withColumn(
+        "session_idx",
+        F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return flagged.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+    )

@@ -90,6 +90,7 @@ _NEVER_DRIVER_GRADED = (  # tier 0 — no CORRECTNESS row in r1∪r2∪r3
     # new in round 4 — no CORRECTNESS row can exist yet
     "text_tfidf_topk",
     "embedding_quantize_int8",
+    "events_sessionize",
 )
 
 _STALE_DRIVER_GREEN = (  # tier 1 — last row r1/r2 or predates a rewrite
