@@ -50,6 +50,16 @@ def _key(row):
     )
 
 
+# DuckDB result types the driver's pandas canonicalizer silently corrupts:
+# HUGEINT/UHUGEINT (int128 → float64, so 12345 hashes as "12345.0") and
+# UBIGINT (uint64 → can exceed int64; pandas widens to float64 or object).
+# Spark can emit none of these, so any oracle producing one is a guaranteed
+# driver hash-mismatch even with identical values (round-4 verdict: five
+# red rows shipped behind a type-blind fetchall() here). CAST to BIGINT /
+# DOUBLE in the oracle SQL instead.
+_DRIVER_UNHASHABLE_DUCK_TYPES = {"HUGEINT", "UHUGEINT", "UBIGINT"}
+
+
 def compare(spark_df, con, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass).
 
@@ -59,6 +69,13 @@ def compare(spark_df, con, sql: str) -> list[str]:
     (round-1 lesson — two driver-only failures hid behind a lenient
     list→tuple normalization here). Serialize such columns (``to_json``)
     in the query itself.
+
+    Likewise any DuckDB output column whose type Spark cannot emit
+    (HUGEINT & friends) is rejected BEFORE value comparison: this module
+    fetches Python ints via ``fetchall()`` (type-blind, int128-exact)
+    while the driver canonicalizes through pandas (int128 → float64), so
+    a value-equal comparison here would pass where the driver's hash
+    fails — the round-4 failure mode.
     """
     problems: list[str] = []
     from pyspark.sql import types as T
@@ -71,6 +88,18 @@ def compare(spark_df, con, sql: str) -> list[str]:
             )
     if problems:
         return problems
+
+    rel = con.sql(sql)
+    for col, typ in zip(rel.columns, rel.types):
+        if str(typ).upper() in _DRIVER_UNHASHABLE_DUCK_TYPES:
+            problems.append(
+                f"oracle column {col!r} has DuckDB type {typ} — pandas coerces it "
+                "to float64 in the driver's canonicalizer (hash mismatch vs Spark "
+                "LongType); CAST(... AS BIGINT) in the oracle SQL"
+            )
+    if problems:
+        return problems
+
     spark_cols = sorted(spark_df.columns)
     sdf = spark_df.select(*spark_cols)
     srows = [tuple(_norm(v) for v in r) for r in sdf.collect()]

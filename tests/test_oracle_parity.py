@@ -34,6 +34,24 @@ def test_query_matches_oracle(spark, con, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
+def test_comparator_rejects_hugeint_oracle(spark, con):
+    """Round-4 regression: an un-CAST SUM(int) oracle returns DuckDB HUGEINT,
+    which the driver's pandas canonicalizer coerces to float64 → hash
+    mismatch against Spark LongType even with equal values. The local
+    comparator used to fetch type-blind Python ints and pass; it must now
+    reject the oracle outright BEFORE value comparison."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(F.lit(3).cast("long").alias("s"))
+    problems = compare(df, con, "SELECT SUM(x) AS s FROM (SELECT CAST(3 AS BIGINT) AS x)")
+    assert problems, "values are equal — only a type check can catch this"
+    assert "HUGEINT" in problems[0]
+    # and the CAST fix passes
+    assert not compare(
+        df, con, "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (SELECT CAST(3 AS BIGINT) AS x)"
+    )
+
+
 def test_rows_only_queries_run(spark):
     """Non-oracle queries must at least execute and return a stable schema."""
     for name, spec in q.REGISTRY.items():
@@ -82,45 +100,56 @@ def test_survey_inventory_matches_registry():
 def test_registry_emits_validation_debt_first():
     """Grading-window gate (round-3 lesson: the driver writes at most 50
     CORRECTNESS entries per round — cheap-first ordering spent all 50 on
-    already-green queries and starved the never-graded tail). The registry
-    must emit tier 0 (never driver-graded) before tier 1 (stale-green)
-    before tier 2 (green in r3), and all of tiers 0+1 must land inside the
-    50-entry window."""
+    already-green queries and starved the never-graded tail). Priorities
+    are now DERIVED from the committed CORRECTNESS_r*.json history
+    (round-4 verdict item 3): red/never-graded queries emit first, then
+    greens oldest-round-first, and every non-fresh query must land inside
+    the 50-entry window."""
     names = list(q.queries())
     assert set(names) == set(q.REGISTRY), "ordering dropped or invented queries"
-    tiers = [q._DEBT_TIER.get(n, 2) for n in names]
-    assert tiers == sorted(tiers), (
-        "debt-tier ordering violated: "
-        + ", ".join(f"{n}(t{t})" for n, t in zip(names, tiers))
+    hist = q._correctness_history()
+    prios = [q._grading_priority(n, hist) for n in names]
+    assert prios == sorted(prios), (
+        "debt-priority ordering violated: "
+        + ", ".join(f"{n}(p{p})" for n, p in zip(names, prios))
     )
-    debt = [n for n, t in zip(names, tiers) if t < 2]
-    assert len(debt) == 28, f"expected 28 tier-0/1 queries, got {len(debt)}"
+    latest_round = max(r for r, _ in hist.values())
+    debt = [n for n, p in zip(names, prios) if p < latest_round]
+    assert len(debt) <= 50, (
+        f"{len(debt)} debt queries cannot all fit the driver's 50-entry "
+        "window — a red or stale query will be starved"
+    )
     assert max(names.index(n) for n in debt) < 50, (
-        "a debt-tier query sits outside the driver's 50-entry window"
+        "a debt query sits outside the driver's 50-entry window"
     )
-    # Tier names must exist in the registry — a rename would silently demote
-    # a debt query to tier 2.
-    unknown = (set(q._NEVER_DRIVER_GRADED) | set(q._STALE_DRIVER_GREEN)) - set(q.REGISTRY)
-    assert not unknown, f"debt tiers name unknown queries: {unknown}"
 
 
-def test_debt_tiers_match_correctness_history():
-    """The hard-coded tier lists must equal what the CORRECTNESS_r0{1,2,3}
-    history actually says (a transcription slip would silently starve a
-    query of its grading slot). These three files are frozen history —
-    when a future round rotates the tiers, update the tier lists AND the
-    round list here together."""
-    import json
-    import os
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    graded: set[str] = set()
-    for r in (1, 2, 3):
-        with open(os.path.join(root, f"CORRECTNESS_r0{r}.json")) as f:
-            graded |= set(json.load(f))
-    q.queries()  # force registry load
-    reg = set(q.REGISTRY)
-    assert reg - graded == set(q._NEVER_DRIVER_GRADED)
-    with open(os.path.join(root, "CORRECTNESS_r03.json")) as f:
-        r3 = set(json.load(f))
-    assert (reg & graded) - r3 == set(q._STALE_DRIVER_GREEN)
+def test_debt_priorities_match_known_history():
+    """Regression pins against the frozen r1-r4 history: the five round-4
+    red rows (HUGEINT oracle bug, fixed round 5) and rows-only semantics
+    must rank exactly as the round-4 verdict prescribes. When round 5+
+    files land, the *derived* ordering absorbs them with no edit here —
+    these pins only assert how frozen rounds were parsed."""
+    hist = q._correctness_history()
+    r4_reds = {
+        "scan_csv_roundtrip",
+        "scan_json_roundtrip",
+        "scan_partitioned_pruning",
+        "docs_pack_sequences",
+        "embedding_quantize_int8",
+    }
+    for name in r4_reds:
+        rnd, green = hist[name]
+        if rnd == 4:  # until a round-5+ row supersedes it
+            assert not green, f"{name} r4 row should parse as red"
+            assert q._grading_priority(name, hist) == -1
+    # rows-only query that executed → green at its round, not red
+    rnd, green = hist["stream_stateful_reassembly"]
+    assert green, "rows-only executed row must count as green"
+    assert q._grading_priority("stream_stateful_reassembly", hist) == rnd
+    # hash-green r4 row → priority 4 or later
+    assert q._grading_priority("events_sessionize", hist) >= 4
+    # unknown query → never graded → front of the queue
+    assert q._grading_priority("__not_a_query__", hist) == -1
+    # Empty history degrades safely: everything priority -1.
+    assert q._grading_priority("scan_parquet", {}) == -1

@@ -151,7 +151,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, CAST(shard AS BIGINT) AS shard,
            CAST(FLOOR(tok_offset / {PACK_BUDGET}) AS BIGINT) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           SUM(n_tokens) AS n_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
     FROM placed GROUP BY 1, 2, 3
     """,
     category="pipeline/packing",

@@ -309,7 +309,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM q
     )
     SELECT vec_id, label, qscale,
-           list_sum(list_transform(qv, q -> abs(q))) AS q_l1,
+           CAST(list_sum(list_transform(qv, q -> abs(q))) AS BIGINT) AS q_l1,
            sqrt(list_dot_product(dv, dv)) AS err_l2,
            list_aggregate(list_transform(dv, x -> abs(x)), 'max') AS err_max
     FROM d

@@ -51,63 +51,82 @@ def register(name: str, *, oracle: str | None, category: str, origin: str):
 # --- Driver-grading order: validation debt first -------------------------
 #
 # The driver grades queries in `queries()` emission order and writes AT MOST
-# 50 CORRECTNESS entries per round (observed: cut at exactly #50 in both r2
-# [50/68] and r3 [50/75] despite very different per-query costs — a count
-# cap, not a time budget). Round 3's cheapest-first ordering therefore spent
+# 50 CORRECTNESS entries per round (observed: cut at exactly #50 in r2
+# [50/68], r3 [50/75] and r4 [50/78] despite very different per-query costs
+# — a count cap, not a time budget). Round 3's cheapest-first ordering spent
 # all 50 slots re-validating queries that already had green rows and pushed
 # every never-graded query out of the window (round-3 judge finding).
 #
-# Fix: order by DRIVER-VALIDATION DEBT. Tier lists are hard-coded from the
-# CORRECTNESS_r0{1,2,3}.json history (see VERDICT round 3 §2.B):
+# Fix: order by DRIVER-VALIDATION DEBT, computed from the committed
+# CORRECTNESS_r*.json history at import time (rounds 1-3 used hard-coded
+# tier lists; round-4 verdict asked for a refresh, and a derived tier never
+# goes stale again). Per query, find its LATEST driver row and rank:
 #
-#   tier 0 — never produced a CORRECTNESS row in any round;
-#   tier 1 — last green row is stale (r1/r2, or the code was rewritten since
-#            the row was recorded: r1-era streaming twins, r3 stateful/ack
-#            rewrites, queries evicted from the r3 window by the reorder);
-#   tier 2 — green in CORRECTNESS_r03 (hash-pass or rows-only-ran).
+#   priority -1 — never graded, or latest row is red (error / any match
+#                 false): these must (re-)grade first;
+#   priority  r — latest row green in round r (hash-pass, or rows-only
+#                 executed): oldest green first, so stale greens rotate
+#                 back through the window before fresh ones.
 #
-# Within each tier, cheapest-first (streams cost ~1-10 s each to run to
-# termination; batch queries ≤3 s at sf0.01) so a mid-tier cut still loses
-# the fewest queries. All 25 tier-0/1 queries fit comfortably inside a
-# 50-entry window.
+# Within a priority, cheapest-first (streams cost ~1-10 s each to run to
+# termination; batch queries ≤3 s at sf0.01) so a mid-priority cut still
+# loses the fewest queries.
 
-_NEVER_DRIVER_GRADED = (  # tier 0 — no CORRECTNESS row in r1∪r2∪r3
-    "text_repetition_filter",
-    "docs_pack_sequences",
-    "text_denylist_scrub",
-    "text_domain_cap",
-    "text_decontaminate",
-    "text_pii_redact",
-    "sql_shipping_priority",
-    "sql_exists_late_orders",
-    "sql_grouping_sets",
-    "scan_csv_roundtrip",
-    "scan_json_roundtrip",
-    "scan_partitioned_pruning",
-    "dedup_cluster_cc",
-    "stream_dedup_exact",
-    "stream_static_enrich",
-    # new in round 4 — no CORRECTNESS row can exist yet
-    "text_tfidf_topk",
-    "embedding_quantize_int8",
-    "events_sessionize",
-)
+_CORRECTNESS_GLOB = "CORRECTNESS_r*.json"
 
-_STALE_DRIVER_GREEN = (  # tier 1 — last row r1/r2 or predates a rewrite
-    "dedup_fuzzy_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "multimodal_frame_sample",
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_watermark_late_drop",
-    "stream_ack_verify_join",
-    "stream_stateful_reassembly",
-)
 
-_DEBT_TIER = {name: 0 for name in _NEVER_DRIVER_GRADED}
-_DEBT_TIER.update({name: 1 for name in _STALE_DRIVER_GREEN})
+def _row_green(row: dict) -> bool:
+    """A driver CORRECTNESS row counts as green iff it is a full hash-pass,
+    or a rows-only query (`err == 'no_oracle'`) that executed."""
+    if row.get("err") == "no_oracle":
+        return row.get("spark_rows") is not None
+    return bool(
+        row.get("err") is None
+        and row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+    )
+
+
+def _correctness_history(root: str | None = None) -> dict[str, tuple[int, bool]]:
+    """name -> (latest round with a driver row, that row was green).
+
+    Reads the committed CORRECTNESS_r*.json files from the repo root
+    (parent of this package). Missing/corrupt files are skipped — with no
+    history at all, every query ranks as never-graded, which degrades to
+    cheapest-first registry order: safe."""
+    import glob
+    import json
+    import os
+    import re
+
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hist: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(root, _CORRECTNESS_GLOB))):
+        m = re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            prev = hist.get(name)
+            if prev is None or rnd >= prev[0]:
+                hist[name] = (rnd, _row_green(row))
+    return hist
+
+
+def _grading_priority(name: str, hist: dict[str, tuple[int, bool]]) -> int:
+    entry = hist.get(name)
+    if entry is None or not entry[1]:
+        return -1  # never graded, or latest row red — grade first
+    return entry[0]  # green: oldest round first
 
 
 def _grading_cost(spec: QuerySpec) -> int:
@@ -126,10 +145,15 @@ def _grading_cost(spec: QuerySpec) -> int:
 
 def _ordered_specs() -> list[QuerySpec]:
     _load_all_modules()
+    hist = _correctness_history()
     order = {name: i for i, name in enumerate(REGISTRY)}
     return sorted(
         REGISTRY.values(),
-        key=lambda s: (_DEBT_TIER.get(s.name, 2), _grading_cost(s), order[s.name]),
+        key=lambda s: (
+            _grading_priority(s.name, hist),
+            _grading_cost(s),
+            order[s.name],
+        ),
     )
 
 

@@ -94,3 +94,22 @@ def ensure_conf(spark: SparkSession) -> SparkSession:
             # on it will raise a clear error of their own.
             pass
     return spark
+
+
+def drain_session(spark: SparkSession, shuffle_partitions: int) -> SparkSession:
+    """Private session (shared SparkContext, separate SQLConf + temp views)
+    for bounded stream drains that need a non-default shuffle-partition
+    count.
+
+    A stateful stream locks its state-store partition count from the
+    session conf at ``start()``; the pre-round-5 code temporarily mutated
+    the SHARED session's ``spark.sql.shuffle.partitions`` around the start,
+    which races any query started concurrently on the same session
+    (round-4 ADVICE). ``newSession()`` isolates the conf instead — the
+    stream (reader, plan AND memory sink) must be built on the returned
+    session for the pinned count to take effect. Runtime confs are
+    re-pinned because a new session starts from the context defaults, not
+    the caller's session conf."""
+    s = ensure_conf(spark.newSession())
+    s.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return s

@@ -26,12 +26,15 @@ from transf_spark.sources.tables import load_table
 _ROUNDTRIP_ORACLE = """
     SELECT lang, source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           SUM(n_chars) AS sum_chars,
-           SUM(length(text)) AS sum_text_len,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
            MIN(doc_id) AS min_doc_id
     FROM documents
     GROUP BY lang, source
 """
+# ^ CASTs on every SUM: DuckDB sums integers into HUGEINT (int128), which
+# pandas coerces to float64 in the driver's canonicalizer — hash-mismatch
+# against Spark's LongType even when values are identical (round-4 verdict).
 
 
 def _staged_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
@@ -104,7 +107,7 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           SUM(n_chars) AS sum_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            MIN(doc_id) AS min_doc_id
     FROM documents
     WHERE lang = 'en'

@@ -243,8 +243,28 @@ def run_stateful_reassembly(
     """Build + run the streaming state machine to completion (AvailableNow),
     return the materialized output as a batch DataFrame."""
     src_dir = protocol_event_stream_dir(spark, sf_dir, n_files)
+    # State-store commits dominate a bounded drain (one store per shuffle
+    # partition per micro-batch, regardless of rows), but the pandas state
+    # machine itself is CPU-bound per partition — so size partitions to KEY
+    # CARDINALITY (~128 transfers/partition, floor 8, ceiling the session
+    # default) instead of a fixed cap: 8 at sf0.01 (487 keys, 2.3 s → 1.6 s)
+    # without starving sf0.1 (4.9k keys → full parallelism; a fixed cap of 8
+    # measured 1.7× slower there). Transfer count ≈ documents rows, read
+    # from the parquet footer — no Spark job. The count is pinned on a
+    # PRIVATE session the whole stream is built on (round-4 ADVICE: the old
+    # set/restore of the shared session conf around start() raced any query
+    # started concurrently on the same session).
+    import pyarrow.parquet as pq
+
+    from transf_spark.session import drain_session
+    from transf_spark.sources.tables import table_path
+
+    n_transfers = pq.ParquetFile(table_path(sf_dir, "documents")).metadata.num_rows
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sized = min(max(8, n_transfers // 128), session_parts)
+    drain = drain_session(spark, sized)
     reader = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        drain.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .option("latestFirst", "false")
         .parquet(f"{src_dir}/batch_*.parquet")
@@ -262,30 +282,10 @@ def run_stateful_reassembly(
     global _QUERY_SEQ
     _QUERY_SEQ += 1
     qname = f"stateful_reassembly_{_QUERY_SEQ}"
-    # State-store commits dominate a bounded drain (one store per shuffle
-    # partition per micro-batch, regardless of rows), but the pandas state
-    # machine itself is CPU-bound per partition — so size partitions to KEY
-    # CARDINALITY (~128 transfers/partition, floor 8, ceiling the session
-    # default) instead of a fixed cap: 8 at sf0.01 (487 keys, 2.3 s → 1.6 s)
-    # without starving sf0.1 (4.9k keys → full parallelism; a fixed cap of 8
-    # measured 1.7× slower there). Transfer count ≈ documents rows, read
-    # from the parquet footer — no Spark job. Locked in at query start;
-    # session conf restored right after.
-    import pyarrow.parquet as pq
-
-    from transf_spark.sources.tables import table_path
-
-    n_transfers = pq.ParquetFile(table_path(sf_dir, "documents")).metadata.num_rows
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    sized = min(max(8, n_transfers // 128), int(prev_parts))
-    spark.conf.set("spark.sql.shuffle.partitions", str(sized))
     writer = out.writeStream.format("memory").queryName(qname).outputMode("append")
     if timeout_conf == GroupStateTimeout.NoTimeout:
         # no timeouts armed ⇒ availableNow terminates once inputs are drained
-        try:
-            query = writer.trigger(availableNow=True).start()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        query = writer.trigger(availableNow=True).start()
         if not query.awaitTermination(300):
             query.stop()
             raise TimeoutError(f"{qname}: AvailableNow drain exceeded 300 s")
@@ -298,10 +298,7 @@ def run_stateful_reassembly(
         # `transf_server.cpp:78-131`), stop the query.
         import time as _time
 
-        try:
-            query = writer.trigger(processingTime="2 seconds").start()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        query = writer.trigger(processingTime="2 seconds").start()
         deadline = _time.time() + SESSION_TIMEOUT_MS / 1000 + 240
         while _time.time() < deadline:
             prog = query.lastProgress
@@ -316,7 +313,7 @@ def run_stateful_reassembly(
             _time.sleep(2)
         query.stop()
         query.awaitTermination(60)
-    return spark.table(qname)
+    return drain.table(qname)
 
 
 @register(

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from transf_spark.queries import register
+from transf_spark.session import drain_session
 from transf_spark.sources.tables import load_table
 
 # 5-minute bucket via epoch arithmetic — identical in both dialects, no tz.
@@ -241,13 +242,23 @@ def stream_ack_verify_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per transfer), state bounded by the watermark delay."""
     src = _ack_stream_dir(spark, sf_dir)
     sent_schema, acks_schema = (d.schema for d in ack_frames(spark, sf_dir))
+    # The drain cost is ~all state-store machinery: each micro-batch commits
+    # one state store per shuffle partition PER JOIN SIDE, independent of row
+    # count. The join keys are few at bench scale, so pin this stream to 8
+    # partitions — on a PRIVATE session (round-4 ADVICE: mutating the shared
+    # session conf around start() races concurrent queries), which the whole
+    # stream (readers → join → memory sink) is built on. A long-running
+    # production stream sizes this to key cardinality instead — the cap is a
+    # bounded-drain optimization, not a semantic change (round-3 verdict
+    # item 7: 200-partition default was 27 s, 32 was ~7 s).
+    drain = drain_session(spark, 8)
     s = (
-        spark.readStream.schema(sent_schema)
+        drain.readStream.schema(sent_schema)
         .parquet(f"{src}/sent/*.parquet")
         .withWatermark("ts", "1 hour")
     )
     a = (
-        spark.readStream.schema(acks_schema)
+        drain.readStream.schema(acks_schema)
         .parquet(f"{src}/acks/*.parquet")
         .withWatermark("ack_ts", "1 hour")
     )
@@ -271,33 +282,20 @@ def stream_ack_verify_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _ACK_QUERY_SEQ
     _ACK_QUERY_SEQ += 1
     qname = f"ack_verify_join_{_ACK_QUERY_SEQ}"
-    # The drain cost is ~all state-store machinery: each micro-batch commits
-    # one state store per shuffle partition PER JOIN SIDE, independent of row
-    # count. The join keys are few at bench scale, so cap this stream's
-    # partitions at 8 for the duration of the start (the stream locks in the
-    # count at query start; the session conf is restored right after). A
-    # long-running production stream sizes this to key cardinality instead —
-    # the cap is a bounded-drain optimization, not a semantic change
-    # (round-3 verdict item 7: 200-partition default was 27 s, 32 was ~7 s).
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
     # A False return means the drain outran the deadline — the memory sink
     # would be only partially populated, silently corrupting the oracle
     # check, so fail loudly instead (round-2 ADVICE).
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError(f"{qname}: AvailableNow drain exceeded 300 s")
-    return spark.table(qname)
+    return drain.table(qname)
 
 
 _DEDUP_QUERY_SEQ = 0
