@@ -144,9 +144,14 @@ def test_debt_priorities_match_known_history():
             assert not green, f"{name} r4 row should parse as red"
             assert q._grading_priority(name, hist) == -1
     # rows-only query that executed → green at its round, not red
-    rnd, green = hist["stream_stateful_reassembly"]
+    rnd, green = hist["multimodal_frame_sample"]
     assert green, "rows-only executed row must count as green"
-    assert q._grading_priority("stream_stateful_reassembly", hist) == rnd
+    assert q._grading_priority("multimodal_frame_sample", hist) == rnd
+    # a semantics change overrides a green history row until re-graded
+    rnd, green = hist["stream_stateful_reassembly"]
+    assert green
+    if rnd < q._SEMANTICS_CHANGED_IN["stream_stateful_reassembly"]:
+        assert q._grading_priority("stream_stateful_reassembly", hist) == -1
     # hash-green r4 row → priority 4 or later
     assert q._grading_priority("events_sessionize", hist) >= 4
     # unknown query → never graded → front of the queue

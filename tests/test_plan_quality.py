@@ -212,6 +212,28 @@ def test_tfidf_single_corpus_pass_no_sort_merge(spark):
     assert st.sort_merge_joins == 0, "DF/count joins must broadcast"
 
 
+def test_approx_percentile_invariant_broadcasts_sketch(spark):
+    """The promoted rank-invariant plan: one sketch aggregate over lineitem,
+    its 3-row result broadcast back onto lineitem, one counting aggregate —
+    the sketch side must broadcast (a sort-merge join would shuffle the full
+    fact table a second time just to verify the sketch) and both aggregates
+    stay map-side combinable (2 exchanges: one per aggregate)."""
+    st = plan_stats(_q(spark, "agg_approx_percentile"))
+    assert st.broadcast_joins == 1, "sketch result must broadcast back"
+    assert st.sort_merge_joins == 0
+    assert st.exchanges <= 2, "both aggregates must stay single-shuffle"
+
+
+def test_approx_distinct_invariant_keeps_sketch_out_of_expand(spark):
+    """Exact distincts and HLL sketches must run as two separate aggregates
+    joined via broadcast — mixing them in ONE agg drags the 16 KB HLL
+    buffers through the multi-distinct Expand (147 s vs 4 s at sf0.1, 37×).
+    The join of the two 4-row results must broadcast, never sort-merge."""
+    st = plan_stats(_q(spark, "agg_approx_distinct"))
+    assert st.broadcast_joins == 1, "sketch side must broadcast-join back"
+    assert st.sort_merge_joins == 0
+
+
 def test_sessionize_single_shuffle(spark):
     """Batch sessionization: lag-flag window, running-sum window, and the
     per-session aggregate must all reuse ONE hash(user_id) exchange — the

@@ -93,6 +93,9 @@ def test_stateful_reassembly_matches_batch_manifest(spark):
     assert rejected_stream == bad_hs
     assert done_stream == done_batch
     assert len(done_stream) > 100  # the fixture overwhelmingly completes
+    # The declared output now EMBEDS this cross-check (round-4 verdict
+    # item 6): batch_consistent must be uniformly true when the sets agree.
+    assert stream_out.filter(~F.col("batch_consistent")).count() == 0
 
 
 def test_ack_verify_stream_stream_join(spark):

@@ -349,17 +349,56 @@ def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # approximate by construction — rows-only check
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           TRUE AS orders_within_bound,
+           TRUE AS parts_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     category="aggregation",
     origin="EXT",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts — the 100 TB path where exact distinct
-    would shuffle every key. rsd=0.01 ⇒ ~1% error, constant memory."""
+    would shuffle every key. rsd=0.01 ⇒ ~1% error, constant memory.
+
+    Promoted from rows-only to oracle-checked (round-4 verdict item 7): the
+    sketch value itself is approximate by construction, so the DECLARED
+    output is the *invariant* — exact distinct counts (hash-checked against
+    DuckDB) plus a boolean per sketch asserting |approx−exact| ≤ 5%·exact.
+    HLL++ is deterministic for a given dataset, and 5% is 5σ at rsd=0.01 —
+    a false failure is (far) rarer than a real regression. The oracle emits
+    literal TRUE, so a sketch drifting out of bound hash-mismatches.
+
+    Plan shape: the sketches and the exact distincts run as two SEPARATE
+    single-shuffle aggregates joined on the 4-row grouping key (broadcast).
+    Never mix them in one agg: Spark's multi-distinct rewrite expands every
+    input row once per distinct column and evaluates the non-distinct
+    aggregates on every expanded row — dragging the 16 KB HLL buffers
+    through the Expand measured 147 s vs 4 s at sf0.1 (37× — a genuine
+    100 TB scale-killer caught by the two-point check)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_ao"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("_ap"),
+    )
+    return exact.join(F.broadcast(approx), "l_returnflag").select(
+        "l_returnflag",
+        "n_orders",
+        "n_parts",
+        (F.abs(F.col("_ao") - F.col("n_orders")) <= 0.05 * F.col("n_orders")).alias(
+            "orders_within_bound"
+        ),
+        (F.abs(F.col("_ap") - F.col("n_parts")) <= 0.05 * F.col("n_parts")).alias(
+            "parts_within_bound"
+        ),
     )
 
 
@@ -716,24 +755,65 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_percentile",
-    oracle=None,  # sketch-based by design — rows-only; exact twin is agg_percentiles
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           quantile_cont(l_quantity, 0.5) AS median_exact,
+           TRUE AS q25_rank_ok,
+           TRUE AS q50_rank_ok,
+           TRUE AS q75_rank_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     category="aggregation (sketch)",
     origin="EXT",
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna sketch) — the 100 TB scale
     path for ``agg_percentiles``: map-side-combinable sketch, no per-group
-    sort, bounded memory at any cardinality. Accuracy 1/10000; the exact
-    twin is the oracle-checked ``agg_percentiles``."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    sort, bounded memory at any cardinality. Accuracy 1/10000.
+
+    Promoted from rows-only to oracle-checked (round-4 verdict item 7).
+    Value-equality against an exact quantile is the WRONG invariant for a
+    sketch (it returns a data value, not an interpolation, and ties make
+    value error data-dependent) — the GK contract is a RANK guarantee:
+    the returned value v satisfies  count(x < v) ≤ (p+ε)·n  and
+    count(x ≤ v) ≥ (p−ε)·n  with ε = 1/accuracy. The declared output emits
+    that check per quantile as a boolean (2ε + 1-row slack against edge
+    rounding), alongside the exact median and row count, which hash-check
+    against DuckDB; the oracle emits literal TRUE for the booleans.
+    Plan shape: one sketch agg, a 3-row broadcast back onto lineitem, one
+    counting agg — both aggregates map-side combinable, no sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    eps = 1.0 / 10000
+    appx = li.groupBy("l_returnflag").agg(
         F.expr("approx_percentile(l_quantity, array(0.25D, 0.5D, 0.75D), 10000)")
         .cast("array<double>")
-        .getItem(0)
-        .alias("q25_approx"),
-        F.expr("approx_percentile(l_quantity, 0.5D, 10000)").alias("median_approx"),
+        .alias("aq"),
+        F.expr("percentile(l_quantity, 0.5D)").alias("median_exact"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    j = li.join(F.broadcast(appx), "l_returnflag")
+    aggs = [
+        F.first("median_exact").alias("median_exact"),
+        F.first("n_rows").alias("n_rows"),
+    ]
+    for i, p in enumerate((0.25, 0.5, 0.75)):
+        v = F.col("aq").getItem(i)
+        aggs.append(
+            F.sum(F.when(F.col("l_quantity") < v, 1).otherwise(0)).alias(f"_lt{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("l_quantity") <= v, 1).otherwise(0)).alias(f"_le{i}")
+        )
+    g = j.groupBy("l_returnflag").agg(*aggs)
+    cols = [F.col("l_returnflag"), F.col("n_rows"), F.col("median_exact")]
+    for i, (p, name) in enumerate(((0.25, "q25"), (0.5, "q50"), (0.75, "q75"))):
+        ok = (
+            F.col(f"_lt{i}") <= (p + 2 * eps) * F.col("n_rows") + F.lit(1)
+        ) & (F.col(f"_le{i}") >= (p - 2 * eps) * F.col("n_rows") - F.lit(1))
+        cols.append(ok.alias(f"{name}_rank_ok"))
+    return g.select(*cols)
 
 
 @register(

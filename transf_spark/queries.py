@@ -122,10 +122,24 @@ def _correctness_history(root: str | None = None) -> dict[str, tuple[int, bool]]
     return hist
 
 
+# Round in which a query's declared output or oracle last changed shape: a
+# history row from an EARLIER round graded different code, so the query
+# ranks as ungraded until a row from >= that round lands. Self-resetting —
+# once the driver writes that round's CORRECTNESS file, the entry is inert
+# (no per-round cleanup needed, unlike the r3-r4 hard-coded tier lists).
+_SEMANTICS_CHANGED_IN: dict[str, int] = {
+    "agg_approx_distinct": 5,  # r5: rows-only → oracle-checked error-bound invariant
+    "agg_approx_percentile": 5,  # r5: rows-only → oracle-checked rank invariant
+    "stream_stateful_reassembly": 5,  # r5: embedded batch_consistent column
+}
+
+
 def _grading_priority(name: str, hist: dict[str, tuple[int, bool]]) -> int:
     entry = hist.get(name)
     if entry is None or not entry[1]:
         return -1  # never graded, or latest row red — grade first
+    if entry[0] < _SEMANTICS_CHANGED_IN.get(name, 0):
+        return -1  # latest row predates a semantics change — regrade first
     return entry[0]  # green: oldest round first
 
 
