@@ -64,6 +64,10 @@ HEADLINE = [
     "text_tfidf_topk",
     "embedding_quantize_int8",
     "events_sessionize",
+    # round-5 additions
+    "events_funnel_steps",
+    "agg_retention_cohort",
+    "text_unigram_lm_score",
 ]
 
 

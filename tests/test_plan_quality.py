@@ -243,3 +243,42 @@ def test_sessionize_single_shuffle(spark):
     st = plan_stats(_q(spark, "events_sessionize"))
     assert st.exchanges == 1
     assert st.sort_merge_joins == 0
+
+
+def test_funnel_single_user_shuffle_with_pushdown(spark):
+    """Strict-order funnel: the step filter must reach the parquet scan
+    (only funnel event types are read), the per-user fold must be the ONE
+    event-volume-sized exchange (the second is the 1-row global step
+    count), and no join appears at all — the join-per-step formulation
+    would shuffle the event log once per funnel stage at 100 TB."""
+    df = _q(spark, "events_funnel_steps")
+    st = plan_stats(df)
+    assert st.exchanges == 2, "user fold + 1-row summary only"
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+    assert any("event_type" in pf for pf in st.pushed_filters)
+    assert scan_columns(df) == [{"ts", "user_id", "event_type"}]
+
+
+def test_retention_cohort_scans_two_columns_no_sort_merge(spark):
+    """Cohort retention: every parquet scan must read only (ts, user_id) —
+    the event payload never moves — and the cohort-map join back onto
+    active-days must broadcast (or co-hash), never sort-merge both sides
+    from scratch. Exchange budget: distinct, cohort groupBy, final matrix
+    aggregate, cohort-size window — all over progressively smaller data."""
+    df = _q(spark, "agg_retention_cohort")
+    st = plan_stats(df)
+    assert st.sort_merge_joins == 0
+    assert st.broadcast_joins >= 1, "cohort map must broadcast"
+    assert st.exchanges <= 4
+    assert all(c == {"ts", "user_id"} for c in scan_columns(df))
+
+
+def test_unigram_lm_no_sort_merge_single_row_cross(spark):
+    """Unigram-LM scoring: the term-frequency table joins back via
+    broadcast (term cardinality ≪ the (doc,term) set) and the only
+    nested-loop join is the broadcast 1-row corpus total — the same
+    plan-shape contract as text_tfidf_topk."""
+    st = plan_stats(_q(spark, "text_unigram_lm_score"))
+    assert st.sort_merge_joins == 0, "corpus-count join must broadcast"
+    assert st.broadcast_joins >= 1
+    assert st.nested_loop_joins <= 1, "only the 1-row total may cross-join"

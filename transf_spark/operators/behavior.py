@@ -1,0 +1,179 @@
+"""User-behavior analytics over the event stream: ordered funnel
+conversion and cohort retention — the two aggregate shapes every
+product/event warehouse runs daily, and natural extensions of the
+engine's sessionization family (SURVEY.md §2.B `events_sessionize`).
+
+Reference tie-in: the transfer protocol itself is an ordered funnel —
+handshake → sequenced chunks → completion (`transf_client.cpp:112-195`,
+`transf_server.cpp:154-316`) — and the session GC's "was the user active
+N intervals later?" question (`transf_server.cpp:78-131`) is retention.
+These operators restate those questions over the generic `events` table.
+
+All hot-path logic is JVM expressions; timestamps are compared on the raw
+nanosecond count (``ts_ns``) so ordering and gap math are integer-exact
+in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from transf_spark.queries import register
+from transf_spark.sources.tables import load_table
+
+# Strict-order funnel: each later step must happen strictly AFTER the
+# user's earliest completion of the previous step (the min-chain
+# formulation: t1 = min view; t2 = min click with t > t1; t3 = min
+# purchase with t > t2).
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+NS_PER_DAY = 86_400_000_000_000
+
+
+@register(
+    "events_funnel_steps",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events
+    ),
+    s1 AS (
+      SELECT user_id, MIN(tns) AS t1 FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.tns) AS t2 FROM e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.tns > s1.t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.tns) AS t3 FROM e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.tns > s2.t2 GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3
+    )
+    SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step_name,
+           n1 AS n_users, CAST(1.0 AS DOUBLE) AS frac_of_first FROM c
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', n2, CAST(n2 AS DOUBLE) / n1 FROM c
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', n3, CAST(n3 AS DOUBLE) / n1 FROM c
+    """,
+    category="window/funnel",
+    origin="EXT",
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel conversion (view → click → purchase): how many
+    users completed each prefix of the journey, in time order, with every
+    later step strictly after the earliest completion of the previous one.
+
+    Implementation is a single-shuffle per-user fold rather than one
+    join-per-step: filter to funnel event types (pushed to the scan), one
+    groupBy(user_id) collecting the time-sorted (ts_ns, type) list, then a
+    codegen ``aggregate`` fold that advances the (t1, t2, t3) chain state
+    greedily — over a time-sorted list the greedy chain equals the
+    min-chain (first view IS min(view); first click after t1 IS
+    min(click > t1)), which is what the oracle's three-CTE join computes.
+    The fold's step conditions compare only ``ts_ns`` (strict ``>``), so
+    equal-timestamp sort ties cannot change the result.
+
+    Scale: ONE shuffle on user_id; per-user state is 3 ints. The collected
+    list is bounded by one user's funnel events — the same per-key bound
+    sessionization's windows already assume; a pathological single-user
+    hot key would salt/pre-filter upstream, not here. The final step
+    counts are a 1-row global aggregate (second, 1-row exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type").isin(*FUNNEL_STEPS))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("ts_ns", "event_type"))).alias("evts"))
+    )
+    chain = F.expr(
+        """aggregate(
+             evts,
+             named_struct('t1', CAST(NULL AS BIGINT),
+                          't2', CAST(NULL AS BIGINT),
+                          't3', CAST(NULL AS BIGINT)),
+             (s, e) -> CASE
+               WHEN e.event_type = 'view' AND s.t1 IS NULL
+                 THEN named_struct('t1', e.ts_ns, 't2', s.t2, 't3', s.t3)
+               WHEN e.event_type = 'click' AND s.t1 IS NOT NULL
+                    AND s.t2 IS NULL AND e.ts_ns > s.t1
+                 THEN named_struct('t1', s.t1, 't2', e.ts_ns, 't3', s.t3)
+               WHEN e.event_type = 'purchase' AND s.t2 IS NOT NULL
+                    AND s.t3 IS NULL AND e.ts_ns > s.t2
+                 THEN named_struct('t1', s.t1, 't2', s.t2, 't3', e.ts_ns)
+               ELSE s
+             END)"""
+    )
+    counts = per_user.select(chain.alias("s")).agg(
+        F.sum(F.col("s.t1").isNotNull().cast("long")).alias("n1"),
+        F.sum(F.col("s.t2").isNotNull().cast("long")).alias("n2"),
+        F.sum(F.col("s.t3").isNotNull().cast("long")).alias("n3"),
+    )
+    return counts.selectExpr(
+        """stack(3,
+             CAST(1 AS BIGINT), 'view',     n1, CAST(1.0 AS DOUBLE),
+             CAST(2 AS BIGINT), 'click',    n2, CAST(n2 AS DOUBLE) / n1,
+             CAST(3 AS BIGINT), 'purchase', n3, CAST(n3 AS DOUBLE) / n1
+           ) AS (step_idx, step_name, n_users, frac_of_first)"""
+    )
+
+
+@register(
+    "agg_retention_cohort",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT user_id, epoch_ns(ts) // {NS_PER_DAY} AS day FROM events
+    ),
+    c AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id
+    ),
+    r AS (
+      SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM d JOIN c USING (user_id) GROUP BY 1, 2
+    )
+    SELECT cohort_day, day_offset, n_users,
+           CAST(n_users AS DOUBLE)
+             / MAX(CASE WHEN day_offset = 0 THEN n_users END)
+                 OVER (PARTITION BY cohort_day) AS retained_frac
+    FROM r
+    """,
+    category="aggregation/retention",
+    origin="EXT",
+)
+def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-granularity cohort retention: cohort = a user's first active
+    day; for each (cohort_day, day_offset), the count of cohort users
+    active that day and the retained fraction of the cohort's size.
+
+    Plan: distinct (user_id, day) — one shuffle with map-side combine on
+    high-cardinality keys, collapsing the event volume to active-days;
+    cohort assignment is a groupBy(user_id) over that already-reduced set;
+    the user-keyed join back is AQE-planned (broadcast when the cohort map
+    is small, co-hashed otherwise); the final (cohort_day, day_offset)
+    aggregate and the cohort-size window both run on the tiny matrix
+    (cohorts × offsets). At 100 TB the only event-volume-sized work is the
+    first distinct — everything after touches per-user-day rows. Day
+    arithmetic is integer division of the raw nanosecond count, exact and
+    identical in both engines; `retained_frac` is a single IEEE division."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr(f"ts_ns div {NS_PER_DAY}").alias("day")
+    ).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    matrix = (
+        days.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    size_w = W.partitionBy("cohort_day")
+    cohort_size = F.max(F.when(F.col("day_offset") == 0, F.col("n_users"))).over(size_w)
+    return matrix.select(
+        "cohort_day",
+        "day_offset",
+        "n_users",
+        (F.col("n_users").cast("double") / cohort_size).alias("retained_frac"),
+    )

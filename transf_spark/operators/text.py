@@ -205,6 +205,82 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_unigram_lm_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    corpus AS (
+      SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY term
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM corpus)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf * cnt) AS BIGINT) AS freq_mass,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(SUM(tf * cnt) AS DOUBLE) / (CAST(SUM(tf) AS BIGINT) * tot.total)
+             AS commonness
+    FROM tf JOIN corpus USING (term) CROSS JOIN tot
+    GROUP BY doc_id, tot.total
+    """,
+    category="text-analysis",
+    origin="EXT",
+)
+def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model quality score per document — the
+    CCNet-style curation signal: documents whose tokens are improbably
+    rare under the corpus unigram distribution are flagged (OCR noise,
+    boilerplate hashes), improbably common ones too (template spam).
+
+    Per doc: ``commonness`` = mean corpus relative frequency of its token
+    occurrences = Σ(tf·cnt) / (n_tokens · total), plus the hapax count
+    (tokens occurring exactly once corpus-wide — a noise proxy). All
+    accumulation is integer (bigint sums, exact in both engines); the only
+    floating-point op is the single final division, so the result is
+    IEEE-exact and hash-checkable — the same determinism device as
+    `text_tfidf_topk`'s rational IDF (a log-prob formulation would diverge
+    in the last ulp between libm implementations).
+
+    Plan: one corpus-sized shuffle on (doc_id, term) with map-side
+    combine; the term-frequency table derives from that result (term
+    cardinality ≪ corpus) and AQE broadcasts it back; the corpus total is
+    a 1-row broadcast cross join. No step reads the corpus twice — at
+    100 TB this costs exactly what tokenize-and-count costs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    corpus = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    tot = corpus.agg(F.sum("cnt").alias("total"))
+    return (
+        tf.join(corpus, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "total")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("cnt")).alias("freq_mass"),
+            F.sum((F.col("cnt") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "freq_mass",
+            "n_hapax",
+            (
+                F.col("freq_mass").cast("double")
+                / (F.col("n_tokens") * F.col("total"))
+            ).alias("commonness"),
+        )
+    )
+
+
+@register(
     "text_tfidf_topk",
     oracle="""
     WITH tf AS (

@@ -199,6 +199,7 @@ def _load_all_modules() -> None:
         pipeline,
         sql_api,
         clustering,
+        behavior,
     )
     from transf_spark.sources import formats  # noqa: F401
     from transf_spark.streaming import stateful, windows  # noqa: F401
