@@ -68,6 +68,8 @@ HEADLINE = [
     "events_funnel_steps",
     "agg_retention_cohort",
     "text_unigram_lm_score",
+    "join_bucketed_colocated",
+    "similarity_ann_ivf",
 ]
 
 

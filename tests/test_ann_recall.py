@@ -66,3 +66,30 @@ def test_quantize_int8_error_bound(spark):
         assert r["qscale"] >= 0.0
         assert r["err_max"] <= r["qscale"] * 0.5 * (1 + 1e-12) + 1e-300
         assert 0 <= r["q_l1"] <= 127 * 64  # dim-64 fixture vectors
+
+
+def test_ann_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF twin of the LSH gate: same query surface and output contract,
+    probing IVF_PROBES of IVF_K inverted lists. On this fixture the
+    deterministic recall is 0.40 (5× the LSH path — nearest-centroid
+    partitioning respects cosine geometry better than independent sign
+    bits on near-random data); the floor catches a broken index while
+    leaving headroom (random recall ≈ 0.02)."""
+    qs = queries()
+    ivf = qs["similarity_ann_ivf"](spark, SF).collect()
+    bf = qs["similarity_topk_cosine"](spark, SF).collect()
+
+    bf_queries = {r["q_id"] for r in bf}
+    by_q: dict[int, list] = {}
+    for r in ivf:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == bf_queries
+    for q_id, rows in by_q.items():
+        assert len(rows) == 10
+        assert sorted(r["rnk"] for r in rows) == list(range(1, 11))
+        cosines = [r["cosine"] for r in sorted(rows, key=lambda r: r["rnk"])]
+        assert cosines == sorted(cosines, reverse=True)
+
+    recall = len({(r["q_id"], r["nn_id"]) for r in ivf}
+                 & {(r["q_id"], r["nn_id"]) for r in bf}) / len(bf)
+    assert recall >= 0.25

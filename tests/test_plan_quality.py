@@ -282,3 +282,29 @@ def test_unigram_lm_no_sort_merge_single_row_cross(spark):
     assert st.sort_merge_joins == 0, "corpus-count join must broadcast"
     assert st.broadcast_joins >= 1
     assert st.nested_loop_joins <= 1, "only the 1-row total may cross-join"
+
+
+def test_bucketed_join_zero_join_exchanges(spark):
+    """The declared co-located join: both sides bucketed on the order key,
+    so the ONLY exchange in the whole plan is the final small aggregate —
+    the join itself moves nothing. This is the materialized-shuffle layout
+    the 100 TB fact-to-fact join depends on; a second exchange here means
+    bucketing metadata was lost (e.g. a projection pushed below the scan
+    dropped the bucket spec)."""
+    st = plan_stats(_q(spark, "join_bucketed_colocated"))
+    assert st.sort_merge_joins == 1, "must stay a bucketed sort-merge join"
+    assert st.broadcast_joins == 0, "merge hint must hold off AQE broadcast"
+    assert st.exchanges == 1, "only the final aggregate may shuffle"
+
+
+def test_orc_roundtrip_prunes_columns(spark):
+    """ORC is columnar like parquet: the round-trip aggregate reads 5 of 5
+    needed columns, never the full row — the format-plural scan layer keeps
+    parquet's pruning behavior."""
+    df = _q(spark, "scan_orc_roundtrip")
+    plan = __import__("transf_spark.plans.inspect", fromlist=["physical_plan"]).physical_plan(df)
+    import re
+    scans = re.findall(r"FileScan orc \[([^\]]*)\]", plan)
+    assert scans, "expected an ORC scan"
+    cols = {c.split("#")[0] for c in scans[0].split(",")}
+    assert cols <= {"doc_id", "text", "lang", "source", "n_chars"}, cols

@@ -6,6 +6,8 @@
                                  near-dup; oracle-checked)
 - ``similarity_ann_lsh``       — random-hyperplane LSH bucketed ANN (the
                                  100 TB scale path; approximate ⇒ rows-only)
+- ``similarity_ann_ivf``       — IVF coarse-quantized ANN (second scale
+                                 path; approximate ⇒ rows-only, recall-gated)
 
 Float parity engineering: dot products fold left-to-right in double on both
 engines (Spark ``aggregate(zip_with(...))`` vs DuckDB ``list_dot_product``),
@@ -238,6 +240,86 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id").asc())
     return (
         cand.select("q_id", F.col("vec_id").alias("nn_id"), cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "nn_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+IVF_K = 32  # coarse centroids — ~sqrt(n) at the probe fixture
+IVF_PROBES = 4  # nearest inverted lists probed per query
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=None,  # approximate by construction — rows-only; recall vs brute
+    # force asserted in tests/test_ann_recall.py (same contract as LSH twin)
+    category="similarity",
+    origin="EXT",
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) coarse-quantized ANN top-k — the second
+    scale-path index beside ``similarity_ann_lsh``, same query surface as
+    ``similarity_topk_cosine``.
+
+    Index side: ``IVF_K`` coarse centroids chosen deterministically (the
+    ``IVF_K`` smallest ``md5(vec_id)`` values — a seeded uniform sample;
+    map-side partial top-K, no full sort; a production build would Lloyd-
+    iterate from this seed, which only *moves* the centroids — the plan
+    shape is identical). Every corpus vector is assigned to its
+    nearest-centroid inverted list in ONE broadcast pass: n×K cosines
+    evaluated map-side, then a map-side-combinable struct-argmax per
+    vec_id (ties break to the lowest centroid id — deterministic under
+    retry). Query side: each query scores the K broadcast centroids,
+    probes its ``IVF_PROBES`` nearest lists, exact cosine re-ranks the
+    candidates, top-10 per query.
+
+    Scale: the corpus is touched twice (assignment, probe-join), both
+    times embarrassingly parallel; a probe reads P/K of the data. The
+    assignment argmax shuffles n rows (post-combine), keyed on vec_id —
+    high cardinality, even spread."""
+    e = _emb_double(spark, sf_dir)
+    cent = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(IVF_K)
+        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "v", "c_id", F.expr(_COS.format(a="v", b="cv")).alias("cos")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.max(F.struct(F.col("cos"), (-F.col("c_id")).alias("neg_id"))).alias("m"),
+        )
+        .select("vec_id", "v", (-F.col("m.neg_id")).alias("list_id"))
+    )
+    qprobe = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+        .crossJoin(F.broadcast(cent))
+        .select("q_id", "qv", "c_id", F.expr(_COS.format(a="qv", b="cv")).alias("cos"))
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+            ),
+        )
+        .filter(F.col("pr") <= IVF_PROBES)
+        .select("q_id", "qv", F.col("c_id").alias("list_id"))
+    )
+    cand = assigned.join(F.broadcast(qprobe), "list_id").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id").asc())
+    return (
+        cand.select(
+            "q_id",
+            F.col("vec_id").alias("nn_id"),
+            F.expr(_COS.format(a="qv", b="v")).alias("cosine"),
+        )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "nn_id", "cosine", F.col("rnk").cast("long").alias("rnk"))

@@ -19,6 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from transf_spark import schemas
+from transf_spark.functions.exprs import dec
 from transf_spark.queries import register
 from transf_spark.sources import tables
 from transf_spark.sources.tables import load_table
@@ -48,6 +49,8 @@ def _staged_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         writer = docs.write.mode("overwrite")
         if fmt == "csv":
             writer.option("header", True).csv(f"{out}/data")
+        elif fmt == "orc":
+            writer.orc(f"{out}/data")
         else:
             writer.json(f"{out}/data")
         open(marker, "w").close()
@@ -100,6 +103,101 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _staged_dir(spark, sf_dir, "json")
     df = spark.read.schema(schemas.SCHEMAS["documents"]).json(f"{src}/data")
     return _roundtrip_agg(df)
+
+
+@register(
+    "scan_orc_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    category="scan/source",
+    origin="R1+",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan: Spark's second native columnar format, same staging/
+    aggregate/oracle as the CSV/JSON twins. Unlike the text formats, ORC
+    keeps types and supports predicate pushdown + column pruning like
+    parquet — this query proves the engine's scan layer is format-plural
+    at the columnar tier too (a reference user's data may arrive as ORC
+    from a Hive-era warehouse). Schema-pinned read; lossless round-trip
+    proven by hash equality against the parquet-side oracle."""
+    src = _staged_dir(spark, sf_dir, "orc")
+    df = spark.read.schema(schemas.SCHEMAS["documents"]).orc(f"{src}/data")
+    return _roundtrip_agg(df)
+
+
+def _bucketed_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    key: str,
+    columns: list[str],
+    n_buckets: int = 8,
+):
+    """Stage a fixture table as a bucketed+sorted external parquet table
+    (files written once per fixture fingerprint; catalog metadata recreated
+    per session with a metadata-only DDL over the existing files)."""
+    from transf_spark.sources.sinks import write_bucketed
+
+    tag = tables.staging_tag(sf_dir, name, extra=f"bucket{n_buckets}:{key}")
+    tbl = f"{name}_b_{tag}"
+    out = f"/tmp/transf_spark_bucket_{name}_{tag}"
+    marker = os.path.join(out, "_READY")
+    if not os.path.exists(marker):
+        df = load_table(spark, sf_dir, name).select(*columns)
+        write_bucketed(df, tbl, key, n_buckets, sort_col=key, path=out)
+        open(marker, "w").close()
+    elif not spark.catalog.tableExists(tbl):
+        # files persist across sessions; only the catalog entry is per-session
+        schema = load_table(spark, sf_dir, name).select(*columns).schema
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+        spark.sql(
+            f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{out}'"
+        )
+    return spark.table(tbl)
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    category="join/layout",
+    origin="EXT (100 TB rule)",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free co-located fact join — THE 100 TB join layout: both
+    lineitem and orders staged once as 8-bucket tables on the order key
+    (the shuffle is materialized at write time), so the join runs as a
+    sort-merge over pre-aligned buckets with ZERO exchanges before the
+    final small aggregate (plan-gated). The ``merge`` hint keeps AQE from
+    demoting the demonstration to a broadcast at toy scale — at 100 TB
+    neither side broadcasts and the bucketed plan is the only one that
+    avoids re-shuffling the fact table on every join. Revenue is the
+    decimal-exact disc-price sum (functions/exprs.py parity device);
+    result equals the plain parquet join, which is what the oracle runs."""
+    li = _bucketed_table(
+        spark, sf_dir, "lineitem", "l_orderkey",
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = _bucketed_table(
+        spark, sf_dir, "orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]
+    )
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.hint("merge")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(disc_price).cast("double").alias("revenue"),
+        )
+    )
 
 
 @register(
