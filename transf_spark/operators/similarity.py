@@ -326,6 +326,101 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+# squared L2 distance between two double arrays, left-to-right fold
+_SQDIST = """
+  aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),
+            cast(0.0 AS double), (acc, z) -> acc + z)
+"""
+
+
+def _kmeans_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: one broadcast pass over the corpus,
+    map-side-combinable struct-argmin per vec_id (ties → lowest c_id)."""
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "v", "c_id", F.expr(_SQDIST.format(a="v", b="cv")).alias("d2")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.min(F.struct(F.col("d2"), F.col("c_id"))).alias("m"),
+        )
+        .select("vec_id", "v", F.col("m.c_id").alias("c_id"), F.col("m.d2").alias("d2"))
+    )
+
+
+def _kmeans_recenter(assigned: DataFrame) -> DataFrame:
+    """New centroid = element-wise mean of each cluster's vectors:
+    posexplode to (cluster, dim, x), avg per (cluster, dim), re-pack in dim
+    order. Shuffle volume n×dim rows with map-side combine down to K×dim."""
+    return (
+        assigned.select("c_id", F.posexplode("v").alias("pos", "x"))
+        .groupBy("c_id", "pos")
+        .agg(F.avg("x").alias("mx"))
+        .groupBy("c_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)"
+            ).alias("cv")
+        )
+    )
+
+
+def _kmeans(spark: SparkSession, sf_dir: str, iters: int = KMEANS_ITERS):
+    """Bounded-iteration Lloyd k-means over the embedding corpus.
+
+    Returns (assigned, centroids) after ``iters`` assign/recenter rounds
+    from the deterministic md5-sampled seed (the same seed device as the
+    IVF index — k-means is exactly its 'train the centroids' upgrade).
+    Each round's K×dim centroid table is eagerly localCheckpoint'd
+    (clustering.py precedent) so the final plan references materialized
+    centroids instead of a re-derivable 3-deep lineage. Iteration count is
+    FIXED, not convergence-tested: at 100 TB a bounded number of corpus
+    passes is the budgeted contract (each pass is one broadcast map +
+    two map-side-combinable shuffles); inertia monotonicity is
+    property-tested in tests/test_ann_recall.py. Empty clusters (possible
+    k-means degeneracy) simply drop out of the centroid table."""
+    e = _emb_double(spark, sf_dir).select("vec_id", "v")
+    cent = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(KMEANS_K)
+        .select(
+            F.row_number().over(W.orderBy("vec_id")).alias("c_id"),
+            F.col("v").alias("cv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigned = _kmeans_assign(e, cent)
+    for _ in range(iters - 1):
+        cent = _kmeans_recenter(assigned).localCheckpoint(eager=True)
+        assigned = _kmeans_assign(e, cent)
+    return assigned, cent
+
+
+@register(
+    "embedding_kmeans",
+    oracle=None,  # iterative algorithm — rows-only; inertia monotonicity and
+    # assignment optimality property-tested in tests/test_ann_recall.py
+    category="similarity/clustering",
+    origin="EXT",
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering of the embedding corpus — the curation step that
+    groups near-topic documents for balanced sampling / cluster-level dedup,
+    and the trained-centroid upgrade for ``similarity_ann_ivf``. Fixed
+    3-iteration Lloyd from the deterministic seed; output is the per-cluster
+    profile (size + mean squared distance to centroid)."""
+    assigned, _ = _kmeans(spark, sf_dir)
+    return assigned.groupBy("c_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("d2"), 6).alias("avg_d2"),
+    )
+
+
 @register(
     "embedding_norm_stats",
     oracle="""
