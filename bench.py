@@ -71,6 +71,11 @@ HEADLINE = [
     "join_bucketed_colocated",
     "similarity_ann_ivf",
     "embedding_kmeans",
+    "text_segment_dedup",
+    "sample_group_topk_hash",
+    "events_markov_transitions",
+    "agg_decimal_exact_money",
+    "window_ntile_deciles",
 ]
 
 

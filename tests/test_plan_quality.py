@@ -308,3 +308,90 @@ def test_orc_roundtrip_prunes_columns(spark):
     assert scans, "expected an ORC scan"
     cols = {c.split("#")[0] for c in scans[0].split(",")}
     assert cols <= {"doc_id", "text", "lang", "source", "n_chars"}, cols
+
+
+def test_segment_dedup_two_high_cardinality_exchanges(spark):
+    """Corpus segment-dedup: segments are built JVM-side (no join), counted
+    by ONE window exchange on the md5 segment hash, rolled up by ONE
+    doc_id exchange — both high-cardinality keys. A groupBy+self-join
+    formulation would move the exploded corpus twice more at 100 TB."""
+    df = _q(spark, "text_segment_dedup")
+    st = plan_stats(df)
+    assert st.exchanges == 2, "seg-hash window + doc rollup only"
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+    assert scan_columns(df) == [{"doc_id", "text"}]
+
+
+def test_group_topk_salted_two_phase(spark):
+    """Per-group exact-k sample: the corpus-sized shuffle must hash on the
+    SALTED key (lang, doc_id % 32) — a single window partitioned by lang
+    alone puts an entire language on one task at 100 TB. Stage 2 ranks
+    only k·32 survivors per language."""
+    from transf_spark.plans.inspect import physical_plan
+
+    df = _q(spark, "sample_group_topk_hash")
+    st = plan_stats(df)
+    assert st.exchanges == 2, "salted local top-k + survivor ranking"
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+    plan = physical_plan(df)
+    assert "pmod" in plan, "stage-1 window lost its salt key"
+    assert scan_columns(df) == [{"doc_id", "lang"}]
+
+
+def test_ntile_deciles_single_exchange(spark):
+    """Decile profile: the (segment, decile) rollup must REUSE the window's
+    hash(c_mktsegment) distribution — Catalyst proves hash(segment)
+    clusters every (segment, decile) group, so a second exchange means the
+    partitioning contract broke."""
+    df = _q(spark, "window_ntile_deciles")
+    st = plan_stats(df)
+    assert st.exchanges == 1, "window and rollup must share one shuffle"
+    assert scan_columns(df) == [{"c_mktsegment", "c_acctbal", "c_custkey"}]
+
+
+def test_unpivot_is_expand_not_self_union(spark):
+    """Wide→long reshape: ONE pruned fact scan + ONE aggregate exchange;
+    the unpivot itself is an Expand over the 6-row aggregate. A UNION-ALL
+    formulation would scan and aggregate lineitem once per measure."""
+    df = _q(spark, "agg_unpivot_stack")
+    st = plan_stats(df)
+    assert st.exchanges == 1
+    assert len(scan_columns(df)) == 1, "unpivot must not re-scan per measure"
+    assert scan_columns(df) == [{"l_returnflag", "l_quantity", "l_extendedprice"}]
+
+
+def test_decimal_money_prunes_and_never_sort_merges_at_fixture(spark):
+    """Exact-money rollup: both scans pruned to the needed columns; at
+    fixture scale the orders side broadcasts (statistics-based) — a
+    sort-merge join OR an unpruned scan is a regression. The decimal sums
+    must not fall back to interpreted mode (no Python / no sort)."""
+    df = _q(spark, "agg_decimal_exact_money")
+    st = plan_stats(df)
+    assert st.sort_merge_joins == 0
+    assert st.exchanges <= 2
+    assert scan_columns(df) == [
+        {"l_orderkey", "l_extendedprice", "l_discount"},
+        {"o_orderkey", "o_orderpriority"},
+    ]
+
+
+def test_markov_single_event_volume_shuffle(spark):
+    """Transition matrix: exactly one event-volume-sized exchange (the
+    user_id lead window); the transition count is map-side combined to
+    ≤ |types|² rows and the probability window runs over that aggregate.
+    No join anywhere."""
+    df = _q(spark, "events_markov_transitions")
+    st = plan_stats(df)
+    assert st.exchanges == 3, "user window + tiny agg + tiny prob window"
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+    assert scan_columns(df) == [{"ts", "user_id", "event_type", "event_id"}]
+
+
+def test_length_histogram_single_pruned_pass(spark):
+    """Corpus length profile: a pure map + one map-side-combined exchange,
+    reading ONLY (lang, n_chars) — the text column (the bulk of the bytes
+    at 100 TB) must never leave the parquet footer."""
+    df = _q(spark, "docs_length_histogram")
+    st = plan_stats(df)
+    assert st.exchanges == 1
+    assert scan_columns(df) == [{"lang", "n_chars"}]

@@ -177,3 +177,66 @@ def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         (F.col("n_users").cast("double") / cohort_size).alias("retained_frac"),
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS to_type
+      FROM events
+    ),
+    t AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / SUM(n_transitions) OVER (PARTITION BY from_type) AS p_transition
+    FROM t
+    """,
+    category="window/markov",
+    origin="EXT",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event journeys:
+    for every ordered pair of consecutive events (same user, time order)
+    count the (from_type → to_type) transition and normalize to the
+    conditional probability P(next | current) — the model behind
+    next-action prediction, anomaly scoring ("error after purchase is
+    rare"), and journey visualization. Completes the behavioral family
+    next to the funnel (fixed path) and sessionizer (gap structure).
+
+    Ordering is (ts_ns, event_id): raw integer nanoseconds, event_id
+    tie-break, so equal-timestamp pairs rank identically in both engines.
+
+    Plan: ONE corpus-sized shuffle (user_id) for the lead() window; the
+    transition count then aggregates to at most |event types|² rows —
+    map-side combined, so the second exchange moves a few hundred bytes
+    per partition regardless of corpus size — and the probability
+    normalization is a window over that tiny aggregate. Per-user journey
+    length only affects a task's row count, not its memory (lead(1) keeps
+    no per-key state beyond one row)."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(seq).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    t = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    norm = W.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (F.col("n_transitions").cast("double") / F.sum("n_transitions").over(norm)).alias(
+            "p_transition"
+        ),
+    )

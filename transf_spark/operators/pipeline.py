@@ -380,3 +380,139 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(rt, 256).alias("redacted_sha"),
         F.length(rt).alias("redacted_len"),
     )
+
+
+SEGDUP_LEN = 4  # tokens per dedup segment
+SEGDUP_MAX = 2  # a segment seen more than this many times corpus-wide is scrubbed
+
+SAMPLE_TOPK_K = 5  # docs kept per language by sample_group_topk_hash
+SAMPLE_TOPK_SALT = 32  # stage-1 fan-out of the two-phase top-k
+
+
+@register(
+    "text_segment_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    segs AS (
+      SELECT doc_id,
+             unnest([struct_pack(
+                       h := md5(array_to_string(
+                              toks[i*{SEGDUP_LEN}+1 : i*{SEGDUP_LEN}+{SEGDUP_LEN}], ' ')),
+                       n := len(toks[i*{SEGDUP_LEN}+1 : i*{SEGDUP_LEN}+{SEGDUP_LEN}]))
+                     for i in range((len(toks)+{SEGDUP_LEN}-1)//{SEGDUP_LEN})]) AS s
+      FROM base
+    ),
+    cnt AS (
+      SELECT doc_id, s.n AS seg_toks,
+             COUNT(*) OVER (PARTITION BY s.h) AS c
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN c > {SEGDUP_MAX} THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+           CAST(SUM(CASE WHEN c > {SEGDUP_MAX} THEN 0 ELSE seg_toks END) AS BIGINT)
+             AS n_tokens_kept,
+           CAST(SUM(CASE WHEN c > {SEGDUP_MAX} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS frac_dropped
+    FROM cnt GROUP BY doc_id
+    """,
+    category="pipeline/dedup",
+    origin="EXT",
+)
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style corpus-level duplicated-segment removal: split every
+    document into fixed 4-token segments, count each segment's occurrences
+    across the WHOLE corpus, and scrub segments appearing more than
+    SEGDUP_MAX times (boilerplate, navigation chrome, licence headers —
+    the text that exact whole-doc dedup can never catch because the
+    surrounding document differs each time).
+
+    Per doc the query reports segment totals, how many segments were
+    corpus-duplicates, and the token count that survives the scrub —
+    the numbers a curation run thresholds on.
+
+    Plan: segments are built JVM-side with ``transform(sequence(...))`` over
+    the token array (no explode until the segments exist, no intermediate
+    row blow-up beyond 1/4 of token count), then ONE shuffle on the segment
+    hash where an unbounded window counts corpus occurrences — a window,
+    not a groupBy+self-join, so the corpus is moved once — and one shuffle
+    back on doc_id for the per-doc rollup.  At 100 TB both exchanges hash
+    on high-cardinality keys (md5 segment hash, doc_id): no hot key, no
+    broadcast of anything corpus-sized, linear in corpus tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    segs = docs.select(
+        "doc_id",
+        F.expr(
+            f"""explode(transform(
+                  sequence(0, CAST((size(split(text, ' ')) + {SEGDUP_LEN - 1})
+                                   / {SEGDUP_LEN} AS INT) - 1),
+                  i -> named_struct(
+                    'h', md5(array_join(slice(split(text, ' '),
+                                              i*{SEGDUP_LEN}+1, {SEGDUP_LEN}), ' ')),
+                    'n', size(slice(split(text, ' '), i*{SEGDUP_LEN}+1, {SEGDUP_LEN})))))
+             """
+        ).alias("s"),
+    )
+    c = F.count(F.lit(1)).over(W.partitionBy("s.h"))
+    counted = segs.select("doc_id", F.col("s.n").alias("seg_toks"), c.alias("c"))
+    dup = F.col("c") > SEGDUP_MAX
+    return counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(dup.cast("long")).alias("n_dup_segs"),
+        F.sum(F.when(dup, F.lit(0)).otherwise(F.col("seg_toks"))).alias("n_tokens_kept"),
+        (F.sum(dup.cast("long")).cast("double") / F.count(F.lit(1))).alias("frac_dropped"),
+    )
+
+
+@register(
+    "sample_group_topk_hash",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= {SAMPLE_TOPK_K}
+    """,
+    category="pipeline/sampling",
+    origin="EXT",
+)
+def sample_group_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-k per-group sample: the k documents per language
+    with the smallest content-independent hash draw — the fixed-size
+    counterpart of ``sample_stratified``'s percentage filter (eval-set
+    carve-outs and per-language probe sets need exactly k rows, not a
+    rate).  Ordering by (md5(doc_id), doc_id) is a reproducible uniform
+    draw: stable under task retry, partition order, and re-runs.
+
+    Plan — two-phase top-k, NOT one global window: a single
+    ``row_number() OVER (PARTITION BY lang)`` puts an entire language on
+    one task, and a 100 TB corpus has a handful of languages (the classic
+    low-cardinality-window scale killer).  Stage 1 partitions by
+    (lang, doc_id % {SAMPLE_TOPK_SALT}) and keeps the local top-k of each
+    of the {SAMPLE_TOPK_SALT} salted slices in parallel; stage 2 ranks only
+    the ≤ k·{SAMPLE_TOPK_SALT} survivors per language.  The global top-k is
+    a subset of the union of salted top-ks, so the result is exactly the
+    oracle's single-window answer while the corpus-sized shuffle spreads
+    over lang×salt keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    draw = F.md5(F.col("doc_id").cast("string")).alias("h")
+    salted = W.partitionBy("lang", F.pmod(F.col("doc_id"), F.lit(SAMPLE_TOPK_SALT))).orderBy(
+        "h", "doc_id"
+    )
+    stage1 = (
+        docs.select("doc_id", "lang", draw)
+        .withColumn("local_rn", F.row_number().over(salted))
+        .filter(F.col("local_rn") <= SAMPLE_TOPK_K)
+    )
+    final = W.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        stage1.withColumn("rn", F.row_number().over(final))
+        .filter(F.col("rn") <= SAMPLE_TOPK_K)
+        .select("doc_id", "lang", F.col("rn").cast("long").alias("sample_rank"))
+    )

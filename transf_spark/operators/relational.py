@@ -989,3 +989,169 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_type").alias("n_event_types"),
     )
+
+
+NTILE_BUCKETS = 10  # deciles for window_ntile_deciles
+
+
+@register(
+    "window_ntile_deciles",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_acctbal,
+             ntile({NTILE_BUCKETS}) OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer
+    )
+    SELECT c_mktsegment, CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+    FROM ranked GROUP BY 1, 2
+    """,
+    category="window/distribution",
+    origin="EXT",
+)
+def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count decile profile of customer balances per market segment —
+    the distribution summary behind percentile-band pricing, segment
+    health dashboards, and outlier band detection. ``ntile`` needs a TOTAL
+    order to be deterministic, so ties are broken by ``c_custkey``; both
+    engines then assign identical bucket boundaries (earlier buckets take
+    the remainder rows — same rule in Spark and DuckDB, probed).
+
+    Balance sums accumulate as DECIMAL(12,2) — exact and order-independent
+    — with a single final cast to DOUBLE; ``avg_bal`` is one IEEE division
+    of that exact sum. A raw ``SUM(double)`` here would hash-drift with
+    partition order at scale.
+
+    Plan: ONE exchange. The window shuffles on c_mktsegment, and the
+    (c_mktsegment, decile) rollup reuses that distribution — hash(segment)
+    clusters every (segment, decile) group, and Catalyst proves it (the
+    plan gate asserts no second exchange). Segment count bounds window
+    parallelism; at 100 TB with few segments the two-phase salted pattern
+    of ``sample_group_topk_hash`` applies — ntile, unlike top-k, is
+    rank-global so the scale path is pre-aggregating the CDF per salt
+    slice; profiled honestly in README's scaling table."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    dec_sum = F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+    return (
+        cust.select(
+            "c_mktsegment", "c_acctbal", F.ntile(NTILE_BUCKETS).over(w).alias("decile")
+        )
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            dec_sum.cast("double").alias("sum_bal"),
+            (dec_sum.cast("double") / F.count(F.lit(1))).alias("avg_bal"),
+        )
+    )
+
+
+@register(
+    "agg_unpivot_stack",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+             CAST(COUNT(*) AS DOUBLE) AS n_rows
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'n_rows', n_rows FROM wide
+    """,
+    category="aggregation/reshape",
+    origin="EXT",
+)
+def agg_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot / melt): per-returnflag measures pivoted
+    into (key, measure, value) rows — the inverse of ``agg_pivot`` and the
+    step every metrics-export / tidy-data pipeline runs last.  Uses
+    Spark's native ``DataFrame.unpivot`` (an Expand node, zero extra
+    shuffles), not a UNION of self-scans — the oracle's UNION ALL of the
+    same CTE states the semantics, the engine reads and aggregates the
+    fact table ONCE.
+
+    Measures accumulate as DECIMAL(12,2) (exact, order-independent) with
+    one final DOUBLE cast so the long-format value column is one type.
+
+    Plan: one map-side-combined exchange for the groupBy (6 flags out),
+    then Expand triples the 6-row aggregate driver-side-free; the reshape
+    cost is O(groups), unconditionally scale-safe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "n_rows"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "agg_decimal_exact_money",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS VARCHAR)
+             AS revenue_exact,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+             AS avg_discount
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+    category="aggregation/decimal",
+    origin="EXT",
+)
+def agg_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-money revenue per order priority: the financial-grade twin of
+    the flagship Q1 aggregate.  ``SUM(double)`` is non-associative — at
+    1000 executors the partition order AQE picks changes the last bits of
+    a floating sum run-to-run — so money accumulates as DECIMAL(12,2)
+    (Tungsten stores ≤18-digit decimals as longs: exact, associative,
+    codegen-friendly) and ``revenue_exact`` round-trips the full-scale
+    decimal AS A STRING so the oracle verifies every digit, not a rounded
+    double.  The DOUBLE twin column is the single final rounding most
+    reports want.
+
+    Plan: lineitem⋈orders on the order key — orders is ~1/4 of lineitem,
+    far over any broadcast threshold at 100 TB, so a shuffle join on the
+    join key is the honest physical choice (AQE broadcasts it at fixture
+    scale; `join_bucketed_colocated` shows the exchange-free layout when
+    the join is recurring); then one map-side-combined exchange to the
+    5-priority rollup.  Decimal sums stay inside whole-stage codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    dec_disc = F.sum(F.col("l_discount").cast("decimal(12,2)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).cast("string").alias("revenue_exact"),
+            F.sum(rev).cast("double").alias("revenue"),
+            (dec_disc.cast("double") / F.count(F.lit(1))).alias("avg_discount"),
+        )
+    )

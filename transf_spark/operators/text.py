@@ -353,3 +353,45 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("doc_id", "term", "tf", "df", "score", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+@register(
+    "docs_length_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(length(bin(n_chars)) AS INT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    category="text-analysis",
+    origin="EXT",
+)
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length histogram of the corpus per language — the
+    profile every curation run draws first (truncation tails, suspicious
+    spikes at crawler limits, per-language length skew before packing).
+
+    The bucket is ``length(bin(n_chars))`` = ⌊log₂ n⌋+1 computed on the
+    INTEGER's binary representation — no floating log whose IEEE rounding
+    could straddle a power-of-two boundary differently per engine; both
+    Spark's and DuckDB's ``bin()`` emit the same minimal binary string.
+
+    Plan: pure map + ONE map-side-combined exchange over
+    (lang × ~20 buckets) groups; the scan reads only (lang, n_chars) —
+    column pruning is plan-gated. Unconditionally linear at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang", F.length(F.bin("n_chars")).cast("int").alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
