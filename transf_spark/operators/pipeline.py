@@ -442,16 +442,18 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on high-cardinality keys (md5 segment hash, doc_id): no hot key, no
     broadcast of anything corpus-sized, linear in corpus tokens."""
     docs = load_table(spark, sf_dir, "documents")
-    segs = docs.select(
+    # Tokenize ONCE per row (a split inside the transform lambda would
+    # re-run per segment — no common-subexpression elimination across
+    # lambda invocations), then build all segments from the cached array.
+    segs = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
         "doc_id",
         F.expr(
             f"""explode(transform(
-                  sequence(0, CAST((size(split(text, ' ')) + {SEGDUP_LEN - 1})
+                  sequence(0, CAST((size(toks) + {SEGDUP_LEN - 1})
                                    / {SEGDUP_LEN} AS INT) - 1),
                   i -> named_struct(
-                    'h', md5(array_join(slice(split(text, ' '),
-                                              i*{SEGDUP_LEN}+1, {SEGDUP_LEN}), ' ')),
-                    'n', size(slice(split(text, ' '), i*{SEGDUP_LEN}+1, {SEGDUP_LEN})))))
+                    'h', md5(array_join(slice(toks, i*{SEGDUP_LEN}+1, {SEGDUP_LEN}), ' ')),
+                    'n', size(slice(toks, i*{SEGDUP_LEN}+1, {SEGDUP_LEN})))))
              """
         ).alias("s"),
     )
@@ -501,18 +503,26 @@ def sample_group_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's single-window answer while the corpus-sized shuffle spreads
     over lang×salt keys."""
     docs = load_table(spark, sf_dir, "documents")
+    return group_topk_by_hash(docs, k=SAMPLE_TOPK_K, salt=SAMPLE_TOPK_SALT)
+
+
+def group_topk_by_hash(docs: DataFrame, *, k: int, salt: int) -> DataFrame:
+    """Two-phase exact per-``lang`` top-k by (md5(doc_id), doc_id) order —
+    the core of ``sample_group_topk_hash``, exposed on a plain DataFrame so
+    the exactness claim (salted two-phase == single global window) is
+    property-testable on adversarial inputs, not just the fixture."""
     draw = F.md5(F.col("doc_id").cast("string")).alias("h")
-    salted = W.partitionBy("lang", F.pmod(F.col("doc_id"), F.lit(SAMPLE_TOPK_SALT))).orderBy(
+    salted = W.partitionBy("lang", F.pmod(F.col("doc_id"), F.lit(salt))).orderBy(
         "h", "doc_id"
     )
     stage1 = (
         docs.select("doc_id", "lang", draw)
         .withColumn("local_rn", F.row_number().over(salted))
-        .filter(F.col("local_rn") <= SAMPLE_TOPK_K)
+        .filter(F.col("local_rn") <= k)
     )
     final = W.partitionBy("lang").orderBy("h", "doc_id")
     return (
         stage1.withColumn("rn", F.row_number().over(final))
-        .filter(F.col("rn") <= SAMPLE_TOPK_K)
+        .filter(F.col("rn") <= k)
         .select("doc_id", "lang", F.col("rn").cast("long").alias("sample_rank"))
     )
