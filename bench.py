@@ -110,12 +110,29 @@ def main() -> None:
         except Exception:
             pass
 
-    # Two timed reps per query, report the min: round-3 triage showed ±26%
+    def prefault(d: str) -> None:
+        """Pre-read the target fixture's bytes into the OS page cache so
+        timed reps measure plan execution, not first-touch disk IO — a
+        fresh VM's first sf0.1 scan measured 2-3x slower across EVERY
+        query (round-5 triage), and even min-of-N can't fully hide cold
+        reads that span reps."""
+        import glob as _glob
+
+        for path in _glob.glob(os.path.join(d, "*.parquet")):
+            with open(path, "rb") as f:
+                while f.read(1 << 22):
+                    pass
+
+    prefault(sf_dir)
+
+    # Timed reps per query, report the min: round-3 triage showed ±26%
     # total drift between IDENTICAL back-to-back runs on this shared host
     # (15.4s vs 19.4s for the same 12-query subset) — far larger than any
-    # real plan change. min-of-2 measures steady-state plan cost, not host
+    # real plan change. min-of-N measures steady-state plan cost, not host
     # contention; "reps"/"agg" in the JSON make the protocol explicit.
-    REPS = 2
+    # (min-of-3 since round 5 — the 39-query headline set gave host noise
+    # more chances to contaminate a 2-rep minimum.)
+    REPS = 3
 
     def run_set(d: str) -> dict[str, float]:
         t: dict[str, float] = {}
@@ -146,6 +163,7 @@ def main() -> None:
     # (shingle volume, candidate-pair growth) before they bite at 100×.
     scaling_dir = os.environ.get("SPARK_GRAFT_SCALING_DIR")
     if scaling_dir:
+        prefault(scaling_dir)
         out["scaling"] = {
             os.path.basename(scaling_dir.rstrip("/")): run_set(scaling_dir)
         }
