@@ -395,3 +395,28 @@ def test_length_histogram_single_pruned_pass(spark):
     st = plan_stats(df)
     assert st.exchanges == 1
     assert scan_columns(df) == [{"lang", "n_chars"}]
+
+
+def test_ann_ivf_assignment_is_map_only_single_window_exchange(spark):
+    """IVF after the vectorized-kernel rewrite: centroid scoring lives in
+    Arrow-batched closures, so the ONLY exchange in the whole plan is the
+    final per-query top-k window on q_id. A crossJoin (nested-loop) or an
+    assignment shuffle reappearing here means the n×K row blowup is back."""
+    df = _q(spark, "similarity_ann_ivf")
+    st = plan_stats(df)
+    assert st.nested_loop_joins == 0, "centroid scoring must not crossJoin"
+    assert st.exchanges == 1, "only the q_id top-k window may shuffle"
+    assert st.sort_merge_joins == 0, "candidate join must broadcast"
+    assert st.broadcast_joins == 1
+
+
+def test_kmeans_profile_single_exchange_no_joins(spark):
+    """k-means cluster profile: assignment is a shuffle-free vectorized map
+    (centroids are closure literals), so the output plan is scan → UDF →
+    one groupBy(c_id) exchange. Joins or extra exchanges mean the
+    crossJoin/struct-argmin form regressed."""
+    df = _q(spark, "embedding_kmeans")
+    st = plan_stats(df)
+    assert st.exchanges == 1
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+    assert st.nested_loop_joins == 0

@@ -18,6 +18,7 @@ fixture embeddings are float32 → double widening is exact.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
@@ -53,6 +54,104 @@ _COS = """
   / (sqrt(aggregate(zip_with({a}, {a}, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v))
      * sqrt(aggregate(zip_with({b}, {b}, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)))
 """
+
+# ---------------------------------------------------------------------------
+# Vectorized dense-linear-algebra kernels (Arrow-batched pandas UDFs).
+#
+# Spark's higher-order array functions (`aggregate(zip_with(...))`) are
+# interpreted per element — n×K cosines at dim d cost n·K·d lambda
+# evaluations, which profiling showed dominates the IVF/k-means runtime
+# even at sf0.1 (4M evals ≈ 2 s/stage) and would be catastrophic at
+# dim-768 / 100 TB. The ANN index and k-means scoring therefore run as
+# ONE BLAS matmul per Arrow batch: the K×d centroid table is collected to
+# the driver (K ≤ 32 rows — a bounded collect, same class as
+# clustering.py's convergence collect) and shipped in the UDF closure, so
+# nearest-centroid assignment is a pure map pass with ZERO shuffle and no
+# n×K row blowup. The oracle-checked exact queries
+# (similarity_topk_cosine, dedup_embedding_cosine) keep the JVM
+# left-to-right fold — their float parity with DuckDB is hash-proven and
+# must not change.
+# ---------------------------------------------------------------------------
+
+
+def _batch_matrix(series) -> np.ndarray:
+    """One Arrow batch of array<double> rows as a dense B×d float64 matrix."""
+    return np.array(series.tolist(), dtype=np.float64)
+
+
+def _centroid_matrix(rows, id_field: str, vec_field: str):
+    """Collected centroid rows → (ids ascending, K×d matrix). Ascending id
+    order makes numpy's first-occurrence argmax/stable argsort reproduce the
+    'ties break to the lowest centroid id' contract of the JVM struct-argmax
+    it replaces (deterministic under retry)."""
+    rows = sorted(rows, key=lambda r: r[id_field])
+    ids = np.array([r[id_field] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[vec_field]) for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+def _nearest_cosine_udf(ids: np.ndarray, cent: np.ndarray):
+    """pandas_udf: vec → id of the max-cosine centroid (ties → lowest id)."""
+    cn_t = _unit_rows(cent).T  # d×K, closure-broadcast
+
+    @F.pandas_udf("long")
+    def nearest(v: pd.Series) -> pd.Series:
+        m = _unit_rows(_batch_matrix(v))
+        return pd.Series(ids[np.argmax(m @ cn_t, axis=1)])
+
+    return nearest
+
+
+def _probe_lists_udf(ids: np.ndarray, cent: np.ndarray, n_probes: int):
+    """pandas_udf: query vec → its n_probes nearest centroid ids (cosine
+    desc, id asc — stable argsort over ascending ids keeps that contract)."""
+    cn_t = _unit_rows(cent).T
+
+    @F.pandas_udf("array<long>")
+    def probes(qv: pd.Series) -> pd.Series:
+        scores = _unit_rows(_batch_matrix(qv)) @ cn_t
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :n_probes]
+        return pd.Series([ids[row].tolist() for row in order])
+
+    return probes
+
+
+def _nearest_l2_udf(ids: np.ndarray, cent: np.ndarray):
+    """pandas_udf: vec → struct(c_id, d2) of the min-squared-L2 centroid.
+    d2 is the exact per-batch difference form (B×K×d intermediate — K ≤ 8
+    keeps it ~40 MB per 10k-row Arrow batch), not the catastrophic-
+    cancellation expansion |x|²−2x·c+|c|², so the inertia-monotonicity
+    property holds at float64 precision."""
+    @F.pandas_udf("c_id long, d2 double")
+    def nearest(v: pd.Series) -> pd.DataFrame:
+        m = _batch_matrix(v)
+        diff = m[:, None, :] - cent[None, :, :]
+        d = np.einsum("bkd,bkd->bk", diff, diff)
+        j = np.argmin(d, axis=1)
+        return pd.DataFrame({"c_id": ids[j], "d2": d[np.arange(len(j)), j]})
+
+    return nearest
+
+
+def _cosine_pairs_udf():
+    """pandas_udf: row-wise cosine between two array<double> columns —
+    the vectorized re-rank kernel for candidate pairs (einsum dot, no
+    per-element lambdas)."""
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma, mb = _batch_matrix(a), _batch_matrix(b)
+        num = np.einsum("bd,bd->b", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        den[den == 0.0] = 1.0
+        return pd.Series(num / den)
+
+    return cos
 
 
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,51 +363,41 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Index side: ``IVF_K`` coarse centroids chosen deterministically (the
     ``IVF_K`` smallest ``md5(vec_id)`` values — a seeded uniform sample;
-    map-side partial top-K, no full sort; a production build would Lloyd-
-    iterate from this seed, which only *moves* the centroids — the plan
-    shape is identical). Every corpus vector is assigned to its
-    nearest-centroid inverted list in ONE broadcast pass: n×K cosines
-    evaluated map-side, then a map-side-combinable struct-argmax per
-    vec_id (ties break to the lowest centroid id — deterministic under
-    retry). Query side: each query scores the K broadcast centroids,
-    probes its ``IVF_PROBES`` nearest lists, exact cosine re-ranks the
+    TakeOrdered top-K per partition, no full sort; ``embedding_kmeans``
+    is the Lloyd-trained upgrade of exactly this seed). The K×d centroid
+    table is collected to the driver (bounded — ≤32 rows) and shipped in
+    the UDF closures. Every corpus vector is assigned to its nearest-
+    centroid inverted list in ONE Arrow-vectorized map pass (a single
+    BLAS matmul per batch — see the kernel block above): ZERO shuffle,
+    no n×K row blowup, ties break to the lowest centroid id. Query side:
+    each query scores the centroids the same way and probes its
+    ``IVF_PROBES`` nearest lists; exact vectorized cosine re-ranks the
     candidates, top-10 per query.
 
-    Scale: the corpus is touched twice (assignment, probe-join), both
-    times embarrassingly parallel; a probe reads P/K of the data. The
-    assignment argmax shuffles n rows (post-combine), keyed on vec_id —
-    high cardinality, even spread."""
+    Scale: the corpus is touched twice (assignment map, probe-join), both
+    embarrassingly parallel; a probe reads P/K of the data. The only
+    exchange in the whole plan is the final per-query top-k window on
+    q_id (plan-gated) — high cardinality, even spread."""
     e = _emb_double(spark, sf_dir)
-    cent = (
+    cent_rows = (
         e.orderBy(F.md5(F.col("vec_id").cast("string")))
         .limit(IVF_K)
-        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+        .select("vec_id", "v")
+        .collect()
     )
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "v", "c_id", F.expr(_COS.format(a="v", b="cv")).alias("cos")
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.first("v").alias("v"),
-            F.max(F.struct(F.col("cos"), (-F.col("c_id")).alias("neg_id"))).alias("m"),
-        )
-        .select("vec_id", "v", (-F.col("m.neg_id")).alias("list_id"))
-    )
+    ids, cent = _centroid_matrix(cent_rows, "vec_id", "v")
+    nearest = _nearest_cosine_udf(ids, cent)
+    probes = _probe_lists_udf(ids, cent, IVF_PROBES)
+    cos_pairs = _cosine_pairs_udf()
+
+    assigned = e.select("vec_id", "v", nearest("v").alias("list_id"))
     qprobe = (
         e.filter(F.col("vec_id") % 100 == 0)
-        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-        .crossJoin(F.broadcast(cent))
-        .select("q_id", "qv", "c_id", F.expr(_COS.format(a="qv", b="cv")).alias("cos"))
-        .withColumn(
-            "pr",
-            F.row_number().over(
-                W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
-            ),
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.explode(probes("v")).alias("list_id"),
         )
-        .filter(F.col("pr") <= IVF_PROBES)
-        .select("q_id", "qv", F.col("c_id").alias("list_id"))
     )
     cand = assigned.join(F.broadcast(qprobe), "list_id").filter(
         F.col("vec_id") != F.col("q_id")
@@ -318,7 +407,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(
             "q_id",
             F.col("vec_id").alias("nn_id"),
-            F.expr(_COS.format(a="qv", b="v")).alias("cosine"),
+            cos_pairs("qv", "v").alias("cosine"),
         )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
@@ -329,27 +418,14 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_K = 8
 KMEANS_ITERS = 3
 
-# squared L2 distance between two double arrays, left-to-right fold
-_SQDIST = """
-  aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),
-            cast(0.0 AS double), (acc, z) -> acc + z)
-"""
-
-
-def _kmeans_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: one broadcast pass over the corpus,
-    map-side-combinable struct-argmin per vec_id (ties → lowest c_id)."""
-    return (
-        e.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "v", "c_id", F.expr(_SQDIST.format(a="v", b="cv")).alias("d2")
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.first("v").alias("v"),
-            F.min(F.struct(F.col("d2"), F.col("c_id"))).alias("m"),
-        )
-        .select("vec_id", "v", F.col("m.c_id").alias("c_id"), F.col("m.d2").alias("d2"))
+def _kmeans_assign(e: DataFrame, ids: np.ndarray, cent: np.ndarray) -> DataFrame:
+    """Nearest-centroid assignment: ONE Arrow-vectorized map pass over the
+    corpus (centroids closure-broadcast, ties → lowest c_id), zero shuffle —
+    see the kernel block above for why this replaced the crossJoin +
+    struct-argmin form."""
+    nearest = _nearest_l2_udf(ids, cent)
+    return e.select("vec_id", "v", nearest("v").alias("m")).select(
+        "vec_id", "v", F.col("m.c_id").alias("c_id"), F.col("m.d2").alias("d2")
     )
 
 
@@ -376,29 +452,37 @@ def _kmeans(spark: SparkSession, sf_dir: str, iters: int = KMEANS_ITERS):
     Returns (assigned, centroids) after ``iters`` assign/recenter rounds
     from the deterministic md5-sampled seed (the same seed device as the
     IVF index — k-means is exactly its 'train the centroids' upgrade).
-    Each round's K×dim centroid table is eagerly localCheckpoint'd
-    (clustering.py precedent) so the final plan references materialized
-    centroids instead of a re-derivable 3-deep lineage. Iteration count is
-    FIXED, not convergence-tested: at 100 TB a bounded number of corpus
-    passes is the budgeted contract (each pass is one broadcast map +
-    two map-side-combinable shuffles); inertia monotonicity is
-    property-tested in tests/test_ann_recall.py. Empty clusters (possible
-    k-means degeneracy) simply drop out of the centroid table."""
+    Each round collects the K×dim centroid table to the driver (≤8 rows —
+    bounded) and ships it in the next assignment UDF's closure, so every
+    assignment pass is a shuffle-free vectorized map and the final plan
+    references centroid LITERALS instead of a re-derivable iteration-deep
+    lineage (no localCheckpoint needed). Iteration count is FIXED, not
+    convergence-tested: at 100 TB a bounded number of corpus passes is the
+    budgeted contract (each pass is one vectorized map + one map-side-
+    combinable recenter shuffle); inertia monotonicity is property-tested
+    in tests/test_ann_recall.py. Empty clusters (possible k-means
+    degeneracy) simply drop out of the centroid table."""
     e = _emb_double(spark, sf_dir).select("vec_id", "v")
-    cent = (
+    seed_rows = (
         e.orderBy(F.md5(F.col("vec_id").cast("string")))
         .limit(KMEANS_K)
-        .select(
-            F.row_number().over(W.orderBy("vec_id")).alias("c_id"),
-            F.col("v").alias("cv"),
-        )
-        .localCheckpoint(eager=True)
+        .select("vec_id", "v")
+        .collect()
     )
-    assigned = _kmeans_assign(e, cent)
+    # c_id = 1..K in vec_id order (the row_number the DataFrame seed used)
+    seed_rows = sorted(seed_rows, key=lambda r: r["vec_id"])
+    ids = np.arange(1, len(seed_rows) + 1, dtype=np.int64)
+    cent = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
+    assigned = _kmeans_assign(e, ids, cent)
     for _ in range(iters - 1):
-        cent = _kmeans_recenter(assigned).localCheckpoint(eager=True)
-        assigned = _kmeans_assign(e, cent)
-    return assigned, cent
+        new_rows = _kmeans_recenter(assigned).collect()
+        ids, cent = _centroid_matrix(new_rows, "c_id", "cv")
+        assigned = _kmeans_assign(e, ids, cent)
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in zip(ids, cent)],
+        "c_id long, cv array<double>",
+    )
+    return assigned, cent_df
 
 
 @register(
