@@ -76,6 +76,11 @@ HEADLINE = [
     "events_markov_transitions",
     "agg_decimal_exact_money",
     "window_ntile_deciles",
+    "docs_chunk_overlap",
+    "merge_scd2_upsert",
+    "window_range_interval",
+    "agg_hll_shard_merge",
+    "embedding_pca_project",
 ]
 
 

@@ -121,3 +121,40 @@ def test_kmeans_inertia_monotone_and_assignment_optimal(spark):
 
     assert n == load_table(spark, SF, "embeddings").count()
     assert all(r["avg_d2"] >= 0 for r in rows)
+
+
+def test_pca_matches_offline_numpy_and_invariants(spark):
+    """The distributed moment-pass PCA must agree with an offline numpy PCA
+    on the collected fixture (same covariance → same eigvecs up to the
+    deterministic sign fix), components must be orthonormal, and projected
+    variance must be non-increasing across components and sum to ≤ total
+    variance."""
+    import numpy as np
+
+    from transf_spark.operators import similarity as s
+    from transf_spark.sources.tables import load_table
+
+    mean, comps, evr = s._pca_fit(spark, SF)
+    emb = load_table(spark, SF, "embeddings").select("embedding").collect()
+    x = np.array([list(r["embedding"]) for r in emb], dtype=np.float64)
+
+    # distributed moments == offline moments
+    assert np.allclose(mean, x.mean(0), atol=1e-9)
+    cov = np.cov(x, rowvar=False, bias=True)
+    # each component is an eigenvector: cov @ c == λ c
+    lam = evr * np.maximum(np.linalg.eigvalsh(cov), 0).sum()
+    for c, l in zip(comps, lam):
+        assert np.allclose(cov @ c, l * c, atol=1e-8)
+    # orthonormal, variance-ordered
+    assert np.allclose(comps @ comps.T, np.eye(len(comps)), atol=1e-9)
+    assert all(evr[i] >= evr[i + 1] - 1e-12 for i in range(len(evr) - 1))
+    assert 0 < evr.sum() <= 1 + 1e-12
+
+    # projection parity: Spark map pass == numpy projection
+    rows = queries()["embedding_pca_project"](spark, SF).collect()
+    assert len(rows) == len(x)
+    by_id = {r["vec_id"]: np.array(r["proj"]) for r in rows}
+    ids = [r["vec_id"] for r in load_table(spark, SF, "embeddings").select("vec_id").collect()]
+    offline = (x - x.mean(0)) @ comps.T
+    for i, vid in enumerate(ids):
+        assert np.allclose(by_id[vid], offline[i], atol=1e-9)

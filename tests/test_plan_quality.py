@@ -420,3 +420,64 @@ def test_kmeans_profile_single_exchange_no_joins(spark):
     assert st.exchanges == 1
     assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
     assert st.nested_loop_joins == 0
+
+
+def test_chunk_overlap_is_map_only_pruned(spark):
+    """RAG chunking must stay an embarrassingly-parallel scan-stage map:
+    zero exchanges, one tokenization per document (the slice grid explodes
+    chunk rows, never re-splits), reading only (doc_id, lang, text)."""
+    df = _q(spark, "docs_chunk_overlap")
+    st = plan_stats(df)
+    assert st.exchanges == 0, "chunking must not shuffle"
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+    assert scan_columns(df) == [{"doc_id", "lang", "text"}]
+
+
+def test_scd2_rebuild_two_exchanges_no_joins(spark):
+    """SCD2 rebuild: the per-(custkey, day) change-feed dedup window plus
+    ONE shared c_custkey distribution for collapse + validity windows —
+    a third exchange means the window chain stopped reusing the dimension
+    key; any join means the union-based rebuild regressed to MERGE-style
+    per-row lookups."""
+    st = plan_stats(_q(spark, "merge_scd2_upsert"))
+    assert st.exchanges == 2
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+
+
+def test_range_frame_single_customer_shuffle(spark):
+    """Value-based RANGE frame: one o_custkey exchange, sliding-sum
+    evaluation per partition — and the scan reads only the four columns
+    the frame needs."""
+    df = _q(spark, "window_range_interval")
+    st = plan_stats(df)
+    assert st.exchanges == 1
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+    assert scan_columns(df) == [
+        {"o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"}
+    ]
+
+
+def test_hll_shard_merge_broadcasts_and_keeps_sketches_out_of_expand(spark):
+    """Two-level HLL: shard sketches, sketch union, and the exact distinct
+    run as separate map-side-combinable aggregates; the 3-row estimate
+    joins back via broadcast. No Expand may touch the sketch buffers
+    (the 37× agg_approx_distinct lesson) and no sort-merge join may
+    appear on the tiny status key."""
+    df = _q(spark, "agg_hll_shard_merge")
+    st = plan_stats(df)
+    assert st.broadcast_joins == 1 and st.sort_merge_joins == 0
+    assert st.exchanges <= 4
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Expand" in plan:
+        assert "hll" not in plan.split("Expand")[1][:400].lower()
+
+
+def test_pca_projection_is_map_only(spark):
+    """PCA projection: the fitted mean/components are closure literals, so
+    the output plan is scan → vectorized map — zero exchanges, no joins.
+    (The fit's own moment pass is a separate bounded-collect job.)"""
+    df = _q(spark, "embedding_pca_project")
+    st = plan_stats(df)
+    assert st.exchanges == 0
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+    assert st.nested_loop_joins == 0

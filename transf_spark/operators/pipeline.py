@@ -526,3 +526,68 @@ def group_topk_by_hash(docs: DataFrame, *, k: int, salt: int) -> DataFrame:
         .filter(F.col("rn") <= k)
         .select("doc_id", "lang", F.col("rn").cast("long").alias("sample_rank"))
     )
+
+
+CHUNK_SIZE = 64  # tokens per retrieval chunk
+CHUNK_STRIDE = 48  # chunk start spacing ⇒ 16-token overlap between chunks
+
+
+@register(
+    "docs_chunk_overlap",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, string_split(text,' ') AS toks,
+                      len(string_split(text,' ')) AS n FROM documents)
+    SELECT doc_id, lang,
+           CAST((s-1)//{CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT) AS start_tok,
+           CAST(LEAST({CHUNK_SIZE}, n - s + 1) AS BIGINT) AS chunk_len,
+           md5(array_to_string(list_slice(toks, s, LEAST(s+{CHUNK_SIZE - 1}, n)), ' '))
+             AS chunk_hash
+    FROM d, UNNEST(range(1, n+1, {CHUNK_STRIDE})) AS t(s)
+    """,
+    category="pipeline/chunking",
+    origin="EXT",
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunker: every document becomes overlapping
+    CHUNK_SIZE-token chunks on a CHUNK_STRIDE grid (16-token overlap so no
+    retrieval boundary loses context), each chunk carrying its provenance
+    (doc, ordinal, token offset, length) and a content hash for downstream
+    chunk-level dedup/indexing.
+
+    Built entirely JVM-side: the start grid is `sequence(1, n, stride)` and
+    each chunk is a `slice` over the one tokenization — the token array is
+    materialized once per document, NOT once per chunk, and only the ~n/stride
+    chunk rows ever explode. Zero shuffle (plan-gated map-only): chunking is
+    embarrassingly parallel, which is exactly why it belongs in the scan
+    stage of a 100 TB corpus pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        "lang",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    return (
+        toked.select(
+            "doc_id",
+            "lang",
+            "toks",
+            "n",
+            F.explode(F.expr(f"sequence(1, n, {CHUNK_STRIDE})")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            ((F.col("s") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.col("s").cast("long").alias("start_tok"),
+            F.least(F.lit(CHUNK_SIZE), F.col("n") - F.col("s") + 1)
+            .cast("long")
+            .alias("chunk_len"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.expr(f"slice(toks, s, least({CHUNK_SIZE}, n - s + 1))")
+                )
+            ).alias("chunk_hash"),
+        )
+    )

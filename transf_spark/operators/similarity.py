@@ -625,3 +625,78 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("err_l2"),
         F.expr("array_max(transform(dv, x -> abs(x)))").alias("err_max"),
     )
+
+
+PCA_COMPONENTS = 8
+
+
+def _pca_fit(spark: SparkSession, sf_dir: str):
+    """Fit PCA over the embedding corpus with ONE distributed pass.
+
+    Each task accumulates its partition's zeroth/first/second moments
+    (count, Σx, ΣxxT) in numpy and emits a single row — a mapInPandas
+    partial aggregation, so the driver reduces ≤ numPartitions rows of
+    (1 + d + d²) doubles (d=64 ⇒ ~33 KB each: bounded, same class as the
+    centroid collects above). Covariance, eigendecomposition and
+    sign-fixing (largest-|loading| element forced positive — eigh's sign
+    is otherwise arbitrary) happen driver-side on the d×d matrix: d² is
+    tiny even at d=4096, while n is the 100 TB axis and is touched
+    exactly once. Returns (mean d-vector, components R×d row-major,
+    explained-variance ratios desc)."""
+    e = _emb_double(spark, sf_dir).select("v")
+
+    def partial(batches):
+        n, s, xx = 0, None, None
+        for pdf in batches:
+            m = np.array(pdf["v"].tolist(), dtype=np.float64)
+            n += m.shape[0]
+            s = m.sum(0) if s is None else s + m.sum(0)
+            g = m.T @ m
+            xx = g if xx is None else xx + g
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "xx": [xx.ravel().tolist()]}
+            )
+
+    rows = e.mapInPandas(partial, "n long, s array<double>, xx array<double>").collect()
+    n_total = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s_total = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    xx_total = np.sum([np.array(r["xx"]).reshape(d, d) for r in rows], axis=0)
+    mean = s_total / n_total
+    cov = xx_total / n_total - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals, kind="stable")[::-1][:PCA_COMPONENTS]
+    comps = eigvecs[:, order].T  # R×d
+    flip = np.sign(comps[np.arange(len(order)), np.argmax(np.abs(comps), axis=1)])
+    comps = comps * flip[:, None]
+    evr = np.maximum(eigvals[order], 0.0) / max(eigvals.clip(min=0.0).sum(), 1e-300)
+    return mean, comps, evr
+
+
+@register(
+    "embedding_pca_project",
+    oracle=None,  # eigendecomposition — rows-only; orthonormality, variance
+    # ordering and parity with an offline numpy PCA are property-tested in
+    # tests/test_ann_recall.py
+    category="similarity/decomposition",
+    origin="EXT",
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction of the embedding corpus — the standard
+    pre-step before clustering/visualization and the whitening stage of
+    embedding-dedup pipelines. Fit is one distributed moment pass
+    (see _pca_fit); projection is a second shuffle-free Arrow-vectorized
+    map (center, matmul against the R×d closure matrix). Output: each
+    vector's R principal coordinates — map-only end to end (plan-gated),
+    both corpus passes embarrassingly parallel."""
+    mean, comps, _ = _pca_fit(spark, sf_dir)
+    ct = comps.T  # d×R
+
+    @F.pandas_udf("array<double>")
+    def project(v: pd.Series) -> pd.Series:
+        m = _batch_matrix(v) - mean[None, :]
+        return pd.Series([row.tolist() for row in (m @ ct)])
+
+    e = _emb_double(spark, sf_dir)
+    return e.select("vec_id", "label", project("v").alias("proj"))

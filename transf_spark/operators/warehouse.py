@@ -1,0 +1,225 @@
+"""Warehouse-maintenance operators (north-star extension, round 5).
+
+The table-maintenance patterns a production lakehouse runs beside the
+analytical queries — each re-expressed as a declarative single-output
+DataFrame so Catalyst owns the physical strategy:
+
+- ``merge_scd2_upsert``       — MERGE INTO as a type-2 slowly-changing
+                                dimension rebuild (history with validity
+                                intervals), one dimension-key shuffle
+- ``window_range_interval``   — trailing 30-day per-customer revenue via a
+                                RANGE (value-based) window frame, money in
+                                exact decimals
+- ``agg_hll_shard_merge``     — two-level mergeable HLL sketches (per-shard
+                                sketch → union), the re-aggregatable
+                                distinct-count architecture at 100 TB
+
+All three are oracle-checked against DuckDB. Money accumulates as
+DECIMAL(12,2) and round-trips as a string (agg_decimal_exact_money
+precedent); the HLL query declares the *invariant* (exact count + an
+error-bound boolean) since sketch bytes are engine-specific
+(agg_approx_distinct precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from transf_spark.queries import register
+from transf_spark.sources.tables import load_table
+
+SCD2_EPOCH = "1990-01-01"  # synthetic initial-load date, before any order
+HLL_SHARDS = 16
+HLL_BOUND = 0.05  # |estimate − exact| ≤ 5%·exact (default lgK=12 ⇒ ~1.6% rse)
+
+
+@register(
+    "merge_scd2_upsert",
+    oracle=f"""
+    WITH upd AS (
+      SELECT o_custkey AS c_custkey, CAST(o_orderdate AS DATE) AS valid_from,
+             o_orderpriority AS segment
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+                                         ORDER BY o_orderkey DESC) AS rn FROM orders)
+      WHERE rn = 1
+    ),
+    hist AS (
+      SELECT c_custkey, DATE '{SCD2_EPOCH}' AS valid_from, c_mktsegment AS segment
+      FROM customer
+      UNION ALL SELECT * FROM upd
+    ),
+    collapsed AS (
+      SELECT * FROM (
+        SELECT c_custkey, valid_from, segment,
+               LAG(segment) OVER (PARTITION BY c_custkey ORDER BY valid_from) AS prev
+        FROM hist)
+      WHERE prev IS NULL OR segment <> prev
+    )
+    SELECT c_custkey, segment, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from) AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from) IS NULL
+             AS is_current
+    FROM collapsed
+    """,
+    category="warehouse/merge",
+    origin="EXT",
+)
+def merge_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO re-expressed as a type-2 SCD rebuild: the customer table
+    is the initial dimension load (valid from a synthetic epoch), the
+    orders feed plays the change stream (per customer+day, the highest
+    order key's priority wins — a pinned tie-break, deterministic under
+    retry). Consecutive same-value versions collapse, then validity
+    intervals come from LEAD over the surviving versions; the open
+    interval is the current row.
+
+    Scale: every window partitions by c_custkey, so the whole rebuild is
+    ONE dimension-key shuffle reused across the dedup window, the
+    collapse LAG and the interval LEAD (plan-gated ≤2 exchanges — the
+    union's second input reuses the same hash distribution). This is the
+    scalable alternative to row-at-a-time MERGE: at 100 TB the change
+    feed and dimension co-partition and the history rewrites in one
+    pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    day = F.col("o_orderdate").cast("date")
+    upd = (
+        orders.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("o_custkey", day).orderBy(F.col("o_orderkey").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            day.alias("valid_from"),
+            F.col("o_orderpriority").alias("segment"),
+        )
+    )
+    base = cust.select(
+        "c_custkey",
+        F.lit(SCD2_EPOCH).cast("date").alias("valid_from"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    wv = W.partitionBy("c_custkey").orderBy("valid_from")
+    collapsed = (
+        base.unionByName(upd)
+        .withColumn("prev", F.lag("segment").over(wv))
+        .filter(F.col("prev").isNull() | (F.col("segment") != F.col("prev")))
+        .drop("prev")
+    )
+    return collapsed.select(
+        "c_custkey",
+        "segment",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "window_range_interval",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, CAST(d AS BIGINT) AS epoch_day,
+           CAST(SUM(price) OVER w AS VARCHAR) AS trailing30_exact,
+           CAST(SUM(price) OVER w AS DOUBLE) AS trailing30,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_30d
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """,
+    category="window/range-frame",
+    origin="EXT",
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day spend per customer — the VALUE-based (RANGE) window
+    frame, complementing the ROWS frames in window_running_sum_frame: the
+    frame is every order whose *day* falls in [day−29, day], regardless of
+    row position, so gaps and same-day ties are handled by the frame
+    semantics, not the sort. Day arithmetic is integer epoch-days (no
+    timezone or DST drift); money sums as DECIMAL(12,2) — a RANGE frame
+    includes ALL peer rows of the current day, so a float sum would
+    otherwise depend on peer order at 1000 executors. The exact decimal
+    round-trips as a string, digit-checked by the oracle.
+
+    Scale: one o_custkey shuffle (plan-gated), frame evaluation is a
+    per-partition sorted sliding sum."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("epoch_day"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("epoch_day")
+        .rangeBetween(-29, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "epoch_day",
+        F.sum("price").over(w).cast("string").alias("trailing30_exact"),
+        F.sum("price").over(w).cast("double").alias("trailing30"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
+
+
+@register(
+    "agg_hll_shard_merge",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           TRUE AS within_bound
+    FROM orders GROUP BY 1
+    """,
+    category="aggregation/sketch",
+    origin="EXT",
+)
+def agg_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable distinct counting — the architecture that
+    replaces COUNT(DISTINCT) at 100 TB: each of HLL_SHARDS data shards
+    builds its own Datasketches HLL sketch (one map-side-combinable
+    pass), and the per-status answer is the UNION of shard sketches —
+    proving the sketches re-aggregate losslessly across shards, which is
+    what lets a lakehouse maintain per-partition sketches and answer
+    rollups without rescanning raw data. Declared output is the invariant
+    (agg_approx_distinct precedent): the exact count, hash-checked, plus
+    a boolean asserting the merged estimate lands within 5% (the default
+    lgK=12 sketch carries ~1.6% rse — deterministic for fixed input, so
+    the boolean is stable). The oracle emits literal TRUE; a sketch or a
+    broken merge drifting out of bound hash-mismatches.
+
+    Plan: sketches and exact distincts run as two separate aggregates
+    joined on the 3-row status key (broadcast) — never in one agg, to
+    keep sketch buffers out of the distinct Expand (the 37× lesson on
+    agg_approx_distinct, relational.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    shard_sk = (
+        orders.withColumn("shard", F.pmod(F.col("o_orderkey"), F.lit(HLL_SHARDS)))
+        .groupBy("o_orderstatus", "shard")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    )
+    merged = shard_sk.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return exact.join(F.broadcast(merged), "o_orderstatus").select(
+        "o_orderstatus",
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact")) <= HLL_BOUND * F.col("n_exact")
+        ).alias("within_bound"),
+    )

@@ -200,6 +200,7 @@ def _load_all_modules() -> None:
         sql_api,
         clustering,
         behavior,
+        warehouse,
     )
     from transf_spark.sources import formats  # noqa: F401
     from transf_spark.streaming import stateful, windows  # noqa: F401
