@@ -81,6 +81,8 @@ HEADLINE = [
     "window_range_interval",
     "agg_hll_shard_merge",
     "embedding_pca_project",
+    "layout_zorder_stats",
+    "agg_incremental_state_merge",
 ]
 
 

@@ -481,3 +481,27 @@ def test_pca_projection_is_map_only(spark):
     assert st.exchanges == 0
     assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
     assert st.nested_loop_joins == 0
+
+
+def test_zorder_stats_single_exchange_pruned(spark):
+    """Z-order bucketing is pure integer arithmetic — a MAP, never a global
+    sort — so the stats roll up in one map-side-combinable exchange over a
+    3-column pruned scan. A Sort or extra exchange here means the curve
+    computation regressed to an ordering operation."""
+    df = _q(spark, "layout_zorder_stats")
+    st = plan_stats(df)
+    assert st.exchanges == 1
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+    assert scan_columns(df) == [{"o_custkey", "o_orderdate", "o_totalprice"}]
+
+
+def test_incremental_merge_pushes_split_and_stays_tiny(spark):
+    """Incremental state merge: the state/delta split predicate must reach
+    both parquet scans, each partial aggregate is one map-side-combinable
+    exchange, and the merge runs over 2×|groups| rows — no joins, no
+    rescan-shaped third exchange over raw data."""
+    df = _q(spark, "agg_incremental_state_merge")
+    st = plan_stats(df)
+    assert st.exchanges <= 3
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+    assert any("o_orderdate" in pf for pf in st.pushed_filters), st.pushed_filters

@@ -223,3 +223,151 @@ def agg_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est") - F.col("n_exact")) <= HLL_BOUND * F.col("n_exact")
         ).alias("within_bound"),
     )
+
+
+ZORDER_BUCKETS_SHIFT = 28  # top 4 bits of the 32-bit z-value ⇒ 16 buckets
+INCR_SPLIT_DAY = "1999-01-01"  # state = orders before, delta = orders after
+
+
+def _morton_steps(shl):
+    """The classic 16→32-bit interleave ('spread bits') as 4 shift/mask
+    steps, dialect-parameterized: `shl(expr, n)` renders a left shift.
+    Applied to both dimensions, the even/odd-bit merge yields the Morton
+    (Z-curve) code."""
+    masks = ((8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765))
+
+    def spread(col):
+        steps = []
+        cur = col
+        for i, (sh, mask) in enumerate(masks):
+            nxt = f"{col}_{i}"
+            steps.append((nxt, f"({cur} | {shl(cur, sh)}) & {mask}"))
+            cur = nxt
+        return steps, cur
+
+    return spread
+
+
+@register(
+    "layout_zorder_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey & 65535 AS x,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 65535 AS y,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders
+    ), s0 AS (
+      SELECT *, (x | (x << 8)) & 16711935 AS x_0, (y | (y << 8)) & 16711935 AS y_0 FROM base
+    ), s1 AS (
+      SELECT *, (x_0 | (x_0 << 4)) & 252645135 AS x_1, (y_0 | (y_0 << 4)) & 252645135 AS y_1 FROM s0
+    ), s2 AS (
+      SELECT *, (x_1 | (x_1 << 2)) & 858993459 AS x_2, (y_1 | (y_1 << 2)) & 858993459 AS y_2 FROM s1
+    ), s3 AS (
+      SELECT *, (x_2 | (x_2 << 1)) & 1431655765 AS x_3, (y_2 | (y_2 << 1)) & 1431655765 AS y_3 FROM s2
+    ), z AS (
+      SELECT x, y, price, (x_3 | (y_3 << 1)) >> {ZORDER_BUCKETS_SHIFT} AS bucket FROM s3
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(x) AS BIGINT) AS min_cust, CAST(MAX(x) AS BIGINT) AS max_cust,
+           CAST(MIN(y) AS BIGINT) AS min_day, CAST(MAX(y) AS BIGINT) AS max_day,
+           CAST(SUM(price) AS VARCHAR) AS revenue_exact
+    FROM z GROUP BY 1
+    """,
+    category="layout/data-skipping",
+    origin="EXT",
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout statistics — the file-layout move that
+    makes multi-dimensional data skipping work at 100 TB: interleaving the
+    bits of (customer, order-day) gives a single sort/bucket key whose
+    ranges bound BOTH dimensions, so per-file min/max footers prune scans
+    filtered on either column (a linear sort bounds only its leading
+    column). The z-value is pure integer arithmetic (4 shift/mask spread
+    steps per dimension, then even/odd merge) and the bucket is the code's
+    top 4 bits — a MAP, not a global sort: at scale this same expression
+    feeds repartitionByRange + sortWithinPartitions at write time. The
+    declared output is each z-bucket's row count, both per-dimension
+    min/max envelopes (the footer stats a reader would prune on), and the
+    exact-decimal revenue it covers. One map-side-combinable exchange
+    (plan-gated), scan pruned to 3 columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    spread = _morton_steps(lambda e, n: f"shiftleft({e}, {n})")
+    df = orders.select(
+        (F.col("o_custkey").bitwiseAND(65535)).alias("x"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .bitwiseAND(65535)
+        .alias("y"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    for col in ("x", "y"):
+        steps, _final = spread(col)
+        for name, expr in steps:
+            df = df.withColumn(name, F.expr(expr))
+    df = df.withColumn(
+        "bucket",
+        F.expr(f"shiftright(x_3 | shiftleft(y_3, 1), {ZORDER_BUCKETS_SHIFT})").cast(
+            "long"
+        ),
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").cast("long").alias("min_cust"),
+        F.max("x").cast("long").alias("max_cust"),
+        F.min("y").cast("long").alias("min_day"),
+        F.max("y").cast("long").alias("max_day"),
+        F.sum("price").cast("string").alias("revenue_exact"),
+    )
+
+
+@register(
+    "agg_incremental_state_merge",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS revenue_exact,
+           MIN(CAST(o_orderdate AS DATE)) AS first_day,
+           MAX(CAST(o_orderdate AS DATE)) AS last_day
+    FROM orders GROUP BY 1
+    """,
+    category="warehouse/incremental",
+    origin="EXT",
+)
+def agg_incremental_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ETL as re-aggregatable state: the historical partition
+    set is aggregated once into per-group PARTIAL state (count / decimal
+    sum / min / max — all associative), the new-arrivals delta aggregates
+    independently, and the published answer is the MERGE of the two state
+    tables — never a rescan of history. The oracle is the direct full
+    aggregate, proving merge(state, delta) == agg(all): the algebraic
+    property that lets a 100 TB pipeline maintain daily rollups by
+    touching only the new partition. Decimal money makes the sum
+    associative exactly (float partial sums would drift between the
+    merged and direct forms); the merge agg runs on 2×|groups| rows.
+
+    Plan: two pruned scans with the split predicate pushed down, two
+    map-side-combinable exchanges, then the tiny state merge."""
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit(INCR_SPLIT_DAY).cast("date")
+    day = F.col("o_orderdate").cast("date")
+
+    def partial(src: DataFrame) -> DataFrame:
+        return src.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"),
+            F.min(day).alias("first_day"),
+            F.max(day).alias("last_day"),
+        )
+
+    state = partial(orders.filter(day < split))
+    delta = partial(orders.filter(day >= split))
+    return (
+        state.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev").cast("string").alias("revenue_exact"),
+            F.min("first_day").alias("first_day"),
+            F.max("last_day").alias("last_day"),
+        )
+    )
