@@ -83,6 +83,8 @@ HEADLINE = [
     "embedding_pca_project",
     "layout_zorder_stats",
     "agg_incremental_state_merge",
+    "events_topk_paths",
+    "stream_window_distinct_users",
 ]
 
 

@@ -505,3 +505,24 @@ def test_incremental_merge_pushes_split_and_stays_tiny(spark):
     assert st.exchanges <= 3
     assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
     assert any("o_orderdate" in pf for pf in st.pushed_filters), st.pushed_filters
+
+
+def test_topk_paths_ranks_aggregate_not_corpus(spark):
+    """Path mining: one corpus-sized user_id window shuffle shared by both
+    lead() offsets, path counts map-side combined to ≤|types|³ rows, and
+    the global rank window sorts that aggregate — ≤3 exchanges total, no
+    joins. A fourth exchange means the lead offsets stopped sharing their
+    window spec."""
+    st = plan_stats(_q(spark, "events_topk_paths"))
+    assert st.exchanges <= 3
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+
+
+def test_stream_distinct_users_broadcasts_sketch_join(spark):
+    """Windowed distinct invariant: exact and sketch aggregates stay
+    separate (sketch buffers out of any Expand) and rejoin on the tiny
+    per-hour key via broadcast."""
+    df = _q(spark, "stream_window_distinct_users")
+    st = plan_stats(df)
+    assert st.broadcast_joins == 1 and st.sort_merge_joins == 0
+    assert st.exchanges <= 4

@@ -240,3 +240,39 @@ def test_session_window_stream_equals_batch(spark):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_window_distinct_users_stream_equals_batch(spark):
+    """The production form of stream_window_distinct_users: exact distinct
+    is unsupported (and unbounded-state) under streaming, so the twin runs
+    the HLL++ sketch windowed agg under readStream and must (1) equal the
+    batch evaluation of the same sketch plan and (2) land within the 5%
+    bound of the declared query's exact counts."""
+    from transf_spark.sources.tables import load_table
+    from transf_spark.streaming.windows import stream_window_distinct_users
+
+    def build(src):
+        return (
+            src.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("n_approx"))
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+                F.col("w.end").cast("timestamp_ntz").alias("win_end"),
+                "n_approx",
+            )
+        )
+
+    batch = build(load_table(spark, SF, "events"))
+    got, want = _windowed_twin(
+        spark, build, "distinct_users_twin",
+        ["win_start", "win_end", "n_approx"], batch, "win_end",
+    )
+    assert got == want
+    assert len(got) > 0
+
+    exact = {
+        r["win_start"]: r["n_users"]
+        for r in stream_window_distinct_users(spark, SF).collect()
+    }
+    for win_start, _end, n_approx in got:
+        assert abs(n_approx - exact[win_start]) <= 0.05 * exact[win_start]

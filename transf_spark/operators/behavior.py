@@ -240,3 +240,66 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+
+PATH_LEN = 3  # steps per mined path
+PATH_TOP_K = 10
+
+
+@register(
+    "events_topk_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    ),
+    paths AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS path,
+             CAST(COUNT(*) AS BIGINT) AS n_journeys
+      FROM seq WHERE e3 IS NOT NULL GROUP BY 1
+    )
+    SELECT path, n_journeys, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT path, n_journeys,
+             ROW_NUMBER() OVER (ORDER BY n_journeys DESC, path ASC) AS rnk
+      FROM paths)
+    WHERE rnk <= {PATH_TOP_K}
+    """,
+    category="window/sequence-mining",
+    origin="EXT",
+)
+def events_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k sequential path mining: the most frequent {PATH_LEN}-step
+    event sequences across all user journeys — the "what do users actually
+    do" query behind navigation analysis and funnel discovery, completing
+    the behavioral family (funnel = fixed path, markov = 1-step memory,
+    this = literal top paths).
+
+    Ordering is (ts_ns, event_id) — integer nanoseconds with the event_id
+    tie-break, identical in both engines. Plan: ONE corpus-sized user_id
+    shuffle shared by both lead() offsets (same window spec), then the
+    path count map-side combines to at most |event types|³ rows; the
+    global top-k ranking window runs over that tiny aggregate — its
+    single-partition sort sees hundreds of rows, never the corpus (the
+    same aggregate-then-rank shape as events_markov_transitions)."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    paths = (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(seq).alias("e2"),
+            F.lead("event_type", 2).over(seq).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_journeys"))
+    )
+    rank = W.orderBy(F.col("n_journeys").desc(), F.col("path").asc())
+    return (
+        paths.withColumn("rnk", F.row_number().over(rank))
+        .filter(F.col("rnk") <= PATH_TOP_K)
+        .select("path", "n_journeys", F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -447,3 +447,43 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError(f"{qname}: AvailableNow drain exceeded 300 s")
     return spark.table(qname)
+
+
+@register(
+    "stream_window_distinct_users",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS within_bound
+    FROM events GROUP BY 1
+    """,
+    category="streaming/sketch",
+    origin="EXT",
+)
+def stream_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly distinct active users — the streaming cardinality query where
+    exact per-window distinct is the state-store killer (every user id
+    held per open window) and the HLL++ sketch is the production answer:
+    constant state per window, mergeable across micro-batches. Declared
+    batch-evaluated form (module pattern): the exact count, hash-checked
+    against DuckDB, plus the agg_approx_distinct-style invariant boolean
+    asserting the sketch lands within 5% (deterministic for fixed input).
+    The streaming twin in tests/test_streaming.py runs the same
+    approx_count_distinct window agg under readStream with a watermark.
+
+    Plan: exact and sketch run as two separate single-shuffle window
+    aggregates joined on the window key (broadcast — the per-hour row
+    count is tiny next to the event corpus)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour").alias("w")
+    exact = ev.groupBy(win).agg(F.countDistinct("user_id").alias("n_users"))
+    approx = ev.groupBy(win).agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_a")
+    )
+    return exact.join(F.broadcast(approx), "w").select(
+        F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+        "n_users",
+        (F.abs(F.col("_a") - F.col("n_users")) <= 0.05 * F.col("n_users")).alias(
+            "within_bound"
+        ),
+    )
