@@ -52,6 +52,7 @@ HEADLINE = [
     "docs_pack_sequences",
     "agg_pivot",
     "sql_shipping_priority",
+    "sql_nation_revenue",
     "stream_session_window",
     "reassembly_ordered_concat",
     "completion_manifest",

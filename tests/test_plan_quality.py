@@ -526,3 +526,15 @@ def test_stream_distinct_users_broadcasts_sketch_join(spark):
     st = plan_stats(df)
     assert st.broadcast_joins == 1 and st.sort_merge_joins == 0
     assert st.exchanges <= 4
+
+
+def test_sql_nation_revenue_broadcasts_dimension_chain(spark):
+    """Q5 shape: all five dimension joins broadcast into the fact join, the
+    order-year predicate reaches the orders scan, and the final ORDER BY
+    sorts the ≤|nations| aggregate. A sort-merge join on any dimension
+    would re-shuffle the fact table once per dimension at 100 TB."""
+    df = _q(spark, "sql_nation_revenue")
+    st = plan_stats(df)
+    assert st.broadcast_joins == 5
+    assert st.sort_merge_joins == 0
+    assert any("o_orderdate" in pf for pf in st.pushed_filters)

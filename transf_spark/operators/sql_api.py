@@ -145,3 +145,42 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((n_name), (o_orderstatus), (n_name, o_orderstatus))
         """
     )
+
+
+_Q5_SQL = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= {d}'1996-01-01'
+      AND o_orderdate < {d}'1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+@register(
+    "sql_nation_revenue",
+    oracle=_Q5_SQL.format(d="DATE "),
+    category="sql-api",
+    origin="EXT",
+)
+def sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume) through the SQL entry point:
+    revenue per nation where the customer and the supplier share a nation
+    in one region, over one order year — the 6-table join that exercises
+    Catalyst's join reordering. Except for the date-literal spelling the
+    oracle is the SAME text. Plan shape at scale: the dimension chain
+    (region→nation→supplier, customer) broadcasts down into the
+    orders⋈lineitem fact join; the date predicate is pushed into the
+    orders scan so the fact shuffle carries one year, not seven; revenue
+    accumulates as exact decimals with a single final double cast. The
+    ORDER BY runs over the ≤|nations| aggregate — never the fact table."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q5_SQL.format(d="DATE "))
