@@ -77,6 +77,9 @@ HEADLINE = [
     "events_markov_transitions",
     "agg_decimal_exact_money",
     "window_ntile_deciles",
+    "scan_orc_roundtrip",
+    "agg_unpivot_stack",
+    "docs_length_histogram",
     "docs_chunk_overlap",
     "merge_scd2_upsert",
     "window_range_interval",

@@ -504,7 +504,7 @@ def agg_skew_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
         .groupBy("event_type", "salt")
         .agg(
-            F.sum(F.col("value").cast("decimal(12,2)")).alias("psum"),
+            F.sum(dec("value")).alias("psum"),
             F.count(F.lit(1)).alias("pcnt"),
         )
     )
@@ -1038,7 +1038,7 @@ def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice; profiled honestly in README's scaling table."""
     cust = load_table(spark, sf_dir, "customer")
     w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    dec_sum = F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+    dec_sum = F.sum(dec("c_acctbal"))
     return (
         cust.select(
             "c_mktsegment", "c_acctbal", F.ntile(NTILE_BUCKETS).over(w).alias("decile")
@@ -1090,8 +1090,8 @@ def agg_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is O(groups), unconditionally scale-safe."""
     li = load_table(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice"))
         .cast("double")
         .alias("sum_price"),
         F.count(F.lit(1)).cast("double").alias("n_rows"),
@@ -1141,10 +1141,8 @@ def agg_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-priority rollup.  Decimal sums stay inside whole-stage codegen."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
-    )
-    dec_disc = F.sum(F.col("l_discount").cast("decimal(12,2)"))
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    dec_disc = F.sum(dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority")

@@ -158,8 +158,8 @@ _Q5_SQL = """
     JOIN nation   ON s_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
     WHERE r_name = 'ASIA'
-      AND o_orderdate >= {d}'1996-01-01'
-      AND o_orderdate < {d}'1997-01-01'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
     GROUP BY n_name
     ORDER BY revenue DESC, n_name
 """
@@ -167,7 +167,7 @@ _Q5_SQL = """
 
 @register(
     "sql_nation_revenue",
-    oracle=_Q5_SQL.format(d="DATE "),
+    oracle=_Q5_SQL,
     category="sql-api",
     origin="EXT",
 )
@@ -175,12 +175,12 @@ def sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape (local supplier volume) through the SQL entry point:
     revenue per nation where the customer and the supplier share a nation
     in one region, over one order year — the 6-table join that exercises
-    Catalyst's join reordering. Except for the date-literal spelling the
-    oracle is the SAME text. Plan shape at scale: the dimension chain
+    Catalyst's join reordering. The oracle is the IDENTICAL text (both
+    dialects accept the DATE literal). Plan shape at scale: the dimension chain
     (region→nation→supplier, customer) broadcasts down into the
     orders⋈lineitem fact join; the date predicate is pushed into the
     orders scan so the fact shuffle carries one year, not seven; revenue
     accumulates as exact decimals with a single final double cast. The
     ORDER BY runs over the ≤|nations| aggregate — never the fact table."""
     register_views(spark, sf_dir)
-    return spark.sql(_Q5_SQL.format(d="DATE "))
+    return spark.sql(_Q5_SQL)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from transf_spark.functions.exprs import dec
 from transf_spark.queries import register
 from transf_spark.sources.tables import load_table
 
@@ -158,7 +159,7 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
         .cast("long")
         .alias("epoch_day"),
-        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        dec("o_totalprice").alias("price"),
     )
     w = (
         W.partitionBy("o_custkey")
@@ -298,7 +299,7 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
         .bitwiseAND(65535)
         .alias("y"),
-        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        dec("o_totalprice").alias("price"),
     )
     for col in ("x", "y"):
         steps, _final = spread(col)
@@ -354,7 +355,7 @@ def agg_incremental_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     def partial(src: DataFrame) -> DataFrame:
         return src.groupBy("o_orderstatus").agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"),
+            F.sum(dec("o_totalprice")).alias("rev"),
             F.min(day).alias("first_day"),
             F.max(day).alias("last_day"),
         )

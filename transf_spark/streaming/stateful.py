@@ -343,8 +343,11 @@ def stream_stateful_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row agreement (a ``done`` row matches a batch-``done`` row with the
     same filesize/written and an accepted handshake; a
     ``rejected_handshake`` row matches a security-filter rejection) AND
-    set-completeness (stream done-count == batch done-count, a broadcast
-    1-row scalar, so stream ⊆ batch plus equal counts ⇒ set equality).
+    set-completeness for BOTH terminal statuses (stream done-count ==
+    batch done-count and stream rejected-count == batch rejected-count,
+    broadcast 1-row scalars, so stream ⊆ batch plus equal counts ⇒ set
+    equality — without the rejected leg, silently dropped rejection rows
+    would still grade green).
     Row count is unchanged: the joins are left joins on the unique
     transfer_id."""
     out = run_stateful_reassembly(
@@ -383,10 +386,24 @@ def stream_stateful_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = (
-        out.filter(F.col("status") == "done")
-        .agg(F.count(F.lit(1)).alias("n_done_stream"))
+        out.agg(
+            F.count(F.when(F.col("status") == "done", 1)).alias("n_done_stream"),
+            F.count(F.when(F.col("status") == "rejected_handshake", 1)).alias(
+                "n_rej_stream"
+            ),
+        )
         .crossJoin(F.broadcast(batch_done.agg(F.count(F.lit(1)).alias("n_done_batch"))))
-        .select((F.col("n_done_stream") == F.col("n_done_batch")).alias("counts_ok"))
+        .crossJoin(F.broadcast(bad_hs.agg(F.count(F.lit(1)).alias("n_rej_batch"))))
+        .select(
+            (
+                (F.col("n_done_stream") == F.col("n_done_batch"))
+                # rejected rows are per-HS-frame, done rows per-transfer —
+                # both sides count transfers, so equality is exact here too;
+                # without this leg a regression that silently drops
+                # rejected_handshake rows still graded green (review finding)
+                & (F.col("n_rej_stream") == F.col("n_rej_batch"))
+            ).alias("counts_ok")
+        )
     )
     row_ok = (F.col("status") == F.col("b_status")) & (
         (F.col("status") != "done")

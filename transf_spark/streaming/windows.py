@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from transf_spark.functions.exprs import dec
 from transf_spark.queries import register
 from transf_spark.session import drain_session
 from transf_spark.sources.tables import load_table
@@ -42,7 +43,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("win_start"),
@@ -78,7 +79,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("win_start"),
