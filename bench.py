@@ -53,6 +53,9 @@ HEADLINE = [
     "agg_pivot",
     "sql_shipping_priority",
     "sql_nation_revenue",
+    "join_null_safe",
+    "agg_mode_exact",
+    "pandas_grouped_rank_normalize",
     "stream_session_window",
     "reassembly_ordered_concat",
     "completion_manifest",

@@ -541,3 +541,31 @@ def test_sql_nation_revenue_broadcasts_dimension_chain(spark):
     assert st.broadcast_joins == 5
     assert st.sort_merge_joins == 0
     assert any("o_orderdate" in pf for pf in st.pushed_filters)
+
+
+def test_null_safe_join_broadcasts_and_stays_hash_join(spark):
+    """EqualNullSafe must plan as a broadcast HASH join (NULL is just a key
+    bucket), never a nested-loop — and the count rollup is one exchange."""
+    st = plan_stats(_q(spark, "join_null_safe"))
+    assert st.broadcast_joins == 1
+    assert st.sort_merge_joins == 0 and st.nested_loop_joins == 0
+
+
+def test_mode_ranks_aggregate_not_corpus(spark):
+    """Exact mode: one map-side-combinable fact shuffle to the
+    (status, priority) counts; the argmax window ranks that tiny aggregate
+    — ≤2 exchanges, no joins."""
+    st = plan_stats(_q(spark, "agg_mode_exact"))
+    assert st.exchanges <= 2
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+
+
+def test_grouped_map_single_user_shuffle(spark):
+    """applyInPandas grouped-map: exactly the one user_id exchange Arrow
+    feeds — anything more means a pre-shuffle sneaked in front of the
+    grouped map."""
+    df = _q(spark, "pandas_grouped_rank_normalize")
+    st = plan_stats(df)
+    assert st.exchanges == 1
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+    assert scan_columns(df) == [{"event_id", "user_id", "value"}]

@@ -591,3 +591,49 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_hash"),
         )
     )
+
+
+@register(
+    "pandas_grouped_rank_normalize",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN cnt = 1 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(rn - 1 AS DOUBLE) / (cnt - 1) END AS pct_rank
+    FROM (
+      SELECT event_id, user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM events)
+    """,
+    category="pipeline/grouped-map",
+    origin="EXT",
+)
+def pandas_grouped_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user percentile-rank normalization of event values via
+    ``applyInPandas`` — the grouped-map Pandas API surface (each group
+    arrives as one pandas DataFrame), completing the Python-interop
+    family beside the scalar pandas_udf (udf_suite), mapInPandas
+    (multimodal, PCA moments) and applyInPandasWithState (the stateful
+    stream). Rank, not z-score, keeps the output integer-derived: both
+    engines divide the identical ints, so the doubles hash identically —
+    a float mean/std would differ in the last ulp between pandas and SQL
+    summation orders.
+
+    Scale: the group key is user_id — high cardinality, so groups are
+    small and spread evenly (the known grouped-map constraint: each group
+    must fit one executor's memory; a low-cardinality key like language
+    would be a 5-task scale killer — that shape belongs to the JVM window
+    the oracle uses). One user_id shuffle, Arrow both ways."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def norm(pdf):
+        pdf = pdf.sort_values(["value", "event_id"]).reset_index(drop=True)
+        n = len(pdf)
+        pdf["pct_rank"] = 0.0 if n == 1 else pdf.index / (n - 1)
+        return pdf[["event_id", "user_id", "pct_rank"]]
+
+    return (
+        ev.select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(norm, "event_id long, user_id long, pct_rank double")
+    )

@@ -1153,3 +1153,105 @@ def agg_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dec_disc.cast("double") / F.count(F.lit(1))).alias("avg_discount"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT NULLIF(l_returnflag, 'N') AS k,
+             CAST(l_quantity AS DECIMAL(12,2)) AS qty
+      FROM lineitem
+    ),
+    b AS (
+      SELECT DISTINCT NULLIF(l_returnflag, 'N') AS k, l_linestatus
+      FROM lineitem
+    )
+    SELECT a.k AS ret_key, b.l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(qty) AS VARCHAR) AS qty_exact
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY 1, 2
+    """,
+    category="join/null-semantics",
+    origin="EXT",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the join
+    semantics every late-binding dimension pipeline eventually needs —
+    NULL keys must MATCH each other instead of silently dropping, the
+    opposite of standard equi-join behavior. The NULL population is
+    derived deterministically (NULLIF on the majority flag) so the
+    matched-NULL rows dominate the output and a regression to plain `=`
+    visibly loses them.
+
+    Scale: `<=>` is still hash-joinable — Spark plans EqualNullSafe as a
+    regular hash join key (NULL hashes to a single bucket: the honest
+    caveat is that an all-NULL key is a skew key, exactly like any other
+    hot key — salt upstream if the NULL share is large). Dimension side
+    broadcasts (plan-gated)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("k"),
+        dec("l_quantity").alias("qty"),
+    )
+    b = (
+        li.select(
+            F.nullif(F.col("l_returnflag"), F.lit("N")).alias("k"), "l_linestatus"
+        )
+        .distinct()
+    )
+    return (
+        a.join(F.broadcast(b), a["k"].eqNullSafe(b["k"]))
+        .groupBy(a["k"].alias("ret_key"), "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("qty").cast("string").alias("qty_exact"),
+        )
+    )
+
+
+@register(
+    "agg_mode_exact",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus,
+           o_orderpriority AS mode_priority,
+           n AS n_mode
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                       ORDER BY n DESC, o_orderpriority ASC) AS rn
+          FROM c)
+    WHERE rn = 1
+    """,
+    category="aggregation/statistics",
+    origin="EXT",
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode (most frequent value) per group with a pinned tie-break
+    (highest count, then lexicographically smallest value) — the
+    deterministic twin of SQL MODE(), whose tie behavior is
+    engine-defined. Two-level shape: the (status, priority) count is one
+    map-side-combinable shuffle over the fact table; the argmax window
+    then ranks the ≤|status|×|priority| aggregate — the rank never sees
+    corpus-sized data, the same aggregate-then-rank contract as
+    events_topk_paths."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_mode"),
+        )
+    )
