@@ -81,6 +81,7 @@ HEADLINE = [
     "agg_decimal_exact_money",
     "window_ntile_deciles",
     "scan_orc_roundtrip",
+    "scan_csv_corrupt_tolerant",
     "agg_unpivot_stack",
     "docs_length_histogram",
     "docs_chunk_overlap",

@@ -569,3 +569,11 @@ def test_grouped_map_single_user_shuffle(spark):
     assert st.exchanges == 1
     assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
     assert scan_columns(df) == [{"event_id", "user_id", "value"}]
+
+
+def test_corrupt_csv_scan_single_exchange(spark):
+    """PERMISSIVE corrupt-record ingest: a pure scan plus one map-side-
+    combinable exchange — quarantine must not add joins or extra shuffles."""
+    st = plan_stats(_q(spark, "scan_csv_corrupt_tolerant"))
+    assert st.exchanges == 1
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0

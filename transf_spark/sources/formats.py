@@ -241,3 +241,75 @@ def scan_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+CORRUPT_MOD = 50  # rows with doc_id % 50 == 0 get an unparsable n_chars
+
+
+def _staged_corrupt_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a deliberately corrupted headerless CSV of (doc_id, lang,
+    n_chars): every CORRUPT_MOD-th doc carries a non-numeric n_chars token.
+    Written as raw text lines so the corruption survives exactly as
+    constructed (the CSV writer would quote-escape it)."""
+    tag = tables.staging_tag(sf_dir, "documents", extra="corrupt_csv")
+    out = f"/tmp/transf_spark_fmt_corrupt_csv_{tag}"
+    marker = os.path.join(out, "_READY")
+    if not os.path.exists(marker):
+        docs = load_table(spark, sf_dir, "documents")
+        line = F.concat_ws(
+            ",",
+            F.col("doc_id"),
+            F.col("lang"),
+            F.when(
+                F.col("doc_id") % CORRUPT_MOD == 0,
+                F.concat(F.lit("BAD"), F.col("doc_id")),
+            ).otherwise(F.col("n_chars").cast("string")),
+        )
+        docs.select(line.alias("value")).write.mode("overwrite").text(f"{out}/data")
+        open(marker, "w").close()
+    return out
+
+
+@register(
+    "scan_csv_corrupt_tolerant",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN doc_id % {CORRUPT_MOD} = 0 THEN 1 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(CASE WHEN doc_id % {CORRUPT_MOD} <> 0 THEN n_chars END) AS BIGINT)
+             AS sum_chars_clean
+    FROM documents GROUP BY lang
+    """,
+    category="scan/robustness",
+    origin="R1+",
+)
+def scan_csv_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode ingest of a corrupted delimited feed — the
+    robustness contract every 100 TB crawl-scale pipeline needs: malformed
+    rows must be ISOLATED (typed column nulled, raw line captured in
+    `_corrupt_record` for quarantine), never dropped silently and never
+    allowed to kill the job (FAILFAST) or poison the aggregate. The
+    corruption is constructed deterministically (every CORRUPT_MOD-th doc
+    gets a non-numeric n_chars), so the oracle can state the expected
+    outcome from the clean parquet: the corrupt count per language and the
+    clean-row sum — proving the parser fenced off exactly the corrupted
+    rows and parsed every healthy column of them (lang still groups).
+
+    Schema is explicit (inference would cost a second full scan and could
+    mis-type the corrupted column as string, hiding the corruption). Pure
+    scan + one map-side-combinable exchange."""
+    src = _staged_corrupt_csv(spark, sf_dir)
+    df = (
+        spark.read.schema("doc_id long, lang string, n_chars long, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(f"{src}/data")
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_chars"))).alias(
+            "sum_chars_clean"
+        ),
+    )
