@@ -120,7 +120,12 @@ def compare(spark_df, con, sql: str) -> list[str]:
     d_sorted = sorted(drows, key=_key)
     n_bad = 0
     for i, (a, b) in enumerate(zip(s_sorted, d_sorted)):
-        if a != b:
+        # TYPED comparison, not ==: Python says 1 == 1.0, but the driver
+        # hashes pandas-canonicalized text where int64 prints "1" and
+        # float64 prints "1.0" — a BIGINT-vs-DOUBLE column skew with equal
+        # values passes == here and still fails the driver (same blindness
+        # class as the round-4 HUGEINT bug, one level down).
+        if _key(a) != _key(b):
             n_bad += 1
             if n_bad <= 5:
                 problems.append(f"row {i}: spark={a!r} duckdb={b!r}")

@@ -170,3 +170,25 @@ def test_debt_priorities_match_known_history():
     assert q._grading_priority("__not_a_query__", hist) == -1
     # Empty history degrades safely: everything priority -1.
     assert q._grading_priority("scan_parquet", {}) == -1
+
+
+def test_comparator_detects_each_failure_class(spark):
+    """Meta-guard: a comparator bug that silently passes everything would
+    green-light the whole local gate, so prove `compare` actually trips on
+    each failure class — value drift, missing column, row-count drift,
+    column-name drift — and stays silent on a true match."""
+    from tests.oracle import compare, duckdb_con
+
+    con = duckdb_con(SF)
+    df = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+
+    assert not compare(df, con, "SELECT 1 AS a, 2 AS b UNION ALL SELECT 3, 4")
+    # value drift
+    assert compare(df, con, "SELECT 1 AS a, 2 AS b UNION ALL SELECT 3, 5")
+    # row-count drift
+    assert compare(df, con, "SELECT 1 AS a, 2 AS b")
+    # schema drift: missing column / renamed column
+    assert compare(df, con, "SELECT 1 AS a UNION ALL SELECT 3")
+    assert compare(df, con, "SELECT 1 AS a, 2 AS c UNION ALL SELECT 3, 4")
+    # float vs int typing of the same value must not alias
+    assert compare(df, con, "SELECT CAST(1 AS DOUBLE) AS a, 2 AS b UNION ALL SELECT 3, 4")
