@@ -55,6 +55,9 @@ HEADLINE = [
     "sql_nation_revenue",
     "join_null_safe",
     "agg_mode_exact",
+    "agg_weighted_median",
+    "events_rfm_segmentation",
+    "scan_schema_evolution",
     "pandas_grouped_rank_normalize",
     "stream_session_window",
     "reassembly_ordered_concat",

@@ -577,3 +577,34 @@ def test_corrupt_csv_scan_single_exchange(spark):
     st = plan_stats(_q(spark, "scan_csv_corrupt_tolerant"))
     assert st.exchanges == 1
     assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+
+
+def test_weighted_median_single_group_shuffle(spark):
+    """Weighted median: the running-weight and total windows share ONE
+    l_returnflag exchange; the threshold filter then aggregates 3 rows."""
+    df = _q(spark, "agg_weighted_median")
+    st = plan_stats(df)
+    assert st.exchanges == 1
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+    assert scan_columns(df) == [{"l_returnflag", "l_extendedprice", "l_quantity"}]
+
+
+def test_rfm_is_two_aggregates_no_global_sort(spark):
+    """RFM with fixed bands: per-customer aggregate + tiny segment rollup —
+    exactly two exchanges and NO single-partition sort (a global ntile
+    regression would show up as Exchange SinglePartition + Sort)."""
+    from transf_spark.plans.inspect import physical_plan
+
+    df = _q(spark, "events_rfm_segmentation")
+    st = plan_stats(df)
+    assert st.exchanges == 2
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+    assert "SinglePartition" not in physical_plan(df)
+
+
+def test_schema_evolution_single_merged_scan(spark):
+    """mergeSchema read: both parquet versions land in ONE scan node (no
+    per-version union of scans) and the rollup is one exchange."""
+    st = plan_stats(_q(spark, "scan_schema_evolution"))
+    assert st.exchanges == 1
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0

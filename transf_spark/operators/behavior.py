@@ -303,3 +303,93 @@ def events_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PATH_TOP_K)
         .select("path", "n_journeys", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+RFM_ANCHOR = "2002-01-01"  # analysis date, just past the last fixture order
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '{RFM_ANCHOR}')
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT CASE WHEN recency_days <= 90 THEN 4 WHEN recency_days <= 365 THEN 3
+                  WHEN recency_days <= 730 THEN 2 ELSE 1 END AS r_score,
+             CASE WHEN frequency >= 15 THEN 4 WHEN frequency >= 10 THEN 3
+                  WHEN frequency >= 5 THEN 2 ELSE 1 END AS f_score,
+             CASE WHEN monetary >= 2000000 THEN 4 WHEN monetary >= 1000000 THEN 3
+                  WHEN monetary >= 300000 THEN 2 ELSE 1 END AS m_score,
+             monetary
+      FROM cust
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS VARCHAR) AS monetary_exact
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    category="aggregation/segmentation",
+    origin="EXT",
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic lifecycle-marketing rollup. Scores use FIXED business bands,
+    not quartiles, deliberately: a global ntile over the customer
+    aggregate is a single-partition sort that dies at 10⁸ customers,
+    while banded scoring is a pure map over the per-customer aggregate —
+    and fixed bands are also what practitioners ship (comparable
+    month-over-month, no drift when the population shifts). Integer day
+    arithmetic against a pinned anchor date; money in exact decimals
+    through both aggregation levels.
+
+    Plan: one o_custkey shuffle for the per-customer aggregate (map-side
+    combined), a map for the scores, one tiny (r,f,m)-key exchange for
+    the ≤64-segment rollup."""
+    from transf_spark.functions.exprs import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ANCHOR).cast("date"), F.max(F.col("o_orderdate").cast("date"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(dec("o_totalprice")).alias("monetary"),
+    )
+    r = (
+        F.when(F.col("recency_days") <= 90, 4)
+        .when(F.col("recency_days") <= 365, 3)
+        .when(F.col("recency_days") <= 730, 2)
+        .otherwise(1)
+    )
+    f_ = (
+        F.when(F.col("frequency") >= 15, 4)
+        .when(F.col("frequency") >= 10, 3)
+        .when(F.col("frequency") >= 5, 2)
+        .otherwise(1)
+    )
+    m = (
+        F.when(F.col("monetary") >= 2_000_000, 4)
+        .when(F.col("monetary") >= 1_000_000, 3)
+        .when(F.col("monetary") >= 300_000, 2)
+        .otherwise(1)
+    )
+    return (
+        cust.select(
+            r.cast("long").alias("r_score"),
+            f_.cast("long").alias("f_score"),
+            m.cast("long").alias("m_score"),
+            "monetary",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").cast("string").alias("monetary_exact"),
+        )
+    )

@@ -1255,3 +1255,65 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_mode"),
         )
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT l_returnflag, price, wt,
+             SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY price, wt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS tot
+      FROM w
+    )
+    SELECT l_returnflag,
+           CAST(MIN(price) AS VARCHAR) AS weighted_median_exact,
+           CAST(MIN(price) AS DOUBLE) AS weighted_median,
+           CAST(MAX(tot) AS BIGINT) AS total_weight
+    FROM ranked
+    WHERE cum * 2 >= tot
+    GROUP BY l_returnflag
+    """,
+    category="aggregation/statistics",
+    origin="EXT",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (price weighted by quantity) per group — the
+    inventory-valuation statistic plain PERCENTILE can't express. The
+    lowest price whose cumulative weight reaches half the group's total;
+    the crossing price is order-independent even under (price, wt) ties
+    because a price group's END-of-group cumulative is tie-order
+    invariant, so both engines select the same row set. Money stays
+    decimal end to end and round-trips as a string.
+
+    Plan: one l_returnflag shuffle shared by the running-weight window and
+    the total window, then the threshold filter aggregates 3 rows. Weight
+    is integer, cum*2 >= tot avoids any float division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        dec("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    win = W.partitionBy("l_returnflag").orderBy("price", "wt")
+    ranked = w.select(
+        "l_returnflag",
+        "price",
+        F.sum("wt").over(win.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+        F.sum("wt").over(W.partitionBy("l_returnflag")).alias("tot"),
+    )
+    return (
+        ranked.filter(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").cast("string").alias("weighted_median_exact"),
+            F.min("price").cast("double").alias("weighted_median"),
+            F.max("tot").alias("total_weight"),
+        )
+    )

@@ -313,3 +313,51 @@ def scan_csv_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_chars_clean"
         ),
     )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_with_quality,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 7 END) AS BIGINT)
+             AS sum_quality
+    FROM documents GROUP BY lang
+    """,
+    category="scan/schema-evolution",
+    origin="R1+",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (``mergeSchema``) — the lakehouse reality that
+    old partitions predate new columns: stage a v1 parquet (even doc_ids,
+    no ``quality`` column) beside a v2 parquet (odd doc_ids, with it),
+    read both in ONE scan with mergeSchema=true, and prove the unified
+    schema backfills v1 rows with NULL instead of failing or dropping
+    them. The v1/v2 split and the quality values are rule-derived
+    (doc_id parity, n_chars % 7), so the oracle states the expected
+    per-language presence counts and quality sum from the clean parquet.
+
+    Scale note: mergeSchema reconciles footers at planning time — pay it
+    when schemas really diverge, then backfill or pin the unified schema
+    explicitly (reading with an explicit schema is the steady-state path
+    every other scan in this repo takes)."""
+    tag = tables.staging_tag(sf_dir, "documents", extra="schema_evo")
+    out = f"/tmp/transf_spark_fmt_schema_evo_{tag}"
+    marker = os.path.join(out, "_READY")
+    if not os.path.exists(marker):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(f"{out}/v1")
+        (
+            docs.filter(F.col("doc_id") % 2 == 1)
+            .withColumn("quality", (F.col("n_chars") % 7).cast("long"))
+            .write.mode("overwrite")
+            .parquet(f"{out}/v2")
+        )
+        open(marker, "w").close()
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{out}/v1", f"{out}/v2")
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("quality").alias("n_with_quality"),
+        F.sum("quality").alias("sum_quality"),
+    )
