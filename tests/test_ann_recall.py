@@ -74,7 +74,7 @@ def test_quantize_int8_error_bound(spark):
 def test_ann_ivf_topk_recall_vs_bruteforce(spark):
     """IVF twin of the LSH gate: same query surface and output contract,
     probing IVF_PROBES of IVF_K inverted lists. On this fixture the
-    deterministic recall is 0.40 (5× the LSH path — nearest-centroid
+    deterministic recall is 0.48 (probes=6; was 0.40 at 4 — nearest-centroid
     partitioning respects cosine geometry better than independent sign
     bits on near-random data); the floor catches a broken index while
     leaving headroom (random recall ≈ 0.02)."""

@@ -353,7 +353,10 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_K = 32  # coarse centroids — ~sqrt(n) at the probe fixture
-IVF_PROBES = 4  # nearest inverted lists probed per query
+IVF_PROBES = 6  # nearest inverted lists probed per query — measured
+# recall 0.48 vs brute force at 6/32 ≈ 19% of the corpus (0.40 at 4, 0.54
+# at 8); with the vectorized kernels the probe join, not centroid scoring,
+# is the marginal cost, so the knob trades data fraction for recall alone
 
 
 @register(
