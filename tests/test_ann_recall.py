@@ -74,7 +74,7 @@ def test_quantize_int8_error_bound(spark):
 def test_ann_ivf_topk_recall_vs_bruteforce(spark):
     """IVF twin of the LSH gate: same query surface and output contract,
     probing IVF_PROBES of IVF_K inverted lists. On this fixture the
-    deterministic recall is 0.62 (Lloyd-trained centroids + probes=6; 0.40 untrained at 4 probes — nearest-centroid
+    deterministic recall is 0.66 (spherical-Lloyd-trained centroids + probes=6; 0.40 untrained at 4 probes — nearest-centroid
     partitioning respects cosine geometry better than independent sign
     bits on near-random data); the floor catches a broken index while
     leaving headroom (random recall ≈ 0.02)."""

@@ -377,8 +377,8 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``IVF_K`` smallest ``md5(vec_id)`` values), then Lloyd-REFINED for
     ``IVF_TRAIN_ITERS`` rounds on a deterministic half-sample — the
     k-means machinery ``embedding_kmeans`` declares, applied as the
-    coarse-quantizer trainer it exists for (recall 0.48 → 0.62 on the
-    probe fixture). The K×d centroid table is collected to the driver
+    coarse-quantizer trainer it exists for (recall 0.48 → 0.66 on the
+    probe fixture — spherical rounds beat L2 rounds' 0.62: metric match). The K×d centroid table is collected to the driver
     (bounded — ≤32 rows) and shipped in the UDF closures. Every corpus vector is assigned to its nearest-
     centroid inverted list in ONE Arrow-vectorized map pass (a single
     BLAS matmul per batch — see the kernel block above): ZERO shuffle,
@@ -402,17 +402,18 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = np.arange(1, len(cent_rows) + 1, dtype=np.int64)
     # Lloyd-train the coarse quantizer on a deterministic half-sample
     # (crc32 split — the production pattern: train on a sample once,
-    # index the full corpus with the trained centroids). Measured on the
-    # probe fixture: recall 0.48 (untrained seed) → 0.62 after 3 rounds;
-    # the half-sample matches full-corpus training exactly while halving
-    # each training pass.
+    # index the full corpus with the trained centroids). SPHERICAL
+    # rounds (cosine assignment), not L2: the index assigns and probes
+    # by cosine, so the trainer must optimize the same metric (an L2
+    # trainer pulls centroids toward high-norm regions the cosine
+    # assignment never honors), and the cosine kernel's B×K matmul also
+    # stays memory-flat at K=32 where the L2 difference kernel's B×K×d
+    # intermediate would not (its ~40 MB/batch bound is for K ≤ 8).
     train = e.filter(
         F.pmod(F.crc32(F.col("vec_id").cast("string")), F.lit(IVF_TRAIN_SAMPLE_MOD))
         == 0
     ).select("vec_id", "v")
-    for _ in range(IVF_TRAIN_ITERS):
-        rows = _kmeans_recenter(_kmeans_assign(train, ids, cent)).collect()
-        ids, cent = _centroid_matrix(rows, "c_id", "cv")
+    ids, cent = _lloyd_rounds(train, ids, cent, IVF_TRAIN_ITERS, metric="cosine")
     nearest = _nearest_cosine_udf(ids, cent)
     probes = _probe_lists_udf(ids, cent, IVF_PROBES)
     cos_pairs = _cosine_pairs_udf()
@@ -444,6 +445,25 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMEANS_K = 8
 KMEANS_ITERS = 3
+
+def _lloyd_rounds(train: DataFrame, ids, cent, iters: int, metric: str):
+    """Shared Lloyd iteration protocol: assign → recenter → collect, for
+    ``iters`` rounds. ``metric='l2'`` is k-means proper (embedding_kmeans);
+    ``metric='cosine'`` is spherical — used to train the IVF coarse
+    quantizer in the SAME metric the index scores with. Recentering is the
+    per-cluster mean in both cases (for cosine scoring only the mean's
+    direction matters — scoring normalizes centroids). Empty clusters drop
+    out of the recentered table in either mode (k-means degeneracy)."""
+    for _ in range(iters):
+        if metric == "l2":
+            assigned = _kmeans_assign(train, ids, cent)
+        else:
+            nearest = _nearest_cosine_udf(ids, cent)
+            assigned = train.select("vec_id", "v", nearest("v").alias("c_id"))
+        rows = _kmeans_recenter(assigned).collect()
+        ids, cent = _centroid_matrix(rows, "c_id", "cv")
+    return ids, cent
+
 
 def _kmeans_assign(e: DataFrame, ids: np.ndarray, cent: np.ndarray) -> DataFrame:
     """Nearest-centroid assignment: ONE Arrow-vectorized map pass over the
@@ -500,11 +520,8 @@ def _kmeans(spark: SparkSession, sf_dir: str, iters: int = KMEANS_ITERS):
     seed_rows = sorted(seed_rows, key=lambda r: r["vec_id"])
     ids = np.arange(1, len(seed_rows) + 1, dtype=np.int64)
     cent = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
+    ids, cent = _lloyd_rounds(e, ids, cent, iters - 1, metric="l2")
     assigned = _kmeans_assign(e, ids, cent)
-    for _ in range(iters - 1):
-        new_rows = _kmeans_recenter(assigned).collect()
-        ids, cent = _centroid_matrix(new_rows, "c_id", "cv")
-        assigned = _kmeans_assign(e, ids, cent)
     cent_df = spark.createDataFrame(
         [(int(i), [float(x) for x in row]) for i, row in zip(ids, cent)],
         "c_id long, cv array<double>",

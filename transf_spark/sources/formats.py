@@ -251,11 +251,21 @@ def _staged_corrupt_csv(spark: SparkSession, sf_dir: str) -> str:
     n_chars): every CORRUPT_MOD-th doc carries a non-numeric n_chars token.
     Written as raw text lines so the corruption survives exactly as
     constructed (the CSV writer would quote-escape it)."""
-    tag = tables.staging_tag(sf_dir, "documents", extra="corrupt_csv")
+    tag = tables.staging_tag(sf_dir, "documents", extra="corrupt_csv2")
     out = f"/tmp/transf_spark_fmt_corrupt_csv_{tag}"
     marker = os.path.join(out, "_READY")
     if not os.path.exists(marker):
-        docs = load_table(spark, sf_dir, "documents")
+        # concat_ws silently SKIPS NULL fields (a NULL n_chars would shift
+        # the row to 2 tokens and desynchronize the file from the oracle's
+        # doc_id-rule), and a comma inside lang would do the same — so only
+        # rows that serialize faithfully are staged, and the oracle mirrors
+        # the identical predicate (_CORRUPT_CLEAN_ROWS). No-op on current
+        # fixtures (verified: no NULLs, no comma langs) — regeneration-proof.
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("lang").isNotNull()
+            & F.col("n_chars").isNotNull()
+            & ~F.col("lang").contains(",")
+        )
         line = F.concat_ws(
             ",",
             F.col("doc_id"),
@@ -270,6 +280,11 @@ def _staged_corrupt_csv(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+_CORRUPT_CLEAN_ROWS = (
+    "lang IS NOT NULL AND n_chars IS NOT NULL AND NOT contains(lang, ',')"
+)
+
+
 @register(
     "scan_csv_corrupt_tolerant",
     oracle=f"""
@@ -279,8 +294,10 @@ def _staged_corrupt_csv(spark: SparkSession, sf_dir: str) -> str:
              AS n_corrupt,
            CAST(SUM(CASE WHEN doc_id % {CORRUPT_MOD} <> 0 THEN n_chars END) AS BIGINT)
              AS sum_chars_clean
-    FROM documents GROUP BY lang
-    """,
+    FROM documents
+    WHERE {{clean}}
+    GROUP BY lang
+    """.format(clean=_CORRUPT_CLEAN_ROWS),
     category="scan/robustness",
     origin="R1+",
 )
