@@ -96,6 +96,7 @@ HEADLINE = [
     "agg_incremental_state_merge",
     "events_topk_paths",
     "stream_window_distinct_users",
+    "stream_checkpoint_incremental",
 ]
 
 
