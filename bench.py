@@ -58,6 +58,7 @@ HEADLINE = [
     "agg_weighted_median",
     "events_rfm_segmentation",
     "scan_schema_evolution",
+    "multimodal_image_decode",
     "pandas_grouped_rank_normalize",
     "stream_session_window",
     "reassembly_ordered_concat",

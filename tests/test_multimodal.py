@@ -59,3 +59,25 @@ def test_frame_sample_expansion_matches_stub_decode(spark):
             assert r["thumb_w"] == max(1, int(w * scale))
             assert r["thumb_h"] == max(1, int(h * scale))
             assert max(r["thumb_w"], r["thumb_h"]) <= THUMB_MAX
+
+
+def test_pgm_decoder_is_a_real_decoder():
+    """decode_pgm must behave like any decoder: parse valid images
+    (round-trip against a hand-built PGM) and REJECT malformed input —
+    wrong magic, wrong maxval, truncated pixel plane."""
+    import numpy as np
+    import pytest
+
+    from transf_spark.operators.multimodal import decode_pgm
+
+    px = bytes(range(6))
+    w, h, plane = decode_pgm(b"P5 3 2 255\n" + px)
+    assert (w, h) == (3, 2)
+    assert np.array_equal(plane, np.frombuffer(px, dtype=np.uint8))
+
+    with pytest.raises(ValueError, match="not an 8-bit PGM"):
+        decode_pgm(b"P6 3 2 255\n" + px)
+    with pytest.raises(ValueError, match="not an 8-bit PGM"):
+        decode_pgm(b"P5 3 2 65535\n" + px)
+    with pytest.raises(ValueError, match="pixel payload"):
+        decode_pgm(b"P5 3 2 255\n" + px[:-1])

@@ -625,3 +625,11 @@ def test_checkpoint_incremental_no_reprocessing(spark):
     even = ev.filter(F.col("event_id") % 2 == 0).count()
     odd = ev.filter(F.col("event_id") % 2 == 1).count()
     assert rows == {"initial": even, "incremental": odd}
+
+
+def test_image_decode_is_map_only(spark):
+    """Image synthesis + real PGM decode are pure map stages — zero
+    exchanges; the binary plane never shuffles."""
+    st = plan_stats(_q(spark, "multimodal_image_decode"))
+    assert st.exchanges == 0
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
