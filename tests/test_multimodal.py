@@ -81,3 +81,14 @@ def test_pgm_decoder_is_a_real_decoder():
         decode_pgm(b"P5 3 2 65535\n" + px)
     with pytest.raises(ValueError, match="pixel payload"):
         decode_pgm(b"P5 3 2 255\n" + px[:-1])
+
+
+def test_pgm_decoder_rejects_short_header():
+    """Truncated header (missing maxval) must raise the decoder's own
+    diagnostic, not a bare tuple-unpack error (review finding)."""
+    import pytest
+
+    from transf_spark.operators.multimodal import decode_pgm
+
+    with pytest.raises(ValueError, match="not an 8-bit PGM"):
+        decode_pgm(b"P5 3 2\n" + bytes(6))

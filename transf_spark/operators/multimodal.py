@@ -249,9 +249,10 @@ def decode_pgm(buf: bytes) -> tuple[int, int, np.ndarray]:
     decode stage is exercised for real (malformed input raises, like any
     decoder)."""
     header, _, pixels = buf.partition(b"\n")
-    magic, w, h, maxval = header.split()
-    if magic != b"P5" or maxval != b"255":
+    parts = header.split()
+    if len(parts) != 4 or parts[0] != b"P5" or parts[3] != b"255":
         raise ValueError(f"not an 8-bit PGM: {header!r}")
+    _magic, w, h, _maxval = parts
     w, h = int(w), int(h)
     px = np.frombuffer(pixels, dtype=np.uint8)
     if px.size != w * h:
@@ -288,7 +289,7 @@ def _image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
              list_transform(range(1, 17), i ->
                CAST(concat('0x', substring(md5(text), CAST((i-1)*2+1 AS BIGINT), 2))
                     AS BIGINT)) AS b
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id,
            CAST({PGM_W} AS BIGINT) AS width,
@@ -321,7 +322,10 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, plan-gated); at 100 TB the synthesis select is replaced by a
     `binaryFile` scan and `decode_pgm` by the PIL/ffmpeg hook — same
     Arrow batch shape, same schema."""
-    docs = load_table(spark, sf_dir, "documents")
+    # a NULL text would synthesize a NULL image and crash bytes() in the
+    # worker — filter it out and mirror the predicate in the oracle
+    # (regeneration-proof; current fixtures have none)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     header = f"P5 {PGM_W} {PGM_H} 255\n"
     img = docs.select(
         "doc_id",

@@ -340,7 +340,9 @@ def scan_csv_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_with_quality,
            CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 7 END) AS BIGINT)
              AS sum_quality
-    FROM documents GROUP BY lang
+    FROM documents
+    WHERE n_chars IS NOT NULL
+    GROUP BY lang
     """,
     category="scan/schema-evolution",
     origin="R1+",
@@ -359,11 +361,19 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     when schemas really diverge, then backfill or pin the unified schema
     explicitly (reading with an explicit schema is the steady-state path
     every other scan in this repo takes)."""
-    tag = tables.staging_tag(sf_dir, "documents", extra="schema_evo")
+    tag = tables.staging_tag(sf_dir, "documents", extra="schema_evo2")
     out = f"/tmp/transf_spark_fmt_schema_evo_{tag}"
     marker = os.path.join(out, "_READY")
     if not os.path.exists(marker):
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        # n_chars feeds the derived quality column — a NULL would make the
+        # Spark-side count("quality") diverge from the oracle's doc-parity
+        # count (review finding; regeneration-proof, no-op on current
+        # fixtures). The oracle mirrors the same predicate.
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("n_chars").isNotNull())
+            .select("doc_id", "lang", "n_chars")
+        )
         docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(f"{out}/v1")
         (
             docs.filter(F.col("doc_id") % 2 == 1)

@@ -530,7 +530,7 @@ def stream_checkpoint_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     from transf_spark.sources.tables import staging_tag
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
-    tag = staging_tag(sf_dir, "events", extra="ckpt_incr")
+    tag = staging_tag(sf_dir, "events", extra="ckpt_incr2")
     base = f"/tmp/transf_spark_ckpt_incr_{tag}"
     import os
 
@@ -538,7 +538,11 @@ def stream_checkpoint_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{base}/initial")
-        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        # != 0, not == 1: Spark's % keeps the dividend's sign, so a
+        # negative-odd event_id would match NEITHER parity filter and
+        # silently vanish from the staged halves while the oracle's ELSE
+        # branch counts it (review finding; current ids are non-negative)
+        ev.filter(F.col("event_id") % 2 != 0).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{base}/incremental")
         open(os.path.join(base, "_READY"), "w").close()
@@ -587,17 +591,18 @@ def stream_checkpoint_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         return rows["n"], rows["s"]
 
-    stage("initial", 1)
-    drain()
-    n1, s1 = sink_state()
-    stage("incremental", 2)
-    drain()
-    n2, s2 = sink_state()
-
     # Scratch (source copies, checkpoint, sink) is per-call and fully
-    # consumed — the output below is literal rows, so nothing lazy
-    # references the files and the run leaves /tmp clean.
-    shutil.rmtree(scratch, ignore_errors=True)
+    # consumed before return — try/finally so a drain timeout or write
+    # failure cannot leak a data-sized /tmp directory across retries.
+    try:
+        stage("initial", 1)
+        drain()
+        n1, s1 = sink_state()
+        stage("incremental", 2)
+        drain()
+        n2, s2 = sink_state()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
     # incremental = sink delta — exact decimal subtraction, so the phase
     # sums match the oracle's per-parity sums digit-for-digit; n2-n1 being
