@@ -53,6 +53,8 @@ HEADLINE = [
     "agg_pivot",
     "sql_shipping_priority",
     "sql_nation_revenue",
+    "sql_above_customer_avg",
+    "events_anomaly_mad",
     "join_null_safe",
     "agg_mode_exact",
     "agg_weighted_median",

@@ -633,3 +633,24 @@ def test_image_decode_is_map_only(spark):
     st = plan_stats(_q(spark, "multimodal_image_decode"))
     assert st.exchanges == 0
     assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+
+
+def test_mad_three_pass_broadcast_stats(spark):
+    """MAD anomaly scan: three map-side event aggregates with the 5-row
+    stats tables broadcast back — no sort-merge join may drag the event
+    corpus through a stats join, and no nested loop may appear."""
+    st = plan_stats(_q(spark, "events_anomaly_mad"))
+    assert st.sort_merge_joins == 0 and st.nested_loop_joins == 0
+    assert st.broadcast_joins >= 2
+    assert st.exchanges <= 4
+
+
+def test_correlated_scalar_subqueries_decorrelate(spark):
+    """Both correlated scalar aggregates must decorrelate into per-customer
+    aggregation joined back (Catalyst merges them into shared plumbing) —
+    a nested-loop or per-row re-execution here is the classic correlated-
+    subquery scale killer."""
+    st = plan_stats(_q(spark, "sql_above_customer_avg"))
+    assert st.nested_loop_joins == 0
+    assert st.sort_merge_joins == 0
+    assert st.exchanges <= 3

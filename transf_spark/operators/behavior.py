@@ -393,3 +393,74 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("monetary").cast("string").alias("monetary_exact"),
         )
     )
+
+
+MAD_K = 3  # anomaly threshold: |x − median| > K · MAD
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, m2.med AS median_value, md.mad AS mad_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN ABS(d.value - m2.med) > {MAD_K} * md.mad THEN 1 END)
+                AS BIGINT) AS n_anomalies
+    FROM events d JOIN med m2 USING (event_type) JOIN mad md USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+    category="aggregation/robust-statistics",
+    origin="EXT",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type — median absolute deviation,
+    the outlier rule that (unlike z-scores) is not itself dragged by the
+    outliers it hunts: flag values more than MAD_K·MAD from the median.
+    The data-quality scrub that precedes any metric aggregation or
+    training-data ingestion of telemetry.
+
+    Exact medians (`percentile`, linear interpolation — the pairing
+    agg_percentiles already hash-proves against DuckDB `quantile_cont`),
+    computed per engine on identical doubles, so the ×{MAD_K} threshold
+    comparisons agree bit-for-bit. Three passes over events (median →
+    deviation median → flag count), each one map-side aggregate with the
+    5-row stats tables broadcast back. Honest scale note: EXACT per-group
+    medians sort each group's values on one reducer — fine while
+    |event types| × values fits a task (it does at any realistic telemetry
+    cardinality), and the declared sketch twin (`agg_approx_percentile`)
+    is the swap-in when it does not: the MAD rule tolerates ~1% quantile
+    error by construction."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("median_value")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", (F.abs(F.col("value") - F.col("median_value"))).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_value")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "median_value", "mad_value")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("median_value"))
+                    > MAD_K * F.col("mad_value"),
+                    1,
+                )
+            ).alias("n_anomalies"),
+        )
+    )

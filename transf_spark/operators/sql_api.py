@@ -184,3 +184,38 @@ def sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY runs over the ≤|nations| aggregate — never the fact table."""
     register_views(spark, sf_dir)
     return spark.sql(_Q5_SQL)
+
+
+_ABOVE_AVG_SQL = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE CAST(o_totalprice AS DECIMAL(12,2)) * 2
+            * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+          > 3 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                 FROM orders i WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+@register(
+    "sql_above_customer_avg",
+    oracle=_ABOVE_AVG_SQL,
+    category="sql-api",
+    origin="EXT",
+)
+def sql_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subqueries through the SQL entry point — the
+    decorrelation capability beside sql_exists_late_orders' EXISTS
+    rewrite: orders priced above 1.5× their own customer's average,
+    stated as two correlated aggregates that Catalyst must decorrelate
+    into per-customer aggregation + join (never a per-row re-scan).
+    IDENTICAL text on both engines. The 1.5×avg predicate is
+    cross-multiplied into exact decimal/integer arithmetic
+    (price·2·n > 3·Σprice) so no float-summation-order boundary can
+    flip a row between engines — the same reason money aggregates use
+    decimals everywhere else.
+
+    Plan at scale: one o_custkey aggregate over orders, AQE-joined back
+    on the same key — plan-gated to at most the two aggregate exchanges
+    plus the join, with no nested-loop re-execution."""
+    register_views(spark, sf_dir)
+    return spark.sql(_ABOVE_AVG_SQL)
