@@ -92,3 +92,19 @@ def test_pgm_decoder_rejects_short_header():
 
     with pytest.raises(ValueError, match="not an 8-bit PGM"):
         decode_pgm(b"P5 3 2\n" + bytes(6))
+
+
+def test_pgm_decoder_rejects_bad_dimensions():
+    """Negative or non-integer dimensions must be rejected with the
+    decoder's diagnostic — '-32 -16' multiplies to a plausible pixel count
+    and previously slipped through (review finding)."""
+    import pytest
+
+    from transf_spark.operators.multimodal import decode_pgm
+
+    with pytest.raises(ValueError, match="not an 8-bit PGM"):
+        decode_pgm(b"P5 -32 -16 255\n" + bytes(512))
+    with pytest.raises(ValueError, match="not an 8-bit PGM"):
+        decode_pgm(b"P5 x 2 255\n" + bytes(6))
+    with pytest.raises(ValueError, match="not an 8-bit PGM"):
+        decode_pgm(b"P5 0 0 255\n")

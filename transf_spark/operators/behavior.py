@@ -430,7 +430,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact medians (`percentile`, linear interpolation — the pairing
     agg_percentiles already hash-proves against DuckDB `quantile_cont`),
-    computed per engine on identical doubles, so the ×{MAD_K} threshold
+    computed per engine on identical doubles, so the K-times-MAD threshold
     comparisons agree bit-for-bit. Three passes over events (median →
     deviation median → flag count), each one map-side aggregate with the
     5-row stats tables broadcast back. Honest scale note: EXACT per-group

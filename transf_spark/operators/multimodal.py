@@ -252,8 +252,13 @@ def decode_pgm(buf: bytes) -> tuple[int, int, np.ndarray]:
     parts = header.split()
     if len(parts) != 4 or parts[0] != b"P5" or parts[3] != b"255":
         raise ValueError(f"not an 8-bit PGM: {header!r}")
-    _magic, w, h, _maxval = parts
-    w, h = int(w), int(h)
+    if not (parts[1].isdigit() and parts[2].isdigit()):
+        # rejects negative ('-32' is not digits) and non-integer dims with
+        # the decoder's own diagnostic, not a bare int() error
+        raise ValueError(f"not an 8-bit PGM: {header!r}")
+    w, h = int(parts[1]), int(parts[2])
+    if w <= 0 or h <= 0:
+        raise ValueError(f"not an 8-bit PGM: {header!r}")
     px = np.frombuffer(pixels, dtype=np.uint8)
     if px.size != w * h:
         raise ValueError(f"pixel payload {px.size} != {w}x{h}")

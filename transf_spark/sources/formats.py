@@ -38,6 +38,18 @@ _ROUNDTRIP_ORACLE = """
 # against Spark's LongType even when values are identical (round-4 verdict).
 
 
+def _evict_stale_staging(prefix: str, keep: str) -> None:
+    """Remove sibling staging dirs under ``prefix`` other than ``keep`` —
+    tag bumps and fixture regenerations would otherwise orphan data-sized
+    /tmp copies forever (each dir holds a full table export)."""
+    import glob
+    import shutil
+
+    for d in glob.glob(prefix + "*"):
+        if d != keep:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _staged_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     # content-fingerprinted tag (source parquet mtime+size): regenerating the
     # fixture in place invalidates the staged copy (round-2 ADVICE)
@@ -45,6 +57,7 @@ def _staged_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     out = f"/tmp/transf_spark_fmt_{fmt}_{tag}"
     marker = os.path.join(out, "_READY")
     if not os.path.exists(marker):
+        _evict_stale_staging(f"/tmp/transf_spark_fmt_{fmt}_", out)
         docs = load_table(spark, sf_dir, "documents")
         writer = docs.write.mode("overwrite")
         if fmt == "csv":
@@ -255,6 +268,7 @@ def _staged_corrupt_csv(spark: SparkSession, sf_dir: str) -> str:
     out = f"/tmp/transf_spark_fmt_corrupt_csv_{tag}"
     marker = os.path.join(out, "_READY")
     if not os.path.exists(marker):
+        _evict_stale_staging("/tmp/transf_spark_fmt_corrupt_csv_", out)
         # concat_ws silently SKIPS NULL fields (a NULL n_chars would shift
         # the row to 2 tokens and desynchronize the file from the oracle's
         # doc_id-rule), and a comma inside lang would do the same — so only
@@ -337,11 +351,11 @@ def scan_csv_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_with_quality,
-           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 7 END) AS BIGINT)
+           CAST(COUNT(CASE WHEN doc_id % 2 <> 0 THEN 1 END) AS BIGINT) AS n_with_quality,
+           CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN n_chars % 7 END) AS BIGINT)
              AS sum_quality
     FROM documents
-    WHERE n_chars IS NOT NULL
+    WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
     GROUP BY lang
     """,
     category="scan/schema-evolution",
@@ -369,14 +383,17 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Spark-side count("quality") diverge from the oracle's doc-parity
         # count (review finding; regeneration-proof, no-op on current
         # fixtures). The oracle mirrors the same predicate.
+        _evict_stale_staging("/tmp/transf_spark_fmt_schema_evo_", out)
         docs = (
             load_table(spark, sf_dir, "documents")
-            .filter(F.col("n_chars").isNotNull())
+            .filter(F.col("n_chars").isNotNull() & F.col("doc_id").isNotNull())
             .select("doc_id", "lang", "n_chars")
         )
+        # != 0, not == 1: sign-safe parity (windows.py precedent) so a
+        # negative-odd doc_id lands in v2 instead of vanishing
         docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(f"{out}/v1")
         (
-            docs.filter(F.col("doc_id") % 2 == 1)
+            docs.filter(F.col("doc_id") % 2 != 0)
             .withColumn("quality", (F.col("n_chars") % 7).cast("long"))
             .write.mode("overwrite")
             .parquet(f"{out}/v2")

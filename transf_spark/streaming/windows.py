@@ -499,7 +499,7 @@ def stream_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
     FROM (SELECT CASE WHEN event_id % 2 = 0 THEN 'initial' ELSE 'incremental' END
             AS phase, value
-          FROM events)
+          FROM events WHERE event_id IS NOT NULL)
     GROUP BY phase
     """,
     category="streaming/incremental",
@@ -529,12 +529,22 @@ def stream_checkpoint_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from transf_spark.sources.tables import staging_tag
 
-    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    # NULL event_id would match NEITHER parity filter (NULL % 2 is NULL)
+    # while the oracle's ELSE counted it — filter it out and mirror the
+    # predicate in the oracle (regeneration-proof; current ids are dense)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id").isNotNull())
+        .select("event_id", "value")
+    )
     tag = staging_tag(sf_dir, "events", extra="ckpt_incr2")
     base = f"/tmp/transf_spark_ckpt_incr_{tag}"
     import os
 
     if not os.path.exists(os.path.join(base, "_READY")):
+        from transf_spark.sources.formats import _evict_stale_staging
+
+        _evict_stale_staging("/tmp/transf_spark_ckpt_incr_", base)
         ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{base}/initial")
