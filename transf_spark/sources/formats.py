@@ -155,6 +155,7 @@ def _bucketed_table(
     out = f"/tmp/transf_spark_bucket_{name}_{tag}"
     marker = os.path.join(out, "_READY")
     if not os.path.exists(marker):
+        _evict_stale_staging(f"/tmp/transf_spark_bucket_{name}_", out)
         df = load_table(spark, sf_dir, name).select(*columns)
         write_bucketed(df, tbl, key, n_buckets, sort_col=key, path=out)
         open(marker, "w").close()
@@ -241,6 +242,7 @@ def scan_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = f"/tmp/transf_spark_part_{tag}"
     marker = os.path.join(out, "_READY")
     if not os.path.exists(marker):
+        _evict_stale_staging("/tmp/transf_spark_part_", out)
         docs = load_table(spark, sf_dir, "documents")
         docs.write.mode("overwrite").partitionBy("lang").parquet(f"{out}/data")
         open(marker, "w").close()

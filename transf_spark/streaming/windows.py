@@ -200,6 +200,9 @@ def _ack_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     marker = os.path.join(out_dir, "_READY")
     if os.path.exists(marker):
         return out_dir
+    from transf_spark.sources.formats import _evict_stale_staging
+
+    _evict_stale_staging("/tmp/transf_spark_ackstream_", out_dir)
     sent, acks = ack_frames(spark, sf_dir)
     sent.write.mode("overwrite").parquet(f"{out_dir}/sent")
     acks.write.mode("overwrite").parquet(f"{out_dir}/acks")
