@@ -100,6 +100,14 @@ HEADLINE = [
     "events_topk_paths",
     "stream_window_distinct_users",
     "stream_checkpoint_incremental",
+    # round-5 second batch
+    "events_attribution_touch",
+    "events_gapfill_ffill",
+    "agg_linreg_daily_trend",
+    "profile_columns_summary",
+    "dedup_levenshtein_blocked",
+    "join_salted_skew",
+    "sql_recursive_hierarchy",
 ]
 
 

@@ -654,3 +654,70 @@ def test_correlated_scalar_subqueries_decorrelate(spark):
     assert st.nested_loop_joins == 0
     assert st.sort_merge_joins == 0
     assert st.exchanges <= 3
+
+
+def test_attribution_folds_argminmax_into_single_shuffle(spark):
+    """First/last-touch attribution: min_by/max_by fold the argmin/argmax
+    inside ONE user_id hash aggregate — no Window sort of event history,
+    no join. The window form this replaces sorts every user's whole
+    timeline at 100 TB."""
+    from transf_spark.plans.inspect import physical_plan
+
+    df = _q(spark, "events_attribution_touch")
+    st = plan_stats(df)
+    assert st.exchanges == 1
+    assert "Window" not in physical_plan(df)
+
+
+def test_linreg_is_two_level_aggregate(spark):
+    """OLS trend: event volume collapses to the (type, day) matrix in one
+    map-side-combined exchange; the component-sum aggregate adds the
+    second. No join, no window, no third pass."""
+    st = plan_stats(_q(spark, "agg_linreg_daily_trend"))
+    assert st.exchanges == 2
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+
+
+def test_gapfill_joins_daily_matrix_not_events(spark):
+    """Gap-fill: the grid↔daily join and the fill window run on the daily
+    matrix (AQE broadcasts the reduced side); the event corpus is touched
+    by exactly one keyed exchange."""
+    st = plan_stats(_q(spark, "events_gapfill_ffill"))
+    assert st.exchanges <= 2
+    assert st.sort_merge_joins == 0
+
+
+def test_profile_is_two_level_distinct_without_expand(spark):
+    """Column profiling: the two-level distinct form — (col, val) reduce,
+    then per-column aggregate — must hold: exactly two exchanges and NO
+    Expand operator (the direct multi-column COUNT(DISTINCT) plan Spark
+    would otherwise generate multiplies the corpus by the column count)."""
+    from transf_spark.plans.inspect import physical_plan
+
+    df = _q(spark, "profile_columns_summary")
+    st = plan_stats(df)
+    assert st.exchanges == 2
+    assert "Expand" not in physical_plan(df)
+
+
+def test_levenshtein_dedup_never_goes_all_pairs(spark):
+    """Edit-distance dedup: candidates come from the token-block equi-join
+    over the collapsed vocabulary — no nested-loop (cartesian) join and no
+    sort-merge may appear anywhere in the plan."""
+    st = plan_stats(_q(spark, "dedup_levenshtein_blocked"))
+    assert st.nested_loop_joins == 0
+    assert st.sort_merge_joins == 0
+
+
+def test_salted_join_is_shuffled_hash_not_broadcast(spark):
+    """Salted skew join: the (lang, salt) join must stay a ShuffledHashJoin
+    — broadcasting the dim would make the salt a no-op demo, and sort-merge
+    would add the very skew-prone sort the salt exists to avoid."""
+    from transf_spark.plans.inspect import physical_plan
+
+    df = _q(spark, "join_salted_skew")
+    p = physical_plan(df)
+    assert "ShuffledHashJoin" in p
+    st = plan_stats(df)
+    assert st.broadcast_joins == 0
+    assert st.sort_merge_joins == 0

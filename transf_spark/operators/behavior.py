@@ -464,3 +464,229 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_anomalies"),
         )
     )
+
+
+@register(
+    "events_attribution_touch",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, epoch_ns(ts) AS tns,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), event_id) AS rna,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rnd
+      FROM events
+    )
+    SELECT user_id,
+           MAX(CASE WHEN rna = 1 THEN event_type END) AS first_touch,
+           MAX(CASE WHEN rnd = 1 THEN event_type END) AS last_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(tns) AS first_ts_ns,
+           MAX(tns) AS last_ts_ns
+    FROM o GROUP BY user_id
+    """,
+    category="aggregation/attribution",
+    origin="EXT",
+)
+def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution: per user, the event type of the
+    chronologically first and last event plus lifetime bounds — the
+    credit-assignment primitive behind marketing attribution and the batch
+    twin of the reference's per-session "first frame opens, last frame
+    closes" lifecycle (HS at `transf_server.cpp:154-199`, DONE at
+    `transf_server.cpp:288-316`).
+
+    Plan: ONE shuffle on user_id — ``min_by``/``max_by`` keyed on the
+    (ts_ns, event_id) struct fold the argmin/argmax inside the hash
+    aggregate with map-side partials, so no window sort and no second pass.
+    The oracle needs two ROW_NUMBER windows + a conditional re-aggregate to
+    say the same thing — the argmin-in-aggregate form is the one that
+    survives 100 TB (per-key state is one (key, value) pair; a window form
+    would sort every user's history). Ties are impossible: event_id is
+    unique and tie-breaks equal timestamps in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    ordkey = F.struct("ts_ns", "event_id")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", ordkey).alias("first_touch"),
+        F.max_by("event_type", ordkey).alias("last_touch"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_ns").alias("first_ts_ns"),
+        F.max("ts_ns").alias("last_ts_ns"),
+    )
+
+
+@register(
+    "events_gapfill_ffill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, day, close_value FROM (
+        SELECT user_id, epoch_ns(ts) // {NS_PER_DAY} AS day, value AS close_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ns(ts) // {NS_PER_DAY}
+                                  ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1
+    ),
+    span AS (
+      SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, UNNEST(generate_series(mn, mx)) AS day FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.day, d.close_value,
+             d.close_value IS NULL AS is_gap
+      FROM grid g LEFT JOIN daily d USING (user_id, day)
+    )
+    SELECT user_id, day,
+           LAST_VALUE(close_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           is_gap
+    FROM j
+    """,
+    category="window/time-series",
+    origin="EXT",
+)
+def events_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + forward-fill (resample to a daily grid): per
+    user, one row per calendar day between their first and last active day;
+    inactive days are materialized and carry the last observed daily close
+    forward — the resampling step that precedes any ML feature window or
+    day-over-day metric on irregular event data.
+
+    The daily "close" is the value of the day's LAST event (max_by on the
+    (ts_ns, event_id) struct — deterministic, no float summation, so the
+    carried value is bit-identical in both engines). The day grid is built
+    JVM-side with ``sequence(min_day, max_day)`` + explode — rows are
+    *created* inside the engine, never collected. Forward fill is
+    ``last(value, ignorenulls=True)`` over the running frame.
+
+    Plan: one user_id-keyed shuffle for the daily close (argmax inside the
+    hash aggregate), a per-user span aggregate on the already-daily rows,
+    explode (no shuffle), then the join back and the fill window reuse the
+    user_id partitioning. Grid size is bounded by active-span days — the
+    fill never scans event volume, only the daily matrix. A pathological
+    decade-idle user adds 3650 rows, not a hot partition."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.expr(f"ts_ns div {NS_PER_DAY}").alias("day"),
+            "value",
+            "ts_ns",
+            "event_id",
+        )
+        .groupBy("user_id", "day")
+        .agg(F.max_by("value", F.struct("ts_ns", "event_id")).alias("close_value"))
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select("user_id", F.explode(F.sequence("mn", "mx")).alias("day"))
+    )
+    j = grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        "close_value",
+        F.col("close_value").isNull().alias("is_gap"),
+    )
+    fill = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.last("close_value", ignorenulls=True).over(fill).alias("filled_value"),
+        "is_gap",
+    )
+
+
+# Regression anchor: events begin 2024-01-01 (epoch day 19723); re-centering
+# x = day − anchor keeps every component sum (Σx, Σx², Σxy) small-integer
+# EXACT, so the slope/intercept doubles are single divisions of identical
+# longs in both engines — bit-exact, unlike engine-native regr_slope whose
+# incremental accumulation order is implementation-defined.
+LINREG_ANCHOR_DAY = 19723
+
+
+@register(
+    "agg_linreg_daily_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_ns(ts) // {NS_PER_DAY} - {LINREG_ANCHOR_DAY} AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, n_days,
+           CAST(n_days * sxy - sx * sy AS DOUBLE)
+             / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope_per_day,
+           (CAST(sy AS DOUBLE)
+              - (CAST(n_days * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_days * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n_days AS DOUBLE) AS intercept
+    FROM s
+    """,
+    category="aggregation/regression",
+    origin="EXT",
+)
+def agg_linreg_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend: for each event type, the
+    slope and intercept of daily event volume regressed on the day index —
+    the "is this metric growing?" primitive behind capacity forecasts and
+    drift alarms.
+
+    Both engines compute the SAME closed form from integer component sums
+    (n, Σx, Σy, Σxy, Σx²) over (re-centered day, daily count) — every sum
+    is exact long arithmetic, and slope/intercept are then identical IEEE
+    expressions of identical longs, so the doubles hash bit-for-bit.
+    Engine-native ``regr_slope`` is deliberately NOT used: its incremental
+    (Welford-style) accumulation is order-dependent and differs across
+    engines — the exact-integer-sums form is also the one that distributes
+    (component sums are associative; the final division is a map over the
+    per-group row).
+
+    Plan: one (event_type, day) map-side-combined exchange collapses event
+    volume to the daily matrix; the component-sum aggregate and closed-form
+    division then touch only |types| × |days| rows. Overflow headroom:
+    re-centered x < 10⁴ even for a 25-year series, so Σxy < 2⁶³ until daily
+    counts exceed 10¹⁴ — beyond any real telemetry; the re-center is what
+    buys that bound."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.expr(f"ts_ns div {NS_PER_DAY}") - LINREG_ANCHOR_DAY).alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n_days").cast("double")
+    return s.select(
+        "event_type",
+        "n_days",
+        slope.alias("slope_per_day"),
+        intercept.alias("intercept"),
+    )

@@ -343,3 +343,81 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair.select(
         "doc_id_a", "doc_id_b", jaccard.alias("jaccard")
     ).filter(F.col("jaccard") >= 0.5)
+
+
+# Edit-distance vocabulary dedup: candidate pairs come from MULTI-PASS
+# token blocking (a pair is a candidate if it shares ANY word), so a
+# one-word substitution ('old plate' → 'red plate') and a short typo
+# ('cold ring' → 'old ring') are both inside some shared block — single-key
+# blocking on just the first or last word would miss one of them.
+LEV_MAX_DIST = 2
+
+
+@register(
+    "dedup_levenshtein_blocked",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts FROM part GROUP BY 1
+    ),
+    keys AS (
+      SELECT p_name, UNNEST(string_split(p_name, ' ')) AS blk FROM names
+    ),
+    cand AS (
+      SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+      FROM keys a JOIN keys b ON a.blk = b.blk AND a.p_name < b.p_name
+    )
+    SELECT c.name_a, c.name_b,
+           CAST(levenshtein(c.name_a, c.name_b) AS BIGINT) AS edit_dist,
+           na.n_parts AS n_parts_a, nb.n_parts AS n_parts_b
+    FROM cand c
+    JOIN names na ON na.p_name = c.name_a
+    JOIN names nb ON nb.p_name = c.name_b
+    WHERE levenshtein(c.name_a, c.name_b) <= {LEV_MAX_DIST}
+    """,
+    category="dedup/edit-distance",
+    origin="EXT",
+)
+def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate detection over a string vocabulary —
+    the entity-resolution shape ("same product, typo'd name") that MinHash
+    can't answer (shingle Jaccard is blind to single-character edits in
+    short strings). Finds all DISTINCT part-name pairs within Levenshtein
+    distance {LEV_MAX_DIST}, with each name's row weight (how many part
+    rows would merge) carried alongside.
+
+    Plan, in three scale-bounded stages: (1) collapse the corpus to its
+    name VOCABULARY with one map-side-combined shuffle — edit distance is
+    a property of the string, so the 10⁹-row corpus reduces to its ≤10⁶
+    distinct names before any pairing; (2) multi-pass token blocking:
+    explode each name's words as block keys and equi-join on the key —
+    candidates are pairs sharing ≥1 word, an even, high-cardinality
+    shuffle, never an all-pairs product (the DISTINCT collapses pairs
+    found under multiple shared words before the O(len²) distance runs);
+    (3) ``levenshtein`` filter + AQE-broadcast joins back to the per-name
+    weights. Both engines implement unit-cost Wagner-Fischer, so the
+    integer distances agree exactly. A stopword-like hyper-frequent token
+    would bloat one block at true scale — production blocking drops
+    top-percentile tokens first; the fixture vocabulary has no such token,
+    and the guard is a one-line filter on block size."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    keys = names.select(
+        "p_name", F.explode(F.split("p_name", " ")).alias("blk")
+    )
+    a = keys.alias("a")
+    b = keys.alias("b")
+    cand = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.p_name") < F.col("b.p_name")))
+        .select(F.col("a.p_name").alias("name_a"), F.col("b.p_name").alias("name_b"))
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    na = names.select(F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_parts_a"))
+    nb = names.select(F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_parts_b"))
+    return (
+        cand.filter(dist <= LEV_MAX_DIST)
+        .withColumn("edit_dist", dist.cast("long"))
+        .join(na, "name_a")
+        .join(nb, "name_b")
+        .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")
+    )

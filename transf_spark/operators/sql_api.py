@@ -219,3 +219,61 @@ def sql_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the join, with no nested-loop re-execution."""
     register_views(spark, sf_dir)
     return spark.sql(_ABOVE_AVG_SQL)
+
+
+# Recursive-CTE hierarchy: the customer key space forms a synthetic binary
+# tree (parent(k) = k div 2, root k=1) — deterministic, derived purely from
+# the fixture's key column, and deep enough (log₂|customers|) to exercise
+# real multi-round recursion in both engines.
+_RECURSIVE_SPARK_SQL = """
+    WITH RECURSIVE tree(custkey, depth) AS (
+      SELECT c_custkey, CAST(0 AS BIGINT) FROM customer WHERE c_custkey = 1
+      UNION ALL
+      SELECT c.c_custkey, t.depth + CAST(1 AS BIGINT)
+      FROM customer c JOIN tree t ON c.c_custkey DIV 2 = t.custkey
+    )
+    SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(custkey) AS min_key, MAX(custkey) AS max_key
+    FROM tree GROUP BY depth
+"""
+
+_RECURSIVE_DUCK_SQL = """
+    WITH RECURSIVE tree(custkey, depth) AS (
+      SELECT c_custkey, CAST(0 AS BIGINT) FROM customer WHERE c_custkey = 1
+      UNION ALL
+      SELECT c.c_custkey, t.depth + CAST(1 AS BIGINT)
+      FROM customer c JOIN tree t ON c.c_custkey // 2 = t.custkey
+    )
+    SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(custkey) AS min_key, MAX(custkey) AS max_key
+    FROM tree GROUP BY depth
+"""
+
+
+@register(
+    "sql_recursive_hierarchy",
+    oracle=_RECURSIVE_DUCK_SQL,
+    category="sql-api/recursive",
+    origin="EXT",
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through the SQL entry point (Spark 4's recursive CTE
+    support) — hierarchy traversal, the org-chart/BOM/graph-reachability
+    shape that pre-4.x Spark forced into a driver-side loop (the engine's
+    own ``dedup_cluster_cc`` is exactly such a loop). The customer key
+    space is walked as a binary tree (parent = key div 2) from root 1,
+    emitting node count and key range per depth level.
+
+    The SQL text differs between engines only in the integer-division
+    operator (Spark ``DIV``, DuckDB ``//``) — structure and arithmetic are
+    identical, all integer-exact.
+
+    Plan at scale: each recursion level is ONE equi-join of the frontier
+    against the child table — Catalyst plans every level hash-partitioned
+    (AQE broadcasts the frontier while it's small), and the number of
+    rounds is the hierarchy DEPTH (log₂ n here, ~20 for 10⁹ keys), not its
+    size — the same rounds-bounded-by-diameter argument as the
+    pointer-jumping connected-components loop, but stated declaratively
+    so the engine owns frontier materialization."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SPARK_SQL)

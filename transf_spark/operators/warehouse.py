@@ -372,3 +372,92 @@ def agg_incremental_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("last_day").alias("last_day"),
         )
     )
+
+
+# Columns profiled by profile_columns_summary — exact-typed only (ints,
+# strings, dates): double columns are excluded because min/max STRING
+# rendering of floats is engine-specific (Java switches to E-notation at
+# 1e7; DuckDB never does), while int/string/date casts render identically.
+PROFILE_COLS = (
+    "l_orderkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+)
+
+
+def _profile_val(c: str):
+    # date-normalize the timestamp column so both engines render 'YYYY-MM-DD'
+    col = F.col(c).cast("date") if c == "l_shipdate" else F.col(c)
+    return col.cast("string")
+
+
+@register(
+    "profile_columns_summary",
+    oracle="""
+    WITH u AS (
+      SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS val FROM lineitem
+      UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+      UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+      UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+      UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+      UNION ALL SELECT 'l_shipdate', CAST(CAST(l_shipdate AS DATE) AS VARCHAR) FROM lineitem
+    ),
+    d AS (
+      SELECT col_name, val, CAST(COUNT(*) AS BIGINT) AS cnt FROM u GROUP BY 1, 2
+    )
+    SELECT col_name,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN val IS NULL THEN cnt END), 0) AS BIGINT)
+             AS n_nulls,
+           CAST(COUNT(val) AS BIGINT) AS n_distinct,
+           MIN(val) AS min_val,
+           MAX(val) AS max_val
+    FROM d GROUP BY 1
+    """,
+    category="warehouse/profiling",
+    origin="EXT",
+)
+def profile_columns_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary — per column: row count, null count, EXACT
+    distinct count, lexicographic min/max — the table-health report every
+    warehouse runs after ingest (and the stats a query planner or data
+    catalog wants refreshed).
+
+    Shape: unpivot the profiled columns to (col_name, val) rows JVM-side
+    (stack — a generate, not a shuffle), then TWO-LEVEL distinct counting:
+    first reduce to (col_name, val, cnt) — map-side combinable, the only
+    event-volume exchange — then aggregate the distinct-value matrix per
+    column. A direct COUNT(DISTINCT col) per column would either run one
+    expand-heavy aggregate or funnel each column through a single reducer;
+    the two-level form spreads every column's value space across the
+    cluster and is how profiling survives a 10⁹-distinct-values column at
+    100 TB. Lexicographic (binary-collation) min/max on the string cast is
+    identical in both engines; doubles are deliberately out of scope
+    (PROFILE_COLS note).
+
+    Sibling: ``agg_distinct_count`` proves the same two-level trick on one
+    column; this is the whole-table profiling consumer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stack_expr = F.expr(
+        "stack({n}, ".format(n=len(PROFILE_COLS))
+        + ", ".join(
+            f"'{c}', _pv{i}" for i, c in enumerate(PROFILE_COLS)
+        )
+        + ") AS (col_name, val)"
+    )
+    u = li.select(
+        *[_profile_val(c).alias(f"_pv{i}") for i, c in enumerate(PROFILE_COLS)]
+    ).select(stack_expr)
+    d = u.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("cnt"))
+    return d.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("cnt"))), F.lit(0)
+        ).alias("n_nulls"),
+        F.count("val").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
