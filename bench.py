@@ -106,8 +106,8 @@ HEADLINE = [
     "agg_linreg_daily_trend",
     "profile_columns_summary",
     "dedup_levenshtein_blocked",
-    "join_salted_skew",
     "sql_recursive_hierarchy",
+    "scan_dynamic_partition_pruning",
 ]
 
 

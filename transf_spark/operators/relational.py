@@ -1318,73 +1318,3 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-# Salted-join geometry: replicate the dimension SALT_J× and hash-salt the
-# fact side — the even-shuffle join for hot keys when the dimension is too
-# large to broadcast (AQE's skew splitting handles stragglers reactively;
-# salting removes them by construction).
-SALT_J = 8
-
-
-@register(
-    "join_salted_skew",
-    oracle="""
-    WITH stats AS (
-      SELECT lang, CAST(COUNT(*) AS BIGINT) AS lang_n_docs,
-             CAST(SUM(CAST(n_chars AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
-               AS lang_avg_chars
-      FROM documents GROUP BY 1
-    )
-    SELECT d.doc_id, d.lang, d.n_chars, s.lang_n_docs,
-           CAST(d.n_chars AS DOUBLE) / s.lang_avg_chars AS rel_len
-    FROM documents d JOIN stats s USING (lang)
-    """,
-    category="join/skew",
-    origin="EXT",
-)
-def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted skewed join — the join-side twin of
-    ``agg_skew_salted_two_stage``: enrich every document with its
-    language's corpus statistics, where the join key (lang) is massively
-    skewed (a handful of languages dominate any real corpus, so a plain
-    shuffle join lands e.g. all English docs on one task).
-
-    The salt spreads each hot key over SALT_J tasks by construction: the
-    fact side gets a deterministic ``pmod(xxhash64(doc_id), SALT_J)`` salt,
-    the dimension side is replicated SALT_J× with ``explode(sequence(...))``,
-    and the join keys on (lang, salt) — every partition carries ≤ 1/SALT_J
-    of any key. The oracle is the UNSALTED join: salting must be
-    result-invariant, which is exactly what the hash check proves.
-
-    The join is pinned ``shuffle_hash`` deliberately: at fixture scale AQE
-    would broadcast the tiny dimension and the salt would demonstrate
-    nothing — the pattern exists for the regime where the dimension
-    (10⁶ languages/domains/tenants × heavy payload) exceeds broadcast
-    limits while its popular keys still dominate the fact side. Broadcast
-    remains the first choice whenever the dim FITS — see
-    ``join_multiway_star``; relative length is a double division of
-    identically-derived decimals, IEEE-exact in both engines."""
-    docs = load_table(spark, sf_dir, "documents")
-    stats = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("lang_n_docs"),
-        (F.sum(dec("n_chars")).cast("double") / F.count(F.lit(1))).alias(
-            "lang_avg_chars"
-        ),
-    )
-    fact = docs.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(SALT_J)))
-    dim = stats.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_J - 1)))
-    )
-    return (
-        fact.hint("shuffle_hash")
-        .join(dim, ["lang", "_salt"])
-        .select(
-            "doc_id",
-            "lang",
-            "n_chars",
-            "lang_n_docs",
-            (F.col("n_chars").cast("double") / F.col("lang_avg_chars")).alias(
-                "rel_len"
-            ),
-        )
-    )

@@ -214,6 +214,22 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _read_partitioned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents staged once as ``lang=<v>/part-*.parquet`` (fingerprint-
+    cached) and read back with the pinned schema — shared by the static
+    (`scan_partitioned_pruning`) and dynamic (`scan_dynamic_partition_pruning`)
+    pruning queries."""
+    tag = tables.staging_tag(sf_dir, "documents", extra="partitioned")
+    out = f"/tmp/transf_spark_part_{tag}"
+    marker = os.path.join(out, "_READY")
+    if not os.path.exists(marker):
+        _evict_stale_staging("/tmp/transf_spark_part_", out)
+        docs = load_table(spark, sf_dir, "documents")
+        docs.write.mode("overwrite").partitionBy("lang").parquet(f"{out}/data")
+        open(marker, "w").close()
+    return spark.read.schema(schemas.SCHEMAS["documents"]).parquet(f"{out}/data")
+
+
 @register(
     "scan_partitioned_pruning",
     oracle="""
@@ -238,15 +254,7 @@ def scan_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts on the physical plan. The oracle aggregates the original parquet
     with the same predicate, proving the partitioned round-trip is lossless
     AND the pruned read is complete."""
-    tag = tables.staging_tag(sf_dir, "documents", extra="partitioned")
-    out = f"/tmp/transf_spark_part_{tag}"
-    marker = os.path.join(out, "_READY")
-    if not os.path.exists(marker):
-        _evict_stale_staging("/tmp/transf_spark_part_", out)
-        docs = load_table(spark, sf_dir, "documents")
-        docs.write.mode("overwrite").partitionBy("lang").parquet(f"{out}/data")
-        open(marker, "w").close()
-    df = spark.read.schema(schemas.SCHEMAS["documents"]).parquet(f"{out}/data")
+    df = _read_partitioned_docs(spark, sf_dir)
     return (
         df.filter(F.col("lang") == "en")
         .groupBy("source")
@@ -406,4 +414,58 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count("quality").alias("n_with_quality"),
         F.sum("quality").alias("sum_quality"),
+    )
+
+
+@register(
+    "scan_dynamic_partition_pruning",
+    oracle="""
+    WITH dim AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS src_docs
+      FROM documents WHERE source = 'src18' GROUP BY 1
+    )
+    SELECT d.lang, s.src_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+           MIN(d.doc_id) AS min_doc_id
+    FROM documents d JOIN dim s USING (lang)
+    GROUP BY 1, 2
+    """,
+    category="scan/dynamic-pruning",
+    origin="R1+",
+)
+def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the runtime twin of
+    ``scan_partitioned_pruning``: which ``lang=`` directories to read is
+    not a literal in the query but the output of a dimension subplan (the
+    languages publisher 'src18' covers), so planning-time pruning is
+    impossible. Catalyst reuses the dimension's broadcast as a
+    ``dynamicpruning#`` subquery INSIDE the fact scan's PartitionFilters —
+    the partitioned fact reads only qualifying directories, decided at
+    runtime, and the fixture dimension genuinely excludes a language, so
+    at least one partition is skipped, not just filter-decorated
+    (plan-gated in tests/test_plan_quality.py).
+
+    At 100 TB this is THE mechanism that makes fact⋈dim joins affordable
+    on partitioned lakes: the fact scan is bounded by the dim filter's
+    selectivity with no hand-maintained partition lists. The dim predicate
+    is a literal equality — the 'likely selective' shape the pruning rule
+    requires; a computed threshold (e.g. 4·count > total) is NOT treated
+    as selective and silently forfeits DPP, which is exactly the kind of
+    plan regression the gate exists to catch."""
+    docs = load_table(spark, sf_dir, "documents")
+    dim = (
+        docs.filter(F.col("source") == "src18")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("src_docs"))
+    )
+    fact = _read_partitioned_docs(spark, sf_dir)
+    return (
+        fact.join(F.broadcast(dim), "lang")
+        .groupBy("lang", "src_docs")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
     )
