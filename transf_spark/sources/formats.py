@@ -442,9 +442,11 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     impossible. Catalyst reuses the dimension's broadcast as a
     ``dynamicpruning#`` subquery INSIDE the fact scan's PartitionFilters —
     the partitioned fact reads only qualifying directories, decided at
-    runtime, and the fixture dimension genuinely excludes a language, so
-    at least one partition is skipped, not just filter-decorated
-    (plan-gated in tests/test_plan_quality.py).
+    runtime. At the sf0.01 gate fixture the dimension genuinely excludes a
+    language, so a directory is truly skipped, not just filter-decorated
+    (plan-gated in tests/test_plan_quality.py; at other SFs the publisher
+    may cover every language — the pruning subquery is still in the plan,
+    it just selects everything).
 
     At 100 TB this is THE mechanism that makes fact⋈dim joins affordable
     on partitioned lakes: the fact scan is bounded by the dim filter's
