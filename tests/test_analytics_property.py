@@ -25,6 +25,7 @@ from pyspark.sql import Window as W, functions as F
 
 from tests.conftest import SF_CHECK, SF_SMOKE
 from transf_spark import queries as q
+from transf_spark.operators.behavior import LINREG_ANCHOR_DAY
 from transf_spark.operators.dedup import LEV_MAX_DIST
 from transf_spark.sources.tables import load_table
 
@@ -84,9 +85,12 @@ def test_gapfill_matches_independent_pandas_reference(spark):
     )
     ns_day = 86_400_000_000_000
     ev["day"] = ev["ts_ns"] // ns_day
-    # daily close = value of the last (ts_ns, event_id) event of the day
+    # daily close = value of the last (ts_ns, event_id) event of the day.
+    # drop_duplicates(keep="last"), NOT groupby().last(): the latter skips
+    # nulls per column, diverging from max_by if a day's last event ever
+    # carried a null value
     ev = ev.sort_values(["user_id", "day", "ts_ns", "event_id"])
-    daily = ev.groupby(["user_id", "day"], as_index=False).last()[
+    daily = ev.drop_duplicates(subset=["user_id", "day"], keep="last")[
         ["user_id", "day", "value"]
     ]
     frames = []
@@ -172,11 +176,15 @@ def test_linreg_matches_numpy_lstsq(spark):
     ns_day = 86_400_000_000_000
     daily = (
         ev.select(
-            "event_type", (F.expr(f"ts_ns div {ns_day}") - 19723).alias("x")
+            "event_type",
+            (F.expr(f"ts_ns div {ns_day}") - LINREG_ANCHOR_DAY).alias("x"),
         )
         .groupBy("event_type", "x")
         .count()
         .toPandas()
+    )
+    assert rows and all(r["n_days"] >= 2 for r in rows), (
+        "fixture regenerated to single-day groups — trend test is vacuous"
     )
     for r in rows:
         g = daily[daily["event_type"] == r["event_type"]]

@@ -719,3 +719,21 @@ def test_dynamic_partition_pruning_fires(spark):
 
     df = _q(spark, "scan_dynamic_partition_pruning")
     assert "dynamicpruning" in physical_plan(df).lower()
+    # and the skip is real at this fixture, not just filter-decorated:
+    # src18 must exclude >= 1 language (vacuity guard against fixture
+    # regeneration) and the result must carry exactly its languages
+    from pyspark.sql import functions as F
+
+    from transf_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    all_langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    dim_langs = {
+        r["lang"]
+        for r in docs.filter(F.col("source") == "src18").select("lang").distinct().collect()
+    }
+    assert dim_langs < all_langs, (
+        "fixture regenerated: src18 now covers every language — the gate "
+        "no longer proves a directory is skipped; pick a sparser source"
+    )
+    assert {r["lang"] for r in df.collect()} == dim_langs

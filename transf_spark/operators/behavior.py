@@ -626,7 +626,7 @@ LINREG_ANCHOR_DAY = 19723
              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
              CAST(SUM(x * y) AS BIGINT) AS sxy,
              CAST(SUM(x * x) AS BIGINT) AS sxx
-      FROM daily GROUP BY 1
+      FROM daily GROUP BY 1 HAVING COUNT(*) >= 2
     )
     SELECT event_type, n_days,
            CAST(n_days * sxy - sx * sy AS DOUBLE)
@@ -677,7 +677,7 @@ def agg_linreg_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
+    ).filter(F.col("n_days") >= 2)  # a 1-day group has den == 0: no trend, not a NULL row
     num = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     slope = num / den

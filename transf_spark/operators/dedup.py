@@ -382,7 +382,7 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     the entity-resolution shape ("same product, typo'd name") that MinHash
     can't answer (shingle Jaccard is blind to single-character edits in
     short strings). Finds all DISTINCT part-name pairs within Levenshtein
-    distance {LEV_MAX_DIST}, with each name's row weight (how many part
+    distance LEV_MAX_DIST (= 2), with each name's row weight (how many part
     rows would merge) carried alongside.
 
     Plan, in three scale-bounded stages: (1) collapse the corpus to its

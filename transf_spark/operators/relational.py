@@ -1317,4 +1317,3 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tot").alias("total_weight"),
         )
     )
-
