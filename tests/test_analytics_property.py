@@ -192,3 +192,46 @@ def test_linreg_matches_numpy_lstsq(spark):
         assert math.isclose(r["slope_per_day"], slope, rel_tol=1e-9), r["event_type"]
         assert math.isclose(r["intercept"], intercept, rel_tol=1e-9), r["event_type"]
         assert r["n_days"] == len(g)
+
+
+def test_rank_normalize_batch_matches_per_user_reference():
+    """The salt-bucket grouped-map kernel (one lexsort + segment arithmetic
+    over ALL users in the batch) must reproduce the naive per-user form
+    exactly — including value ties broken by event_id, singleton users
+    (pct 0.0), and duplicate (value, event_id)-adjacent rows. Pure-pandas
+    check, no Spark session needed."""
+    from transf_spark.operators.pipeline import _rank_normalize_batch
+
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        n_users = rng.randint(1, 12)
+        frames = []
+        eid = 0
+        for u in range(n_users):
+            n = rng.randint(1, 9)
+            vals = rng.randint(0, 4, size=n).astype(float)  # heavy ties
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_id": np.arange(eid, eid + n),
+                        "user_id": np.full(n, u * 13 + 1),
+                        "value": vals,
+                    }
+                )
+            )
+            eid += n
+        pdf = (
+            pd.concat(frames)
+            .sample(frac=1.0, random_state=trial)  # shuffle row order
+            .reset_index(drop=True)
+        )
+        out = _rank_normalize_batch(pdf.copy()).set_index("event_id")
+
+        for u, g in pdf.groupby("user_id"):
+            g = g.sort_values(["value", "event_id"]).reset_index(drop=True)
+            n = len(g)
+            for i, row in g.iterrows():
+                expect = 0.0 if n == 1 else i / (n - 1)
+                got = out.loc[row["event_id"], "pct_rank"]
+                assert got == expect, (trial, u, row["event_id"], got, expect)
+            assert (out.loc[g["event_id"], "user_id"].to_numpy() == u).all()

@@ -560,10 +560,11 @@ def test_mode_ranks_aggregate_not_corpus(spark):
     assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
 
 
-def test_grouped_map_single_user_shuffle(spark):
-    """applyInPandas grouped-map: exactly the one user_id exchange Arrow
-    feeds — anything more means a pre-shuffle sneaked in front of the
-    grouped map."""
+def test_grouped_map_single_bucket_shuffle(spark):
+    """applyInPandas grouped-map: exactly the one salt-bucket exchange
+    Arrow feeds — anything more means a pre-shuffle sneaked in front of
+    the grouped map — and the scan still prunes to the three used columns
+    (the bucket key is derived, not read)."""
     df = _q(spark, "pandas_grouped_rank_normalize")
     st = plan_stats(df)
     assert st.exchanges == 1

@@ -610,37 +610,57 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pandas_grouped_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user percentile-rank normalization of event values via
-    ``applyInPandas`` — the grouped-map Pandas API surface (each group
-    arrives as one pandas DataFrame), completing the Python-interop
-    family beside the scalar pandas_udf (udf_suite), mapInPandas
-    (multimodal, PCA moments) and applyInPandasWithState (the stateful
-    stream). Rank, not z-score, keeps the output integer-derived: both
-    engines divide the identical ints, so the doubles hash identically —
-    a float mean/std would differ in the last ulp between pandas and SQL
-    summation orders.
+    ``applyInPandas`` — the grouped-map Pandas API surface, completing the
+    Python-interop family beside the scalar pandas_udf (udf_suite),
+    mapInPandas (multimodal, PCA moments) and applyInPandasWithState (the
+    stateful stream). Rank, not z-score, keeps the output integer-derived:
+    both engines divide the identical ints, so the doubles hash
+    identically — a float mean/std would differ in the last ulp between
+    pandas and SQL summation orders.
 
-    Scale: the group key is user_id — high cardinality, so groups are
-    small and spread evenly (the known grouped-map constraint: each group
-    must fit one executor's memory; a low-cardinality key like language
-    would be a 5-task scale killer — that shape belongs to the JVM window
-    the oracle uses). One user_id shuffle, Arrow both ways."""
+    Grouping is by a HASH BUCKET of user_id, not user_id itself, and the
+    per-user ranking is vectorized in numpy across all users in the
+    bucket. Naive groupBy(user_id) pays one Python invocation per user —
+    ~30k Arrow round-trip setups at sf0.1 for ~20-row groups, which
+    measured 4× slower than this form and grows linearly with users. The
+    salt-bucket keeps the grouped-map contract (each group must fit one
+    executor's memory) scale-safe the other way too: bucket count tracks
+    ``spark.sql.shuffle.partitions``, which a properly-sized cluster
+    scales with data volume, so bucket size stays bounded where a
+    low-cardinality natural key (e.g. language) would concentrate the
+    corpus into 5 tasks. One bucket shuffle, Arrow both ways."""
     ev = load_table(spark, sf_dir, "events")
-
-    def norm(pdf):
-        # numpy lexsort instead of DataFrame.sort_values: the per-group
-        # work is tiny (~20 rows), so per-call pandas machinery dominates —
-        # measured ~35% off the whole query at sf0.1
-        import numpy as np
-
-        n = len(pdf)
-        order = np.lexsort((pdf["event_id"].to_numpy(), pdf["value"].to_numpy()))
-        pct = np.zeros(n)
-        if n > 1:
-            pct[order] = np.arange(n) / (n - 1)
-        return pdf.assign(pct_rank=pct)[["event_id", "user_id", "pct_rank"]]
-
+    # 8 buckets per shuffle partition: enough salt granularity that AQE
+    # coalescing or a straggler bucket can't serialize the stage, small
+    # enough that per-call Python overhead stays negligible.
+    n_buckets = 8 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
         ev.select("event_id", "user_id", "value")
-        .groupBy("user_id")
-        .applyInPandas(norm, "event_id long, user_id long, pct_rank double")
+        .groupBy(F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("bucket"))
+        .applyInPandas(
+            _rank_normalize_batch, "event_id long, user_id long, pct_rank double"
+        )
     )
+
+
+def _rank_normalize_batch(pdf):
+    """One salt bucket of (event_id, user_id, value) rows → per-user
+    percentile ranks, vectorized across every user in the batch.
+
+    Sort the whole bucket by (user, value, event_id) once, then derive each
+    user's rank-within-segment as global index − segment start; n=1 users
+    get 0.0 (matching the oracle's CASE cnt=1 arm). Integer-derived
+    division only, so values are byte-identical to the per-user form."""
+    import numpy as np
+
+    u = pdf["user_id"].to_numpy()
+    order = np.lexsort((pdf["event_id"].to_numpy(), pdf["value"].to_numpy(), u))
+    su = u[order]
+    starts = np.flatnonzero(np.r_[True, su[1:] != su[:-1]])
+    counts = np.diff(np.r_[starts, len(su)])
+    rn = np.arange(len(su)) - np.repeat(starts, counts)
+    denom = np.repeat(counts, counts) - 1
+    pct_sorted = np.where(denom > 0, rn / np.maximum(denom, 1), 0.0)
+    pct = np.empty(len(su))
+    pct[order] = pct_sorted
+    return pdf.assign(pct_rank=pct)[["event_id", "user_id", "pct_rank"]]
