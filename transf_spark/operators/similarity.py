@@ -354,9 +354,12 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_K = 32  # coarse centroids — ~sqrt(n) at the probe fixture
 IVF_PROBES = 6  # nearest inverted lists probed per query — measured
-# recall 0.48 vs brute force at 6/32 ≈ 19% of the corpus (0.40 at 4, 0.54
-# at 8); with the vectorized kernels the probe join, not centroid scoring,
-# is the marginal cost, so the knob trades data fraction for recall alone
+# recall 0.66 vs brute force at 6/32 ≈ 19% of the corpus with the
+# spherical-Lloyd-trained centroids (the pre-training seed centroids gave
+# 0.48 at the same probe count — training, not probing more, bought the
+# last lift); with the vectorized kernels the probe join, not centroid
+# scoring, is the marginal cost, so the knob trades data fraction for
+# recall alone
 IVF_TRAIN_ITERS = 3  # Lloyd rounds refining the seed centroids
 IVF_TRAIN_SAMPLE_MOD = 2  # train on the deterministic crc32 half-sample
 
