@@ -117,3 +117,43 @@ def test_incremental_merge_is_split_invariant(spark):
     # extremes (everything in one side) and a mid split
     for split_day in ("1992-01-01", "1997-06-15", "2005-01-01"):
         assert run(split_day) == baseline, split_day
+
+
+def test_zorder_spread_full_16bit_domain(spark):
+    """Regression for the int32 shiftleft wrap: day values with bit 15 set
+    (epoch day >= 32768 — dates past 2059-09-18, inside the declared
+    & 65535 domain) produced a NEGATIVE bucket before the y column was
+    widened to long. Drive the exact production spread expressions over
+    the domain corners and a seeded sample, compare to the bit-level
+    reference."""
+    import itertools
+    import random
+
+    from transf_spark.operators.warehouse import (
+        ZORDER_BUCKETS_SHIFT,
+        _morton_spread_steps,
+    )
+
+    corners = [0, 1, 32767, 32768, 40000, 65535]
+    rng = random.Random(9)
+    pairs = list(itertools.product(corners, corners)) + [
+        (rng.randrange(65536), rng.randrange(65536)) for _ in range(50)
+    ]
+    df = spark.createDataFrame(pairs, "x long, y long")
+    for col in ("x", "y"):
+        for name, expr in _morton_spread_steps(
+            col, lambda e, n: f"shiftleft({e}, {n})"
+        ):
+            df = df.withColumn(name, F.expr(expr))
+    got = df.select(
+        "x",
+        "y",
+        F.expr(
+            f"shiftright(x_3 | shiftleft(y_3, 1), {ZORDER_BUCKETS_SHIFT})"
+        ).alias("bucket"),
+    ).collect()
+    assert len(got) == len(pairs)
+    for r in got:
+        expect = _morton_ref(r["x"], r["y"]) >> ZORDER_BUCKETS_SHIFT
+        assert r["bucket"] == expect, (r["x"], r["y"], r["bucket"], expect)
+        assert 0 <= r["bucket"] < 16

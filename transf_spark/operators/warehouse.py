@@ -230,51 +230,69 @@ ZORDER_BUCKETS_SHIFT = 28  # top 4 bits of the 32-bit z-value ⇒ 16 buckets
 INCR_SPLIT_DAY = "1999-01-01"  # state = orders before, delta = orders after
 
 
-def _morton_steps(shl):
-    """The classic 16→32-bit interleave ('spread bits') as 4 shift/mask
-    steps, dialect-parameterized: `shl(expr, n)` renders a left shift.
-    Applied to both dimensions, the even/odd-bit merge yields the Morton
-    (Z-curve) code."""
-    masks = ((8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765))
-
-    def spread(col):
-        steps = []
-        cur = col
-        for i, (sh, mask) in enumerate(masks):
-            nxt = f"{col}_{i}"
-            steps.append((nxt, f"({cur} | {shl(cur, sh)}) & {mask}"))
-            cur = nxt
-        return steps, cur
-
-    return spread
+# The classic 16→32-bit interleave ('spread bits'): 4 shift/mask steps
+# per dimension, then the even/odd-bit merge yields the Morton (Z-curve)
+# code. ONE mask table feeds both dialects below — the Spark expressions
+# and the DuckDB oracle CTE chain are generated from it, so editing a
+# mask cannot desync the two sides.
+_MORTON_MASKS = ((8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765))
 
 
-@register(
-    "layout_zorder_stats",
-    oracle=f"""
-    WITH base AS (
+def _morton_spread_steps(col: str, shl) -> list[tuple[str, str]]:
+    """(name, expr) spread steps for one dimension; `shl(expr, n)`
+    renders the dialect's left shift."""
+    steps = []
+    cur = col
+    for i, (sh, mask) in enumerate(_MORTON_MASKS):
+        nxt = f"{col}_{i}"
+        steps.append((nxt, f"({cur} | {shl(cur, sh)}) & {mask}"))
+        cur = nxt
+    return steps
+
+
+def _zorder_oracle_sql() -> str:
+    """DuckDB oracle generated from _MORTON_MASKS — one CTE per spread
+    step carrying both dimensions (date_diff/& are BIGINT-native in
+    DuckDB, matching the Spark side's explicit long cast)."""
+    shl = lambda e, n: f"({e} << {n})"  # noqa: E731
+    ctes = [
+        """base AS (
       SELECT o_custkey & 65535 AS x,
              date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 65535 AS y,
              CAST(o_totalprice AS DECIMAL(12,2)) AS price
       FROM orders
-    ), s0 AS (
-      SELECT *, (x | (x << 8)) & 16711935 AS x_0, (y | (y << 8)) & 16711935 AS y_0 FROM base
-    ), s1 AS (
-      SELECT *, (x_0 | (x_0 << 4)) & 252645135 AS x_1, (y_0 | (y_0 << 4)) & 252645135 AS y_1 FROM s0
-    ), s2 AS (
-      SELECT *, (x_1 | (x_1 << 2)) & 858993459 AS x_2, (y_1 | (y_1 << 2)) & 858993459 AS y_2 FROM s1
-    ), s3 AS (
-      SELECT *, (x_2 | (x_2 << 1)) & 1431655765 AS x_3, (y_2 | (y_2 << 1)) & 1431655765 AS y_3 FROM s2
-    ), z AS (
-      SELECT x, y, price, (x_3 | (y_3 << 1)) >> {ZORDER_BUCKETS_SHIFT} AS bucket FROM s3
+    )"""
+    ]
+    prev = "base"
+    x_steps = _morton_spread_steps("x", shl)
+    y_steps = _morton_spread_steps("y", shl)
+    for i, ((xn, xe), (yn, ye)) in enumerate(zip(x_steps, y_steps)):
+        ctes.append(f"s{i} AS (\n      SELECT *, {xe} AS {xn}, {ye} AS {yn} FROM {prev}\n    )")
+        prev = f"s{i}"
+    ctes.append(
+        f"""z AS (
+      SELECT x, y, price,
+             (x_3 | (y_3 << 1)) >> {ZORDER_BUCKETS_SHIFT} AS bucket
+      FROM {prev}
+    )"""
     )
+    return (
+        "\n    WITH "
+        + ", ".join(ctes)
+        + """
     SELECT CAST(bucket AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(MIN(x) AS BIGINT) AS min_cust, CAST(MAX(x) AS BIGINT) AS max_cust,
            CAST(MIN(y) AS BIGINT) AS min_day, CAST(MAX(y) AS BIGINT) AS max_day,
            CAST(SUM(price) AS VARCHAR) AS revenue_exact
     FROM z GROUP BY 1
-    """,
+    """
+    )
+
+
+@register(
+    "layout_zorder_stats",
+    oracle=_zorder_oracle_sql(),
     category="layout/data-skipping",
     origin="EXT",
 )
@@ -293,17 +311,23 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-decimal revenue it covers. One map-side-combinable exchange
     (plan-gated), scan pruned to 3 columns."""
     orders = load_table(spark, sf_dir, "orders")
-    spread = _morton_steps(lambda e, n: f"shiftleft({e}, {n})")
     df = orders.select(
         (F.col("o_custkey").bitwiseAND(65535)).alias("x"),
+        # datediff is IntegerType: widen to long BEFORE the spread steps —
+        # shiftleft on int32 wraps negative once the masked day has bit 15
+        # set (epoch day ≥ 32768, i.e. dates from 2059-09-18), where the
+        # oracle's BIGINT-native date_diff stays positive. The & 65535
+        # domain clamp is explicit in both dialects.
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
         .bitwiseAND(65535)
         .alias("y"),
         dec("o_totalprice").alias("price"),
     )
     for col in ("x", "y"):
-        steps, _final = spread(col)
-        for name, expr in steps:
+        for name, expr in _morton_spread_steps(
+            col, lambda e, n: f"shiftleft({e}, {n})"
+        ):
             df = df.withColumn(name, F.expr(expr))
     df = df.withColumn(
         "bucket",
