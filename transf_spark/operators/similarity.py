@@ -279,14 +279,47 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_PLANES = 8  # 256 buckets — sized so buckets stay populated at test scale
-_RNG = np.random.RandomState(42)
-_PLANES = _RNG.normal(size=(N_PLANES, 64)).tolist()  # deterministic hyperplanes
+
+# seeded hyperplanes per observed dimension + corpus-dim cache per fixture
+# fingerprint (one bounded first() per fixture, same class as the IVF
+# centroid cache)
+_PLANE_CACHE: dict[int, list] = {}
+_DIM_CACHE: dict[str, int] = {}
+
+
+def _corpus_dim(spark: SparkSession, sf_dir: str) -> int:
+    from transf_spark.sources.tables import staging_tag
+
+    key = staging_tag(sf_dir, "embeddings")
+    if key not in _DIM_CACHE:
+        row = _emb_double(spark, sf_dir).select(F.size("v").alias("d")).first()
+        if row is None or not row["d"] or row["d"] <= 0:
+            raise ValueError(f"embeddings at {sf_dir} are empty or dimensionless")
+        _DIM_CACHE[key] = int(row["d"])
+    return _DIM_CACHE[key]
+
+
+def _planes_for_dim(dim: int) -> list:
+    """Deterministic seeded hyperplanes at the corpus's observed dimension —
+    derived from the data like every other kernel in this file. A fixed
+    dim-64 table was the one hard-coded shape (round-5 review): on a dim
+    change zip_with pads the shorter array with NULLs, the dot-product fold
+    goes NULL, if(NULL > 0) takes the else branch for every plane, and the
+    whole corpus silently collapses into bucket 0 — the '14% of the data'
+    scale path degrades to a 100% brute-force scan with recall 1.0, so no
+    recall gate would ever fire."""
+    if dim not in _PLANE_CACHE:
+        _PLANE_CACHE[dim] = (
+            np.random.RandomState(42).normal(size=(N_PLANES, dim)).tolist()
+        )
+    return _PLANE_CACHE[dim]
 
 
 def _bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vec_id, v, bucket — sign-bit bucket over N_PLANES fixed hyperplanes."""
     e = _emb_double(spark, sf_dir)
-    plane_arr = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in _PLANES])
+    planes = _planes_for_dim(_corpus_dim(spark, sf_dir))
+    plane_arr = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
     bucket = F.expr(
         """
         aggregate(

@@ -181,8 +181,16 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode → profile aggregate (small: langs × bigrams) → broadcast back →
     score — one shuffle to build profiles, map-side scoring after."""
     docs = load_table(spark, sf_dir, "documents")
+    # greatest(..., 1): sequence(1, 0) is DESCENDING in Spark, not empty
+    # (fixtures.py:chunks precedent) — an unguarded length(text)-1 turns a
+    # 1-char doc into TWO phantom copies of its single char and an empty
+    # doc into three '' "bigrams", polluting the profiles (round-5 review;
+    # latent — current fixtures have no texts under 2 chars). The length
+    # filter then drops the sub-2-char leftovers; every true bigram is
+    # exactly 2 chars.
     bigrams = F.expr(
-        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+        "filter(transform(sequence(1, greatest(length(text) - 1, 1)),"
+        " i -> substring(text, i, 2)), x -> length(x) = 2)"
     )
     doc_bi = docs.select("doc_id", "lang", F.explode(bigrams).alias("bg"))
     profile = (

@@ -38,26 +38,12 @@ _ROUNDTRIP_ORACLE = """
 # against Spark's LongType even when values are identical (round-4 verdict).
 
 
-def _evict_stale_staging(prefix: str, keep: str) -> None:
-    """Remove sibling staging dirs under ``prefix`` other than ``keep`` —
-    tag bumps and fixture regenerations would otherwise orphan data-sized
-    /tmp copies forever (each dir holds a full table export)."""
-    import glob
-    import shutil
-
-    for d in glob.glob(prefix + "*"):
-        if d != keep:
-            shutil.rmtree(d, ignore_errors=True)
-
-
 def _staged_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     # content-fingerprinted tag (source parquet mtime+size): regenerating the
-    # fixture in place invalidates the staged copy (round-2 ADVICE)
-    tag = tables.staging_tag(sf_dir, "documents", extra=fmt)
-    out = f"/tmp/transf_spark_fmt_{fmt}_{tag}"
-    marker = os.path.join(out, "_READY")
-    if not os.path.exists(marker):
-        _evict_stale_staging(f"/tmp/transf_spark_fmt_{fmt}_", out)
+    # fixture in place invalidates the staged copy (round-2 ADVICE); the
+    # stage-once/evict/lock protocol is tables.stage_once, shared by every
+    # staging site.
+    def write(out: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
         writer = docs.write.mode("overwrite")
         if fmt == "csv":
@@ -66,8 +52,9 @@ def _staged_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             writer.orc(f"{out}/data")
         else:
             writer.json(f"{out}/data")
-        open(marker, "w").close()
-    return out
+
+    tag = tables.staging_tag(sf_dir, "documents", extra=fmt)
+    return tables.stage_once(f"/tmp/transf_spark_fmt_{fmt}_", tag, write)
 
 
 def _roundtrip_agg(df: DataFrame) -> DataFrame:
@@ -94,9 +81,17 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tax — the scan reads whole lines; this query is the evidence for 'land
     CSV, convert to parquet once')."""
     src = _staged_dir(spark, sf_dir, "csv")
+    # multiLine: Spark's writer quotes embedded newlines, but the default
+    # reader splits records at raw newlines regardless — a text value
+    # containing '\n' would shatter into garbage rows (review finding;
+    # current fixtures carry none, the guard is regeneration-proof). The
+    # cost is per-file instead of per-split parallelism, which is the
+    # honest price of quoted-newline CSV at scale — another reason this
+    # query's docstring says 'land CSV, convert to parquet once'.
     df = (
         spark.read.schema(schemas.SCHEMAS["documents"])
         .option("header", True)
+        .option("multiLine", True)
         .csv(f"{src}/data")
     )
     return _roundtrip_agg(df)
@@ -153,12 +148,13 @@ def _bucketed_table(
     tag = tables.staging_tag(sf_dir, name, extra=f"bucket{n_buckets}:{key}")
     tbl = f"{name}_b_{tag}"
     out = f"/tmp/transf_spark_bucket_{name}_{tag}"
-    marker = os.path.join(out, "_READY")
-    if not os.path.exists(marker):
-        _evict_stale_staging(f"/tmp/transf_spark_bucket_{name}_", out)
-        df = load_table(spark, sf_dir, name).select(*columns)
-        write_bucketed(df, tbl, key, n_buckets, sort_col=key, path=out)
-        open(marker, "w").close()
+    if not os.path.exists(os.path.join(out, "_READY")):
+
+        def write(out_dir: str) -> None:
+            df = load_table(spark, sf_dir, name).select(*columns)
+            write_bucketed(df, tbl, key, n_buckets, sort_col=key, path=out_dir)
+
+        tables.stage_once(f"/tmp/transf_spark_bucket_{name}_", tag, write)
     elif not spark.catalog.tableExists(tbl):
         # files persist across sessions; only the catalog entry is per-session
         schema = load_table(spark, sf_dir, name).select(*columns).schema
@@ -219,14 +215,12 @@ def _read_partitioned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached) and read back with the pinned schema — shared by the static
     (`scan_partitioned_pruning`) and dynamic (`scan_dynamic_partition_pruning`)
     pruning queries."""
-    tag = tables.staging_tag(sf_dir, "documents", extra="partitioned")
-    out = f"/tmp/transf_spark_part_{tag}"
-    marker = os.path.join(out, "_READY")
-    if not os.path.exists(marker):
-        _evict_stale_staging("/tmp/transf_spark_part_", out)
+    def write(out_dir: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
-        docs.write.mode("overwrite").partitionBy("lang").parquet(f"{out}/data")
-        open(marker, "w").close()
+        docs.write.mode("overwrite").partitionBy("lang").parquet(f"{out_dir}/data")
+
+    tag = tables.staging_tag(sf_dir, "documents", extra="partitioned")
+    out = tables.stage_once("/tmp/transf_spark_part_", tag, write)
     return spark.read.schema(schemas.SCHEMAS["documents"]).parquet(f"{out}/data")
 
 
@@ -274,19 +268,18 @@ def _staged_corrupt_csv(spark: SparkSession, sf_dir: str) -> str:
     n_chars): every CORRUPT_MOD-th doc carries a non-numeric n_chars token.
     Written as raw text lines so the corruption survives exactly as
     constructed (the CSV writer would quote-escape it)."""
-    tag = tables.staging_tag(sf_dir, "documents", extra="corrupt_csv2")
-    out = f"/tmp/transf_spark_fmt_corrupt_csv_{tag}"
-    marker = os.path.join(out, "_READY")
-    if not os.path.exists(marker):
-        _evict_stale_staging("/tmp/transf_spark_fmt_corrupt_csv_", out)
-        # concat_ws silently SKIPS NULL fields (a NULL n_chars would shift
-        # the row to 2 tokens and desynchronize the file from the oracle's
-        # doc_id-rule), and a comma inside lang would do the same — so only
-        # rows that serialize faithfully are staged, and the oracle mirrors
-        # the identical predicate (_CORRUPT_CLEAN_ROWS). No-op on current
-        # fixtures (verified: no NULLs, no comma langs) — regeneration-proof.
+    def write(out_dir: str) -> None:
+        # concat_ws silently SKIPS NULL fields (a NULL doc_id or n_chars
+        # would shift the row to 2 tokens and desynchronize the file from
+        # the oracle's doc_id-rule), and a comma inside lang would do the
+        # same — so only rows that serialize faithfully are staged, and the
+        # oracle mirrors the identical predicate (_CORRUPT_CLEAN_ROWS).
+        # No-op on current fixtures (verified: no NULLs, no comma langs) —
+        # regeneration-proof. doc_id added round 5 (review finding: the
+        # guard was asymmetric vs scan_schema_evolution's).
         docs = load_table(spark, sf_dir, "documents").filter(
-            F.col("lang").isNotNull()
+            F.col("doc_id").isNotNull()
+            & F.col("lang").isNotNull()
             & F.col("n_chars").isNotNull()
             & ~F.col("lang").contains(",")
         )
@@ -299,13 +292,17 @@ def _staged_corrupt_csv(spark: SparkSession, sf_dir: str) -> str:
                 F.concat(F.lit("BAD"), F.col("doc_id")),
             ).otherwise(F.col("n_chars").cast("string")),
         )
-        docs.select(line.alias("value")).write.mode("overwrite").text(f"{out}/data")
-        open(marker, "w").close()
-    return out
+        docs.select(line.alias("value")).write.mode("overwrite").text(
+            f"{out_dir}/data"
+        )
+
+    tag = tables.staging_tag(sf_dir, "documents", extra="corrupt_csv3")
+    return tables.stage_once("/tmp/transf_spark_fmt_corrupt_csv_", tag, write)
 
 
 _CORRUPT_CLEAN_ROWS = (
-    "lang IS NOT NULL AND n_chars IS NOT NULL AND NOT contains(lang, ',')"
+    "doc_id IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL"
+    " AND NOT contains(lang, ',')"
 )
 
 
@@ -385,15 +382,11 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     when schemas really diverge, then backfill or pin the unified schema
     explicitly (reading with an explicit schema is the steady-state path
     every other scan in this repo takes)."""
-    tag = tables.staging_tag(sf_dir, "documents", extra="schema_evo2")
-    out = f"/tmp/transf_spark_fmt_schema_evo_{tag}"
-    marker = os.path.join(out, "_READY")
-    if not os.path.exists(marker):
+    def write(out_dir: str) -> None:
         # n_chars feeds the derived quality column — a NULL would make the
         # Spark-side count("quality") diverge from the oracle's doc-parity
         # count (review finding; regeneration-proof, no-op on current
         # fixtures). The oracle mirrors the same predicate.
-        _evict_stale_staging("/tmp/transf_spark_fmt_schema_evo_", out)
         docs = (
             load_table(spark, sf_dir, "documents")
             .filter(F.col("n_chars").isNotNull() & F.col("doc_id").isNotNull())
@@ -401,14 +394,18 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # != 0, not == 1: sign-safe parity (windows.py precedent) so a
         # negative-odd doc_id lands in v2 instead of vanishing
-        docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(f"{out}/v1")
+        docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+            f"{out_dir}/v1"
+        )
         (
             docs.filter(F.col("doc_id") % 2 != 0)
             .withColumn("quality", (F.col("n_chars") % 7).cast("long"))
             .write.mode("overwrite")
-            .parquet(f"{out}/v2")
+            .parquet(f"{out_dir}/v2")
         )
-        open(marker, "w").close()
+
+    tag = tables.staging_tag(sf_dir, "documents", extra="schema_evo2")
+    out = tables.stage_once("/tmp/transf_spark_fmt_schema_evo_", tag, write)
     merged = spark.read.option("mergeSchema", "true").parquet(f"{out}/v1", f"{out}/v2")
     return merged.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_rows"),

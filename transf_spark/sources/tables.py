@@ -45,6 +45,40 @@ def staging_tag(sf_dir: str, *tables: str, extra: str = "") -> str:
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
 
+def stage_once(prefix: str, tag: str, write_fn) -> str:
+    """Shared stage-once contract for every /tmp staging site (formats,
+    bucketed tables, partitioned docs, stream sources): the target dir is
+    ``prefix + tag``; a present ``_READY`` marker means a completed stage
+    to reuse, otherwise evict stale siblings under ``prefix``, run
+    ``write_fn(out_dir)``, and touch the marker.
+
+    The whole check-evict-write-mark sequence holds an exclusive flock on
+    ``prefix + '.lock'`` — without it, a second process entering the same
+    site mid-write could rmtree the first one's markerless in-progress
+    directory or read a half-written stage (the TOCTOU the round-5 review
+    flagged, previously hand-copied with no lock at five formats.py sites
+    plus the streaming sources). Same-host serialization is sufficient:
+    driver, pytest and bench all stage on this machine's /tmp.
+    """
+    import fcntl
+    import glob
+    import shutil
+
+    out = prefix + tag
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):  # fast path, no lock: marker dirs are final
+        return out
+    with open(prefix + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        if not os.path.exists(marker):  # re-check under the lock
+            for d in glob.glob(prefix + "*"):
+                if d != out and d != prefix + ".lock":
+                    shutil.rmtree(d, ignore_errors=True)
+            write_fn(out)
+            open(marker, "w").close()
+    return out
+
+
 # events.ts parquet time-unit per file path — the driver's generator has
 # shipped this column as both TIMESTAMP(NANOS) (rounds 1-2) and
 # TIMESTAMP(MICROS) (round 3); assuming one of them silently shifts every

@@ -187,54 +187,54 @@ def protocol_event_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 1
     the stop-and-wait machine would (correctly) drop them."""
     import glob as _glob
 
-    # content-fingerprinted tag: regenerated fixtures invalidate the cache
-    from transf_spark.sources.tables import staging_tag
+    # content-fingerprinted tag: regenerated fixtures invalidate the cache;
+    # stage-once/evict/lock protocol shared with every other staging site
+    from transf_spark.sources.tables import stage_once, staging_tag
 
-    tag = staging_tag(sf_dir, "documents", "events", extra=str(n_files))
-    out_dir = f"/tmp/transf_spark_stream_{tag}"
-    marker = os.path.join(out_dir, "_READY")
-    if os.path.exists(marker):
-        return out_dir
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
+    def write_all(out_dir: str) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        hs = fixtures.handshakes(spark, sf_dir).select(
+            "transfer_id",
+            F.lit("HS").alias("tag"),
+            F.lit(0).cast("long").alias("seq"),
+            F.lit(0).alias("payload_len"),
+            "filename",
+            "filesize",
+        )
+        ch = fixtures.chunks_faulty(spark, sf_dir).select(
+            "transfer_id",
+            F.lit("TRANSFER").alias("tag"),
+            "seq",
+            "payload_len",
+            F.lit("").alias("filename"),
+            F.lit(0).cast("long").alias("filesize"),
+        )
 
-    hs = fixtures.handshakes(spark, sf_dir).select(
-        "transfer_id",
-        F.lit("HS").alias("tag"),
-        F.lit(0).cast("long").alias("seq"),
-        F.lit(0).alias("payload_len"),
-        "filename",
-        "filesize",
-    )
-    ch = fixtures.chunks_faulty(spark, sf_dir).select(
-        "transfer_id",
-        F.lit("TRANSFER").alias("tag"),
-        "seq",
-        "payload_len",
-        F.lit("").alias("filename"),
-        F.lit(0).cast("long").alias("filesize"),
-    )
+        def write(df, name: str) -> None:
+            staging = os.path.join(out_dir, f"_stage_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(staging)
+            (part,) = _glob.glob(os.path.join(staging, "part-*.parquet"))
+            os.replace(part, os.path.join(out_dir, name))
+            shutil.rmtree(staging, ignore_errors=True)
 
-    def write(df, name: str) -> None:
-        staging = os.path.join(out_dir, f"_stage_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(staging)
-        (part,) = _glob.glob(os.path.join(staging, "part-*.parquet"))
-        os.replace(part, os.path.join(out_dir, name))
-        shutil.rmtree(staging, ignore_errors=True)
+        if n_files == 1:
+            write(hs.unionByName(ch), "batch_00.parquet")
+        else:
+            # arrival order: handshakes first, then chunk waves by seq range
+            write(hs, "batch_00.parquet")
+            max_seq = int(ch.agg(F.max("seq")).collect()[0][0] or 1)
+            step = max(1, (max_seq + n_files - 2) // (n_files - 1))
+            for i in range(n_files - 1):
+                lo, hi = 1 + i * step, 1 + (i + 1) * step
+                write(ch.filter((F.col("seq") >= lo) & (F.col("seq") < hi)),
+                      f"batch_{i + 1:02d}.parquet")
 
-    if n_files == 1:
-        write(hs.unionByName(ch), "batch_00.parquet")
-    else:
-        # arrival order: handshakes first, then chunk waves by seq range
-        write(hs, "batch_00.parquet")
-        max_seq = int(ch.agg(F.max("seq")).collect()[0][0] or 1)
-        step = max(1, (max_seq + n_files - 2) // (n_files - 1))
-        for i in range(n_files - 1):
-            lo, hi = 1 + i * step, 1 + (i + 1) * step
-            write(ch.filter((F.col("seq") >= lo) & (F.col("seq") < hi)),
-                  f"batch_{i + 1:02d}.parquet")
-    open(marker, "w").close()
-    return out_dir
+    # n_files lives in the PREFIX, not just the tag: variants (1/3/4-wave
+    # stages coexist within one pytest session) must not evict each other
+    # as stale siblings — eviction is per-variant, staleness means an
+    # outdated fixture fingerprint for the SAME wave count.
+    tag = staging_tag(sf_dir, "documents", "events")
+    return stage_once(f"/tmp/transf_spark_stream_{n_files}_", tag, write_all)
 
 
 def run_stateful_reassembly(

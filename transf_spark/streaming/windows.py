@@ -190,24 +190,16 @@ def ack_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ack_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage sent/ack frames as parquet for the file stream source — written
     with Spark's own partitioned writer (no driver-side toPandas funnel)."""
-    import os
+    from transf_spark.sources.tables import stage_once, staging_tag
 
-    from transf_spark.sources.tables import staging_tag
+    def write(out_dir: str) -> None:
+        sent, acks = ack_frames(spark, sf_dir)
+        sent.write.mode("overwrite").parquet(f"{out_dir}/sent")
+        acks.write.mode("overwrite").parquet(f"{out_dir}/acks")
 
     # content-fingerprinted tag: regenerated fixtures invalidate the cache
     tag = staging_tag(sf_dir, "documents")
-    out_dir = f"/tmp/transf_spark_ackstream_{tag}"
-    marker = os.path.join(out_dir, "_READY")
-    if os.path.exists(marker):
-        return out_dir
-    from transf_spark.sources.formats import _evict_stale_staging
-
-    _evict_stale_staging("/tmp/transf_spark_ackstream_", out_dir)
-    sent, acks = ack_frames(spark, sf_dir)
-    sent.write.mode("overwrite").parquet(f"{out_dir}/sent")
-    acks.write.mode("overwrite").parquet(f"{out_dir}/acks")
-    open(marker, "w").close()
-    return out_dir
+    return stage_once("/tmp/transf_spark_ackstream_", tag, write)
 
 
 @register(
@@ -527,10 +519,11 @@ def stream_checkpoint_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     micro-batch pipeline. A third run with no new files would process
     zero rows — idempotent restart, the property warehouse schedulers
     rely on."""
+    import os
     import shutil
     import tempfile
 
-    from transf_spark.sources.tables import staging_tag
+    from transf_spark.sources.tables import stage_once, staging_tag
 
     # NULL event_id would match NEITHER parity filter (NULL % 2 is NULL)
     # while the oracle's ELSE counted it — filter it out and mirror the
@@ -540,25 +533,21 @@ def stream_checkpoint_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("event_id").isNotNull())
         .select("event_id", "value")
     )
-    tag = staging_tag(sf_dir, "events", extra="ckpt_incr2")
-    base = f"/tmp/transf_spark_ckpt_incr_{tag}"
-    import os
 
-    if not os.path.exists(os.path.join(base, "_READY")):
-        from transf_spark.sources.formats import _evict_stale_staging
-
-        _evict_stale_staging("/tmp/transf_spark_ckpt_incr_", base)
+    def write(out_dir: str) -> None:
         ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(f"{base}/initial")
+        ).parquet(f"{out_dir}/initial")
         # != 0, not == 1: Spark's % keeps the dividend's sign, so a
         # negative-odd event_id would match NEITHER parity filter and
         # silently vanish from the staged halves while the oracle's ELSE
         # branch counts it (review finding; current ids are non-negative)
         ev.filter(F.col("event_id") % 2 != 0).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(f"{base}/incremental")
-        open(os.path.join(base, "_READY"), "w").close()
+        ).parquet(f"{out_dir}/incremental")
+
+    tag = staging_tag(sf_dir, "events", extra="ckpt_incr2")
+    base = stage_once("/tmp/transf_spark_ckpt_incr_", tag, write)
 
     # per-call scratch: source dir grows between the two runs; checkpoint
     # persists ACROSS them (that persistence is the capability under test)
