@@ -58,6 +58,13 @@ SQL_DISC_PRICE = (
 )
 
 
+def disc_price() -> Column:
+    """Column twin of SQL_DISC_PRICE — keep the two in lockstep: a
+    precision change mirrored in only one dialect silently splits
+    Spark/oracle parity for every revenue query."""
+    return dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+
+
 def sql_davg(expr: str, alias: str) -> str:
     return f"CAST(SUM({sql_dec(expr)}) AS DOUBLE) / COUNT(*) AS {alias}"
 

@@ -42,18 +42,6 @@ N_BANDS = 24
 ROWS_PER_BAND = 4
 JACCARD_THRESHOLD = 0.8
 
-# Token 3-gram shingles, distinct, as one JVM-side expression over a
-# pre-split word array (splitting inside the lambda would re-tokenize the
-# whole text per element — O(words^2) per document). The size guard matters:
-# Spark's sequence(0, -1) is a DESCENDING sequence, not empty.
-_SHINGLES = """
-  CASE WHEN size(w) >= 3 THEN
-    array_distinct(transform(
-        sequence(0, size(w) - 3),
-        i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
-  ELSE array() END
-"""
-
 def _shingle_hashes(docs: "DataFrame") -> "DataFrame":
     """(doc_id, lang, h): 64-bit hash per token-3-gram occurrence.
 
@@ -114,25 +102,34 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_fuzzy_minhash",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents)
+    WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
+    nz AS (SELECT * FROM sh WHERE len(shingles) > 0)
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
            CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
              / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
              AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    FROM nz a JOIN nz b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
              / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
           >= {JACCARD_THRESHOLD}
     """,
+    # ^ nz: drop empty-shingle docs (< 3 words) BEFORE the pair join —
+    # matching the Spark side, where such docs produce no hashes and no
+    # signature. Without it, a pair of two empty-shingle docs divides 0/0:
+    # NULL on DuckDB 1.0 (row silently dropped, consistent by luck) but
+    # NaN under ieee_floating_point_ops (DuckDB >= 1.1 default), and
+    # DuckDB sorts NaN above every value so NaN >= 0.8 EMITS the pair.
     category="dedup",
     origin="EXT",
 )
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, pure DataFrame ops.
 
-    Plan: shingle (map) → 128 seeded minhashes via ``xxhash64(seed, s)``
-    (map) → 16 band hashes (map) → explode bands → self-join on
-    (band, band_hash) → distinct candidate pairs → exact Jaccard verify ≥ 0.8.
+    Plan: shingle-hash (map) → 96 min-aggregates over affine permutations
+    of the shingle hash (one doc_id shuffle, map-side combinable) → 24
+    band hashes of 4 rows each (map) → explode bands → self-join on
+    (band, band_hash) → distinct candidate pairs → exact Jaccard verify ≥ 0.8
+    (geometry rationale at the module header: miss-prob ≈ 3e-6 at j = 0.8).
 
     The oracle is the brute-force all-pairs Jaccard — at driver scale
     (500-5000 docs) that is feasible; the LSH plan is the one that survives
@@ -263,7 +260,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # superlinear going sf0.01→sf0.1 (1.2s → 14.9s). This shape is one
     # shuffle whose map-side partial aggregation reduces each (partition,
     # doc) to a single 60-int row — the same whole-stage-codegen formulation
-    # as dedup_fuzzy_minhash's 128 min-aggregates, and ~15× faster.
+    # as dedup_fuzzy_minhash's 96 min-aggregates, and ~15× faster.
     hv = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("t"),
@@ -411,12 +408,17 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.p_name").alias("name_a"), F.col("b.p_name").alias("name_b"))
         .distinct()
     )
-    dist = F.levenshtein("name_a", "name_b")
     na = names.select(F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_parts_a"))
     nb = names.select(F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_parts_b"))
     return (
-        cand.filter(dist <= LEV_MAX_DIST)
-        .withColumn("edit_dist", dist.cast("long"))
+        # materialize the distance ONCE, then filter on the column —
+        # filter(dist...).withColumn(dist...) plans two independent
+        # levenshtein evaluations (Catalyst does no cross-operator CSE),
+        # doubling the O(len²) DP per surviving candidate
+        cand.withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("edit_dist") <= LEV_MAX_DIST)
         .join(na, "name_a")
         .join(nb, "name_b")
         .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")

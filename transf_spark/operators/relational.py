@@ -22,6 +22,7 @@ from transf_spark.functions.exprs import (
     SQL_DISC_PRICE,
     davg,
     dec,
+    disc_price,
     dsum,
     sql_davg,
     sql_dsum,
@@ -145,7 +146,7 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    revenue = disc_price()
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
@@ -163,11 +164,17 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_left_semi_anti",
     oracle="""
     SELECT c_custkey, c_name, 'has_orders' AS membership
-    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     UNION ALL
     SELECT c_custkey, c_name, 'no_orders' AS membership
-    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
+    # ^ NOT EXISTS, not NOT IN: one NULL o_custkey makes NOT IN return
+    # NULL for EVERY customer (three-valued logic) while Spark's left_anti
+    # still emits the order-less ones — NOT EXISTS is the exact
+    # equi-correlated left_anti twin under any null profile.
     category="join",
     origin="R13-complement",
 )
@@ -229,15 +236,16 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.event_id AS purchase_id,
            p.user_id AS user_id,
-           p.ts AS purchase_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
            c.event_id AS click_id,
-           c.ts AS click_ts
+           CAST(c.ts AS TIMESTAMP) AS click_ts
     FROM events p
     JOIN events c
-      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND epoch_ns(c.ts) <= epoch_ns(p.ts)
     WHERE p.event_type = 'purchase'
     QUALIFY ROW_NUMBER() OVER (
-        PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) = 1
+        PARTITION BY p.event_id ORDER BY epoch_ns(c.ts) DESC, c.event_id DESC) = 1
     """,
     category="join",
     origin="EXT",
@@ -247,24 +255,36 @@ def join_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     click by the same user at-or-before it. Emulated as a keyed theta join +
     per-probe-row ``row_number``=1 — the join is user_id-keyed so it shuffles
     once and never goes quadratic across users; at 100 TB both sides would
-    additionally be bucketed by user_id to co-locate the scans."""
+    additionally be bucketed by user_id to co-locate the scans.
+
+    The as-of comparison and the latest-click tie-break run on the integer
+    NANOSECOND count (``ts_ns`` / ``epoch_ns``), the events_sessionize
+    device: the displayed ``ts`` is micro-truncated, so comparing on it
+    would (on a nanosecond fixture) admit clicks up to 999 ns after the
+    purchase and order same-microsecond clicks differently than the raw-ns
+    oracle. The DISPLAYED columns stay microsecond timestamps in both
+    dialects (DuckDB's TIMESTAMP cast truncates ns→us exactly like the
+    loader's integer div)."""
     events = load_table(spark, sf_dir, "events")
     p = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id"),
         F.col("ts").alias("purchase_ts"),
+        F.col("ts_ns").alias("purchase_ts_ns"),
     )
     c = events.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user_id"),
         F.col("ts").alias("click_ts"),
+        F.col("ts_ns").alias("click_ts_ns"),
     )
     joined = p.join(
         c,
-        (F.col("user_id") == F.col("c_user_id")) & (F.col("click_ts") <= F.col("purchase_ts")),
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts_ns") <= F.col("purchase_ts_ns")),
     )
     w = W.partitionBy("purchase_id").orderBy(
-        F.col("click_ts").desc(), F.col("click_id").desc()
+        F.col("click_ts_ns").desc(), F.col("click_id").desc()
     )
     return (
         joined.withColumn("rn", F.row_number().over(w))
@@ -306,14 +326,14 @@ def agg_hash_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side) then final after a 4-group shuffle — the canonical
     scan-dominated plan that scales linearly with input."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    dprice = disc_price()
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(dprice).cast("double").alias("sum_disc_price"),
             davg("l_quantity", "avg_qty"),
             davg("l_extendedprice", "avg_price"),
             davg("l_discount", "avg_disc"),
@@ -1141,7 +1161,7 @@ def agg_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-priority rollup.  Decimal sums stay inside whole-stage codegen."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    rev = disc_price()
     dec_disc = F.sum(dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)

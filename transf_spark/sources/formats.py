@@ -19,7 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from transf_spark import schemas
-from transf_spark.functions.exprs import dec
+from transf_spark.functions.exprs import disc_price
 from transf_spark.queries import register
 from transf_spark.sources import tables
 from transf_spark.sources.tables import load_table
@@ -198,14 +198,13 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _bucketed_table(
         spark, sf_dir, "orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]
     )
-    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     return (
         li.hint("merge")
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum(disc_price).cast("double").alias("revenue"),
+            F.sum(disc_price()).cast("double").alias("revenue"),
         )
     )
 
