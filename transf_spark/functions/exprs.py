@@ -69,6 +69,23 @@ def sql_davg(expr: str, alias: str) -> str:
     return f"CAST(SUM({sql_dec(expr)}) AS DOUBLE) / COUNT(*) AS {alias}"
 
 
+def chunk_slices(col: str, size: int) -> Column:
+    """1-based (seq, payload) slices of a string/binary column as one
+    JVM-side higher-order expression — the reference chunker
+    (`/root/reference/transf_client.cpp:126-133`) as a narrow map stage.
+    The CASE guard matters: ``sequence(1, 0)`` is a DESCENDING sequence in
+    Spark, not an empty one, so zero-length input must yield ``array()``
+    explicitly. Shared by the text chunker (sources/fixtures.py) and the
+    binary chunker (operators/transfer.py) so the guard cannot drift."""
+    return F.expr(
+        f"""CASE WHEN length({col}) > 0 THEN
+              transform(sequence(1, int(ceil(length({col})/{size}.0))),
+                        i -> struct(cast(i AS bigint) AS seq,
+                                    substring({col}, (i-1)*{size}+1, {size}) AS payload))
+            ELSE array() END"""
+    )
+
+
 def basename(col: Column | str) -> Column:
     """Path basename after the last '/' or '\\' — reference ``extract_fn``
     (`/root/reference/transf_client.cpp:27-33`)."""

@@ -59,7 +59,11 @@ def multimodal_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_chars",
             "label",
-            F.size("embedding").cast("long").alias("emb_dim"),
+            # size(NULL) is -1 under the pinned ANSI-off legacy semantics
+            # while the oracle's len(NULL) is NULL — gate explicitly
+            F.when(
+                F.col("embedding").isNotNull(), F.size("embedding").cast("long")
+            ).alias("emb_dim"),
             norm.alias("emb_norm"),
             F.length("text").alias("text_len"),
         )
@@ -147,7 +151,12 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``maxRecordsPerBatch``) bounds worker memory, and the stage is a pure
     map — no shuffle besides the optional repartition."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.col("text").cast("binary").alias("content"))
+    # text IS NOT NULL: a null payload reaches the worker as None and
+    # bytes(None) raises TypeError inside mapInPandas — same
+    # regeneration-proof guard multimodal_image_decode carries
+    payloads = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
     return payloads.mapInPandas(_extract_batches, schema=MEDIA_SCHEMA)
 
 
@@ -221,7 +230,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     real ffmpeg keyframe sampler plugs into unchanged (swap ``_decode_stub``
     for the demuxer). Pure map stage: no shuffle, scales with input bytes."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.col("text").cast("binary").alias("content"))
+    # text IS NOT NULL: a null payload reaches the worker as None and
+    # bytes(None) raises TypeError inside mapInPandas — same
+    # regeneration-proof guard multimodal_image_decode carries
+    payloads = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
     return payloads.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)
 
 
@@ -266,24 +280,38 @@ def decode_pgm(buf: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def _image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: per-row Python is the decode call ONLY (the
+    mapInPandas boundary rule every worker in this module follows); the
+    moments are computed for the whole batch with one segmented reduceat
+    over the concatenated pixel buffer — images may differ in size, so
+    segment bounds come from each decode's own w·h. Integer sums first,
+    then ONE float64 division each, elementwise — the exact op order of
+    the DuckDB oracle, so the doubles hash identically."""
+    cols = ("doc_id", "width", "height", "n_pixels",
+            "mean_intensity", "var_intensity")
     for pdf in batches:
-        out = {k: [] for k in ("doc_id", "width", "height", "n_pixels",
-                               "mean_intensity", "var_intensity")}
-        for doc_id, payload in zip(pdf["doc_id"], pdf["image"]):
-            w, h, px = decode_pgm(bytes(payload))
-            # integer moments first, ONE float division each — the exact
-            # order the DuckDB oracle uses, so the doubles hash identically
-            s = int(px.sum(dtype=np.int64))
-            sq = int((px.astype(np.int64) ** 2).sum())
-            n = px.size
-            mean = s / n
-            out["doc_id"].append(doc_id)
-            out["width"].append(w)
-            out["height"].append(h)
-            out["n_pixels"].append(n)
-            out["mean_intensity"].append(mean)
-            out["var_intensity"].append(sq / n - mean * mean)
-        yield pd.DataFrame(out)
+        decoded = [decode_pgm(bytes(p)) for p in pdf["image"]]
+        if not decoded:
+            yield pd.DataFrame({k: [] for k in cols})
+            continue
+        w = np.fromiter((d[0] for d in decoded), dtype=np.int64, count=len(decoded))
+        h = np.fromiter((d[1] for d in decoded), dtype=np.int64, count=len(decoded))
+        n = w * h  # > 0 per decoder validation, so no empty reduceat segment
+        px = np.concatenate([d[2] for d in decoded]).astype(np.int64)
+        starts = np.cumsum(n) - n
+        s = np.add.reduceat(px, starts)
+        sq = np.add.reduceat(px * px, starts)
+        mean = s / n
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "width": w,
+                "height": h,
+                "n_pixels": n,
+                "mean_intensity": mean,
+                "var_intensity": sq / n - mean * mean,
+            }
+        )
 
 
 @register(

@@ -32,7 +32,7 @@ from transf_spark.sources.tables import load_table
            trim(' ' || lang || ' ') AS lang_trim,
            upper(source) AS src_upper,
            length(text) AS text_len,
-           string_split(source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt', '/')[-1] AS fn_base,
+           string_split_regex(source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt', '[/\\\\]')[-1] AS fn_base,
            source || ':' || CAST(doc_id % 65536 AS VARCHAR) AS addr,
            lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
            printf('[%s]:%d', source, doc_id % 65536) AS addr_v6,
@@ -57,9 +57,17 @@ def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("source").alias("src_upper"),
         F.length("text").alias("text_len"),
         basename(fn).alias("fn_base"),
-        F.concat_ws(":", F.col("source"), port.cast("string")).alias("addr"),
+        # concat, not concat_ws: concat_ws SKIPS null fields where the
+        # oracle's || propagates them — a null source must null the addr
+        # on both engines (review finding; current fixtures have none)
+        F.concat(F.col("source"), F.lit(":"), port.cast("string")).alias("addr"),
         F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
-        F.format_string("[%s]:%d", F.col("source"), port).alias("addr_v6"),
+        # format_string renders a null arg as the literal 'null' (Java
+        # Formatter) where DuckDB printf returns NULL — gate it explicitly
+        F.when(
+            F.col("source").isNotNull() & port.isNotNull(),
+            F.format_string("[%s]:%d", F.col("source"), port),
+        ).alias("addr_v6"),
         F.regexp_replace("source", "[0-9]+$", "").alias("src_stem"),
         F.substring("text", 1, 16).alias("head16"),
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from transf_spark.functions.exprs import basename
+from transf_spark.functions.exprs import basename, chunk_slices
 from transf_spark.queries import register
 from transf_spark.sources import fixtures
 from transf_spark.sources.fixtures import CHUNKS_FAULTY_SQL, CHUNKS_SQL, HANDSHAKES_SQL
@@ -41,14 +41,7 @@ def scan_binary_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result is manifest-sized."""
     sz = 64 * 1024
     bf = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
-    # empty-file guard: sequence(1, 0) is DESCENDING in Spark, not empty
-    slices = F.expr(
-        f"""CASE WHEN length(content) > 0 THEN
-              transform(sequence(1, int(ceil(length(content)/{sz}.0))),
-                        i -> struct(cast(i AS bigint) AS seq,
-                                    substring(content, (i-1)*{sz}+1, {sz}) AS payload))
-            ELSE array() END"""
-    )
+    slices = chunk_slices("content", sz)
     return (
         bf.select(basename("path").alias("file"), F.col("length").alias("filesize"),
                   F.explode(slices).alias("c"))
@@ -77,7 +70,7 @@ def scan_binary_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'accept' END AS verdict,
            CASE WHEN length(filename) = 0 OR substring(filename, 1, 1) = '/'
                      OR position('..' IN filename) > 0
-                THEN NULL ELSE string_split(filename, '/')[-1] END AS fn_base
+                THEN NULL ELSE string_split_regex(filename, '[/\\\\]')[-1] END AS fn_base
     FROM ({HANDSHAKES_SQL})
     """,
     category="filter",
@@ -204,7 +197,13 @@ def window_lag_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
            text AS doc_text,
            sha256(text) AS doc_sha
     FROM documents
+    WHERE length(text) > 0
     """,
+    # ^ mirrors the chunker's in-scope predicate (fixtures.chunks emits no
+    # rows for empty/NULL text, so Spark reassembles nothing for such a
+    # doc) — without it a regenerated fixture with one empty document
+    # makes the oracle emit a (transfer_id, '', sha256('')) row Spark
+    # never produces. length(NULL) is NULL → also filtered, both engines.
     category="aggregation",
     origin="R8",
 )

@@ -73,15 +73,10 @@ def chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python), then exploded — at 100 TB this is a narrow map stage, no
     shuffle; chunk count scales with text length, not row count.
     """
+    from transf_spark.functions.exprs import chunk_slices
+
     docs = load_table(spark, sf_dir, "documents")
-    # empty-text guard: sequence(1, 0) is DESCENDING in Spark, not empty
-    slices = F.expr(
-        f"""CASE WHEN length(text) > 0 THEN
-              transform(sequence(1, int(ceil(length(text)/{CHUNK_SZ}.0))),
-                        i -> struct(cast(i AS bigint) AS seq,
-                                    substring(text, (i-1)*{CHUNK_SZ}+1, {CHUNK_SZ}) AS payload))
-            ELSE array() END"""
-    )
+    slices = chunk_slices("text", CHUNK_SZ)
     return (
         docs.select("doc_id", F.explode(slices).alias("c"))
         .select(
