@@ -61,10 +61,15 @@ def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     from transf_spark.sources.tables import staging_tag
 
     app = spark.sparkContext.applicationId
+    tag = staging_tag(sf_dir, "documents")
     for cache in (_PAIR_CACHE, _CC_CACHE):
-        for dead in [k for k in cache if k[0] != app]:
+        # dead applicationIds AND same-app stale fingerprints: an in-place
+        # fixture regeneration changes the tag, and without this sweep the
+        # old entry's checkpointed RDD blocks stay pinned in executor
+        # storage for the application's lifetime (_TS_UNIT_CACHE precedent)
+        for dead in [k for k in cache if k[0] != app or k[1] != tag]:
             del cache[dead]
-    return (app, staging_tag(sf_dir, "documents"))
+    return (app, tag)
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,9 +144,10 @@ def _connected_components(edges: DataFrame) -> DataFrame:
     "dedup_cluster_cc",
     oracle=f"""
     WITH RECURSIVE sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
+    nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
     pairs AS (
       SELECT a.doc_id AS src, b.doc_id AS dst
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      FROM nz a JOIN nz b ON a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
               / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
             >= {JACCARD_THRESHOLD}

@@ -119,8 +119,18 @@ def transfer_state_machine(
         status, filesize, written, expected, n_rej = ("NEW", 0, 0, 1, 0)
 
     out_rows: list[tuple] = []
-    for pdf in pdfs:
-        # protocol order within a batch: handshake first, then chunks by seq
+    # Concatenate the WHOLE per-key iterator before ordering: the engine
+    # chunks a key's micro-batch rows at arrow.maxRecordsPerBatch in
+    # arbitrary shuffle order, so per-pdf sorting would re-establish
+    # protocol order only within each ~10k-row chunk — a transfer spanning
+    # chunks could see its HS after its chunks (all rejected in NEW) or
+    # seqs out of order across the boundary (round-5 review). Memory is
+    # bounded by one key's micro-batch slice, which the reassembly state
+    # itself already implies holding.
+    frames = [pdf for pdf in pdfs]
+    if frames:
+        pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
+        # protocol order within the batch: handshake first, chunks by seq
         hs = pdf[pdf["tag"] == "HS"]
         tr = pdf[pdf["tag"] == "TRANSFER"].sort_values("seq")
         for _, row in hs.iterrows():
@@ -279,40 +289,48 @@ def run_stateful_reassembly(
             timeoutConf=timeout_conf,
         )
     )
+    if timeout_conf == GroupStateTimeout.NoTimeout:
+        # no timeouts armed ⇒ availableNow terminates once inputs are
+        # drained; the shared fail-loud drain helper owns sink naming
+        from transf_spark.streaming.windows import drain_to_memory
+
+        return drain_to_memory(out, "stateful_reassembly", drain)
+    # With ProcessingTimeTimeout armed the engine must keep triggering
+    # batches to service future timeouts, so no self-terminating trigger
+    # exists (availableNow spins empty batches forever). Run a steady
+    # trigger and poll: once the input is drained AND the state store is
+    # empty (every session done/rejected/expired — the GC sweep finished,
+    # `transf_server.cpp:78-131`), stop the query.
+    import time as _time
+
     global _QUERY_SEQ
     _QUERY_SEQ += 1
     qname = f"stateful_reassembly_{_QUERY_SEQ}"
     writer = out.writeStream.format("memory").queryName(qname).outputMode("append")
-    if timeout_conf == GroupStateTimeout.NoTimeout:
-        # no timeouts armed ⇒ availableNow terminates once inputs are drained
-        query = writer.trigger(availableNow=True).start()
-        if not query.awaitTermination(300):
-            query.stop()
-            raise TimeoutError(f"{qname}: AvailableNow drain exceeded 300 s")
-    else:
-        # With ProcessingTimeTimeout armed the engine must keep triggering
-        # batches to service future timeouts, so no self-terminating trigger
-        # exists (availableNow spins empty batches forever). Run a steady
-        # trigger and poll: once the input is drained AND the state store is
-        # empty (every session done/rejected/expired — the GC sweep finished,
-        # `transf_server.cpp:78-131`), stop the query.
-        import time as _time
-
-        query = writer.trigger(processingTime="2 seconds").start()
-        deadline = _time.time() + SESSION_TIMEOUT_MS / 1000 + 240
-        while _time.time() < deadline:
-            prog = query.lastProgress
-            ops = (prog or {}).get("stateOperators") or []
-            drained = (
-                prog is not None
-                and prog.get("batchId", 0) >= n_files
-                and all(s.get("numInputRows", 0) == 0 for s in prog.get("sources", []))
-            )
-            if drained and ops and ops[0].get("numRowsTotal") == 0:
-                break
-            _time.sleep(2)
-        query.stop()
-        query.awaitTermination(60)
+    query = writer.trigger(processingTime="2 seconds").start()
+    deadline = _time.time() + SESSION_TIMEOUT_MS / 1000 + 240
+    settled = False
+    while _time.time() < deadline:
+        prog = query.lastProgress
+        ops = (prog or {}).get("stateOperators") or []
+        drained = (
+            prog is not None
+            and prog.get("batchId", 0) >= n_files
+            and all(s.get("numInputRows", 0) == 0 for s in prog.get("sources", []))
+        )
+        if drained and ops and ops[0].get("numRowsTotal") == 0:
+            settled = True
+            break
+        _time.sleep(2)
+    query.stop()
+    query.awaitTermination(60)
+    if not settled:
+        # fail LOUD like every other drain site — a deadline fall-through
+        # would otherwise hand back a silently truncated manifest
+        raise TimeoutError(
+            f"{qname}: state store did not drain within the "
+            f"ProcessingTimeTimeout deadline"
+        )
     return drain.table(qname)
 
 

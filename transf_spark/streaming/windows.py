@@ -138,7 +138,34 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ACK_BASE_MS = 1_700_000_000_000
-_ACK_QUERY_SEQ = 0  # unique memory-sink names across repeated invocations
+_DRAIN_SEQ = 0  # unique memory-sink names across repeated invocations
+
+
+def drain_to_memory(stream_df, name: str, reader) -> "DataFrame":
+    """AvailableNow drain into a uniquely-named memory sink, FAIL-LOUD.
+
+    The sequence counter, sink naming, and the fail-loud contract (a False
+    awaitTermination means a partially-populated sink that would silently
+    corrupt the oracle check — round-2 ADVICE) live in ONE place: this
+    sequence was previously copy-pasted at four sites, and stateful.py's
+    copy had already drifted into a silent partial return — the
+    characteristic failure of that duplication (round-5 review).
+    ``reader`` is the session whose ``.table()`` reads the sink back (the
+    dedicated drain session where one is used)."""
+    global _DRAIN_SEQ
+    _DRAIN_SEQ += 1
+    qname = f"{name}_{_DRAIN_SEQ}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"{qname}: AvailableNow drain exceeded 300 s")
+    return reader.table(qname)
 
 
 def ack_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -275,26 +302,9 @@ def stream_ack_verify_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.next_expected").alias("next_expected"),
         )
     )
-    global _ACK_QUERY_SEQ
-    _ACK_QUERY_SEQ += 1
-    qname = f"ack_verify_join_{_ACK_QUERY_SEQ}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    # A False return means the drain outran the deadline — the memory sink
-    # would be only partially populated, silently corrupting the oracle
-    # check, so fail loudly instead (round-2 ADVICE).
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(f"{qname}: AvailableNow drain exceeded 300 s")
-    return drain.table(qname)
+    return drain_to_memory(joined, "ack_verify_join", drain)
 
 
-_DEDUP_QUERY_SEQ = 0
 
 
 @register(
@@ -322,20 +332,7 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.sha2("text", 256).alias("text_sha"))
         .dropDuplicates(["text_sha"])
     )
-    global _DEDUP_QUERY_SEQ
-    _DEDUP_QUERY_SEQ += 1
-    qname = f"stream_dedup_{_DEDUP_QUERY_SEQ}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(f"{qname}: AvailableNow drain exceeded 300 s")
-    return spark.table(qname)
+    return drain_to_memory(stream, "stream_dedup", spark)
 
 
 @register(
@@ -347,7 +344,13 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                          - INTERVAL 10 MINUTE
                 THEN true ELSE false END AS is_late
     FROM events
+    WHERE event_id IS NOT NULL
     """,
+    # ^ event_id IS NOT NULL mirrored on both sides: arrival order is
+    # BY event_id, so a null id has no place in the high-water-mark
+    # sequence — and Spark-side it would silently vanish anyway (NULL
+    # bucket fails the inner prefix join) while the unfiltered oracle
+    # still emitted it (stream_checkpoint_incremental precedent).
     category="streaming/late-data",
     origin="R7,R12",
 )
@@ -369,8 +372,10 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     back. hwm = greatest(previous-buckets max, within-bucket running max).
     """
     bucket_width = 4096
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "bucket", F.floor(F.col("event_id") / bucket_width)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id").isNotNull())
+        .withColumn("bucket", F.floor(F.col("event_id") / bucket_width))
     )
     local_hwm = F.max("ts").over(
         W.partitionBy("bucket").orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)
@@ -394,7 +399,6 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ENRICH_QUERY_SEQ = 0
 
 
 @register(
@@ -417,10 +421,15 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``stream_ack_verify_join``; batch-batch: ``join_*``). Runs as a real file
     stream → inner join → AvailableNow drain into a memory sink."""
     from transf_spark import schemas
-    from transf_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.size("embedding").cast("long").alias("emb_dim")
+        "vec_id",
+        "label",
+        # size(NULL) is -1 under ANSI-off legacy semantics vs the oracle's
+        # NULL len() — gate like multimodal_doc_join (round-5 review)
+        F.when(
+            F.col("embedding").isNotNull(), F.size("embedding").cast("long")
+        ).alias("emb_dim"),
     )
     stream = (
         spark.readStream.schema(schemas.SCHEMAS["documents"])
@@ -429,20 +438,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb, F.col("doc_id") == F.col("vec_id"))
         .select("doc_id", "lang", "label", "emb_dim")
     )
-    global _ENRICH_QUERY_SEQ
-    _ENRICH_QUERY_SEQ += 1
-    qname = f"stream_static_enrich_{_ENRICH_QUERY_SEQ}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(f"{qname}: AvailableNow drain exceeded 300 s")
-    return spark.table(qname)
+    return drain_to_memory(stream, "stream_static_enrich", spark)
 
 
 @register(
