@@ -40,19 +40,10 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
-def _runtime_confs() -> dict[str, str]:
-    """RUNTIME_CONFS plus the parallelism-derived entries.
-
-    ``spark.sql.shuffle.partitions`` is pinned to local parallelism even on a
-    driver-provided session: batch plans are insensitive (AQE re-coalesces at
-    runtime), but STREAMING stateful operators are not — the state store
-    inherits the shuffle partition count and AQE never applies, so a bare
-    session's default 200 turns every micro-batch of a stream-stream join
-    into 200 tiny state tasks (measured 27s vs ~4s for the ack-verify join
-    at sf0.01). On a real cluster this would be executor-cores×2-3.
-    """
-    return {**RUNTIME_CONFS,
-            "spark.sql.shuffle.partitions": str(max(default_parallelism(), 8))}
+# Marker a drain_session sets so ensure_conf never clobbers its explicit
+# shuffle-partition pin (a builder calling load_table on the drain session
+# would otherwise silently reset the state-store sizing — round-5 review).
+_SHUFFLE_PIN_MARKER = "spark.transf_spark.shufflePinned"
 
 
 def default_parallelism() -> int:
@@ -85,8 +76,27 @@ def get_spark(app_name: str = "transf_spark", cpus: int | None = None) -> SparkS
 
 
 def ensure_conf(spark: SparkSession) -> SparkSession:
-    """Pin runtime-settable confs on an externally-provided session."""
-    for k, v in _runtime_confs().items():
+    """Pin runtime-settable confs on an externally-provided session.
+
+    ``spark.sql.shuffle.partitions`` is pinned to the SESSION'S OWN core
+    count even on a driver-provided session: batch plans are insensitive
+    (AQE re-coalesces at runtime), but STREAMING stateful operators are
+    not — the state store inherits the shuffle partition count and AQE
+    never applies, so a bare session's default 200 turns every
+    micro-batch of a stream-stream join into 200 tiny state tasks
+    (measured 27s vs ~4s for the ack-verify join at sf0.01). Derived from
+    ``sc.defaultParallelism`` — the session's real core count — not the
+    host's: a get_spark(cpus=8) session on a 64-core box must shuffle at
+    8, not 64 (round-5 review). A drain_session's explicit pin (marker
+    conf) is never clobbered. On a real cluster this would be
+    executor-cores×2-3.
+    """
+    confs = dict(RUNTIME_CONFS)
+    if spark.conf.get(_SHUFFLE_PIN_MARKER, None) is None:
+        confs["spark.sql.shuffle.partitions"] = str(
+            max(spark.sparkContext.defaultParallelism, 8)
+        )
+    for k, v in confs.items():
         try:
             spark.conf.set(k, v)
         except Exception:
@@ -112,4 +122,7 @@ def drain_session(spark: SparkSession, shuffle_partitions: int) -> SparkSession:
     the caller's session conf."""
     s = ensure_conf(spark.newSession())
     s.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # any later ensure_conf on this session (e.g. a load_table inside the
+    # stream builder) must not reset the state-store sizing
+    s.conf.set(_SHUFFLE_PIN_MARKER, "true")
     return s

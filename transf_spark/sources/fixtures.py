@@ -42,10 +42,15 @@ CHUNKS_SQL = f"""
 # reached). Duplicate chunk: doc_id % 41 == 3 re-sends seq 1 (stop-and-wait
 # duplicate-drop path).
 CHUNKS_FAULTY_SQL = f"""
-  SELECT * FROM ({CHUNKS_SQL}) WHERE NOT (doc_id % 37 = 1 AND seq = 2)
+  WITH chunks_base AS ({CHUNKS_SQL})
+  SELECT * FROM chunks_base WHERE NOT (doc_id % 37 = 1 AND seq = 2)
   UNION ALL
-  SELECT * FROM ({CHUNKS_SQL}) WHERE doc_id % 41 = 3 AND seq = 1
+  SELECT * FROM chunks_base WHERE doc_id % 41 = 3 AND seq = 1
 """
+# ^ single chunks_base CTE, not the derivation inlined twice: DuckDB does
+# not dedupe identical derived tables, so every oracle embedding this
+# fragment was unnest-and-chunking the whole corpus twice (round-5
+# review); nested WITH inside a CTE definition is valid DuckDB.
 
 HANDSHAKES_SQL = """
   SELECT sha256(CAST(d.doc_id AS VARCHAR)) AS transfer_id,
