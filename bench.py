@@ -108,6 +108,12 @@ HEADLINE = [
     "dedup_levenshtein_blocked",
     "sql_recursive_hierarchy",
     "scan_dynamic_partition_pruning",
+    # round-6 additions
+    "sql_promo_revenue",
+    "sql_parts_supplier_notin",
+    "sql_top_supplier",
+    "docs_train_val_split",
+    "docs_shard_assign",
 ]
 
 
@@ -178,9 +184,42 @@ def main() -> None:
         return t
 
     timings = run_set(sf_dir)
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings.values()), 3)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    # The emitted line must stay under the driver's ~2 KB stdout tail
+    # capture: BENCH_r05's 70-query dict overflowed it and the headline
+    # parsed as null (round-5 verdict item 3). Keep the slowest queries
+    # inline (they are the ones plan regressions show up in), fold the
+    # long sub-second tail into one {"n", "sec"} bucket, and write the
+    # FULL per-query detail to BENCH_DETAIL.json beside this script so
+    # nothing is lost round-over-round.
+    LINE_BUDGET = 1200  # bytes left for the queries dict on the stdout line
+    compact: dict[str, float] = {}
+    used = 0
+    folded_n, folded_sec = 0, 0.0
+    for name in sorted(timings, key=timings.get, reverse=True):
+        entry = len(name) + len(f"{timings[name]:.3f}") + 6  # quotes, colon, comma
+        if used + entry <= LINE_BUDGET:
+            compact[name] = round(timings[name], 3)
+            used += entry
+        else:
+            folded_n += 1
+            folded_sec += timings[name]
+    queries_out: dict = dict(compact)
+    if folded_n:
+        queries_out["_tail"] = {"n": folded_n, "sec": round(folded_sec, 3)}
+
     out = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries_out,
+        "sf": sf,
+        "reps": REPS,
+        "agg": "min",
+    }
+    detail = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
@@ -193,12 +232,18 @@ def main() -> None:
     # SPARK_GRAFT_SCALING_DIR=/root/testdata/sf0.01 to record how each
     # headline query scales between two SFs — catches nonlinear blowups
     # (shingle volume, candidate-pair growth) before they bite at 100×.
+    # Detail-file only: the stdout line must stay within the tail capture.
     scaling_dir = os.environ.get("SPARK_GRAFT_SCALING_DIR")
     if scaling_dir:
         prefault(scaling_dir)
-        out["scaling"] = {
+        detail["scaling"] = {
             os.path.basename(scaling_dir.rstrip("/")): run_set(scaling_dir)
         }
+    try:
+        with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # read-only checkout — the stdout line still carries the headline
     print(json.dumps(out))
     spark.stop()
 

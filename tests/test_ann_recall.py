@@ -156,7 +156,11 @@ def test_pca_matches_offline_numpy_and_invariants(spark):
     # projection parity: Spark map pass == numpy projection
     rows = queries()["embedding_pca_project"](spark, SF).collect()
     assert len(rows) == len(x)
-    by_id = {r["vec_id"]: np.array(r["proj"]) for r in rows}
+    # declared output is flat pc0..pc7 scalars (driver canon can't hash arrays)
+    by_id = {
+        r["vec_id"]: np.array([r[f"pc{i}"] for i in range(s.PCA_COMPONENTS)])
+        for r in rows
+    }
     ids = [r["vec_id"] for r in load_table(spark, SF, "embeddings").select("vec_id").collect()]
     offline = (x - x.mean(0)) @ comps.T
     for i, vid in enumerate(ids):

@@ -738,3 +738,72 @@ def test_dynamic_partition_pruning_fires(spark):
         "no longer proves a directory is skipped; pick a sparser source"
     )
     assert {r["lang"] for r in df.collect()} == dim_langs
+
+
+def test_promo_revenue_broadcasts_part_single_agg_pushdown(spark):
+    """Q14 shape: part (dimension) broadcasts into the lineitem scan, the
+    conditional and total sums share ONE aggregate exchange, and the
+    ship-date window is pushed into the parquet scan — a second aggregate
+    pass or a fact shuffle for the join would double the 100 TB cost."""
+    df = _q(spark, "sql_promo_revenue")
+    st = plan_stats(df)
+    assert st.broadcast_joins == 1
+    assert st.sort_merge_joins == 0
+    assert st.exchanges == 1
+    assert any("l_shipdate" in pf for pf in st.pushed_filters)
+
+
+def test_parts_supplier_notin_is_null_aware_broadcast_anti(spark):
+    """Q16 shape: the NOT IN subquery must compile to a broadcast
+    NULL-AWARE anti join (LeftAnti + BuildRight + the null-aware flag) —
+    the one decorrelation form left_anti can't express; a sort-merge or
+    nested-loop fallback here shuffles/replays the fact table."""
+    from transf_spark.plans.inspect import physical_plan
+
+    df = _q(spark, "sql_parts_supplier_notin")
+    st = plan_stats(df)
+    assert st.sort_merge_joins == 0 and st.nested_loop_joins == 0
+    assert st.broadcast_joins == 2  # part dim + null-aware anti
+    plan = physical_plan(df)
+    assert any(
+        "LeftAnti, BuildRight, true" in line for line in plan.splitlines()
+    ), "NOT IN did not plan as a null-aware broadcast anti join"
+
+
+def test_top_supplier_broadcasts_dim_no_fact_sort(spark):
+    """Q15 shape: supplier broadcasts; the quarter filter reaches the scan;
+    no sort-merge join materializes the fact side."""
+    df = _q(spark, "sql_top_supplier")
+    st = plan_stats(df)
+    assert st.broadcast_joins >= 1
+    assert st.sort_merge_joins == 0 and st.nested_loop_joins == 0
+    assert any("l_shipdate" in pf for pf in st.pushed_filters)
+
+
+def test_train_val_split_single_exchange_pruned(spark):
+    """The split census: hash-draw assignment fuses into the scan (pure
+    map), ONE map-side-combinable aggregate exchange, and the scan reads
+    exactly (doc_id, lang, n_chars) — text must never be read."""
+    df = _q(spark, "docs_train_val_split")
+    st = plan_stats(df)
+    assert st.exchanges == 1
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+    assert scan_columns(df) == [{"doc_id", "lang", "n_chars"}]
+
+
+def test_shard_assign_one_corpus_scan_window_on_aggregate(spark):
+    """The shard manifest must scan the corpus ONCE: the global total is an
+    unpartitioned window over the 64-row aggregate (exchange #2, single
+    partition of 64 rows), not a broadcast of a second aggregation over the
+    fact table — the broadcast form re-derived the subtree and doubled the
+    corpus scans (measured on this query)."""
+    from transf_spark.plans.inspect import physical_plan
+
+    df = _q(spark, "docs_shard_assign")
+    st = plan_stats(df)
+    assert st.exchanges == 2
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+    assert st.nested_loop_joins == 0
+    plan = physical_plan(df)
+    assert plan.count("FileScan") == 1
+    assert scan_columns(df) == [{"doc_id", "n_chars"}]

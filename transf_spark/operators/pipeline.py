@@ -603,7 +603,7 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, user_id,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
              COUNT(*) OVER (PARTITION BY user_id) AS cnt
-      FROM events)
+      FROM events WHERE user_id IS NOT NULL)
     """,
     category="pipeline/grouped-map",
     origin="EXT",
@@ -634,8 +634,13 @@ def pandas_grouped_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame
     # coalescing or a straggler bucket can't serialize the stage, small
     # enough that per-call Python overhead stays negligible.
     n_buckets = 8 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # user_id IS NOT NULL on BOTH dialects: NULL users reach the batch as
+    # NaN, and NaN != NaN makes every null row its own numpy segment
+    # (pct_rank 0.0) while the oracle's PARTITION BY ranks them as one
+    # group — a latent divergence if the fixture regenerates with nulls.
     return (
         ev.select("event_id", "user_id", "value")
+        .where(F.col("user_id").isNotNull())
         .groupBy(F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("bucket"))
         .applyInPandas(
             _rank_normalize_batch, "event_id long, user_id long, pct_rank double"
@@ -664,3 +669,145 @@ def _rank_normalize_batch(pdf):
     pct = np.empty(len(su))
     pct[order] = pct_sorted
     return pdf.assign(pct_rank=pct)[["event_id", "user_id", "pct_rank"]]
+
+
+# Train/val/test split: cumulative md5-draw thresholds. The draw is salted
+# (":split") so it is independent of sample_stratified's unsalted draw and
+# of docs_shard_assign's ":shard" draw — three hash devices, three streams.
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5  # test gets the remainder (5)
+
+
+@register(
+    "docs_train_val_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang, n_chars,
+             CASE WHEN draw < {SPLIT_TRAIN_PCT} THEN 'train'
+                  WHEN draw < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT lang, n_chars,
+               CAST(concat('0x', substring(md5(CAST(doc_id AS STRING) || ':split'), 1, 8))
+                    AS BIGINT) % 100 AS draw
+        FROM documents)
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM assigned
+    GROUP BY split, lang
+    """,
+    category="pipeline/sampling",
+    origin="EXT",
+)
+def docs_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split — the first thing every
+    training-data pipeline does before tokenization. Assignment is a salted
+    content-independent hash of the id (``md5(doc_id || ':split')[:8] %
+    100`` against cumulative thresholds), NOT ``rand()``: the split a
+    document lands in survives task retries, job re-runs and cluster
+    re-sizing by construction, which is what makes the held-out sets
+    trustworthy (a rand() split silently leaks val docs into train on any
+    retry). Declared output is the per-(split, lang) census — doc counts
+    and char volume — i.e. the split-manifest a pipeline records.
+
+    Plan at scale: the draw is a pure map fused into the scan (zero
+    shuffles for assignment); the census is ONE map-side-combinable
+    aggregate on a 15-key space. The full per-doc assignment is the same
+    map without the aggregate — embarrassingly parallel either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    draw = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(draw < SPLIT_TRAIN_PCT, "train")
+        .when(draw < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+N_SHARDS = 64  # output shards for tokenized-corpus export
+
+
+@register(
+    "docs_shard_assign",
+    oracle=f"""
+    WITH shards AS (
+      SELECT CAST(concat('0x', substring(md5(CAST(doc_id AS STRING) || ':shard'), 1, 8))
+                  AS BIGINT) % {N_SHARDS} AS shard,
+             n_chars
+      FROM documents
+    ),
+    stats AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM shards GROUP BY shard
+    )
+    SELECT shard, n_docs, sum_chars,
+           CAST(sum_chars AS DOUBLE) * {N_SHARDS}
+             / CAST((SELECT SUM(sum_chars) FROM stats) AS DOUBLE) AS rel_load
+    FROM stats
+    """,
+    category="pipeline/sharding",
+    origin="EXT",
+)
+def docs_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash assignment of documents to N_SHARDS=64 output shards
+    — the write-sharding step before tokenized-shard export. The shard of
+    a document is a salted hash of its id (same md5 device as the split,
+    ":shard" salt), so shard membership is stable across re-runs and
+    independent of input partitioning/ordering — re-exporting a corpus
+    rewrites byte-identical shards. Declared output is the shard load
+    manifest: per-shard doc count, char volume, and relative load
+    (shard chars ÷ ideal even share) — the skew signal a pipeline checks
+    before committing to a shard count.
+
+    Plan at scale: assignment is a pure map; the manifest is ONE
+    map-side-combinable aggregate onto N_SHARDS keys; the global char
+    total is an unpartitioned window — over the 64-ROW AGGREGATE, never
+    the fact table (the broadcast-1-row-aggregate alternative re-derives
+    the aggregate subtree in Spark and scans the corpus twice — measured
+    on this very query, 4 FileScans vs 2). rel_load is one multiply and
+    one divide of exact-integer-derived doubles, textually mirrored in
+    the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % N_SHARDS
+    )
+    stats = (
+        docs.select(shard.alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+    total = F.sum("sum_chars").over(W.partitionBy(F.lit(1))).cast("long")
+    return stats.select(
+        "shard",
+        "n_docs",
+        "sum_chars",
+        (
+            F.col("sum_chars").cast("double") * F.lit(N_SHARDS) / total.cast("double")
+        ).alias("rel_load"),
+    )

@@ -794,15 +794,21 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-dedup pipelines. Fit is one distributed moment pass
     (see _pca_fit); projection is a second shuffle-free Arrow-vectorized
     map (center, matmul against the R×d closure matrix). Output: each
-    vector's R principal coordinates — map-only end to end (plan-gated),
-    both corpus passes embarrassingly parallel."""
+    vector's R principal coordinates as SCALAR columns pc0..pc7 — the
+    driver's pandas canonicalizer cannot sort/hash array-typed columns,
+    so the single struct-returning UDF call is expanded to flat doubles
+    (one UDF evaluation either way; still map-only end to end,
+    plan-gated), both corpus passes embarrassingly parallel."""
     mean, comps, _ = _pca_fit(spark, sf_dir)
     ct = comps.T  # d×R
+    fields = ", ".join(f"pc{i} double" for i in range(PCA_COMPONENTS))
 
-    @F.pandas_udf("array<double>")
-    def project(v: pd.Series) -> pd.Series:
-        m = _batch_matrix(v) - mean[None, :]
-        return pd.Series([row.tolist() for row in (m @ ct)])
+    @F.pandas_udf(f"struct<{fields}>")
+    def project(v: pd.Series) -> pd.DataFrame:
+        m = (_batch_matrix(v) - mean[None, :]) @ ct
+        return pd.DataFrame({f"pc{i}": m[:, i] for i in range(PCA_COMPONENTS)})
 
     e = _emb_double(spark, sf_dir)
-    return e.select("vec_id", "label", project("v").alias("proj"))
+    return e.select("vec_id", "label", project("v").alias("p")).select(
+        "vec_id", "label", "p.*"
+    )

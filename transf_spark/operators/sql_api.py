@@ -277,3 +277,143 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the engine owns frontier materialization."""
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SPARK_SQL)
+
+
+# TPC-H Q14 shape (promo-revenue ratio), per ship month of 1996. The ratio
+# is stated as exact-decimal sums cast to DOUBLE, then ONE multiply and ONE
+# divide in the same textual order on both engines — a float ratio computed
+# from deterministic operands is itself deterministic. The CASE guard keeps
+# a zero total from producing 0/0: DuckDB >= 1.1 yields NaN there (which
+# sorts ABOVE real values), Spark ANSI-off yields NULL — the dialect
+# divergence class from the round-5 hardening list.
+_PROMO_SQL = """
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           COALESCE(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                       * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                             END) AS DOUBLE), 0.0) AS promo_rev,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_rev,
+           CASE WHEN CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) = 0.0
+                THEN 0.0
+                ELSE 100.0 * COALESCE(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                       * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                             END) AS DOUBLE), 0.0)
+                     / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           END AS promo_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY date_trunc('month', l_shipdate)
+"""
+
+
+@register(
+    "sql_promo_revenue",
+    oracle=_PROMO_SQL,
+    category="sql-api",
+    origin="EXT",
+)
+def sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion-revenue share) through the SQL entry
+    point: per ship month of 1996, the percentage of discounted revenue
+    earned by PROMO-class parts — the conditional-aggregate-ratio form
+    (SUM(CASE)/SUM) that Catalyst folds into ONE aggregate pass, not two.
+    IDENTICAL text on both engines.
+
+    Plan at scale: part (the dimension) broadcasts into the lineitem scan
+    — no fact shuffle for the join; the ship-date predicate is pushed to
+    the parquet scan so only the target year is read; both conditional
+    and total sums accumulate in the SAME map-side partial aggregate
+    (one exchange on the 12-row month key). Decimal-exact sums, one
+    final double multiply/divide per group."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PROMO_SQL)
+
+
+# TPC-H Q16 shape restated on the available tables (the fixture has no
+# partsupp): supplier variety per part class, excluding flagged suppliers
+# via NOT IN — deliberately NOT rewritten to NOT EXISTS/left_anti, because
+# the point is Catalyst's null-aware anti join (the one decorrelation form
+# the board doesn't otherwise exercise). Both engines implement identical
+# three-valued NOT IN semantics, so the texts can be identical too;
+# s_acctbal < 0 plays the "customer complaints" exclusion class.
+_PARTS_SUPPLIER_SQL = """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register(
+    "sql_parts_supplier_notin",
+    oracle=_PARTS_SUPPLIER_SQL,
+    category="sql-api",
+    origin="EXT",
+)
+def sql_parts_supplier_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    class, excluding suppliers flagged by a NOT IN subquery. NOT IN is the
+    three-valued-logic trap of SQL (one NULL in the subquery empties the
+    result) — Catalyst compiles it to a broadcast NULL-AWARE anti join
+    rather than a plain left_anti, and this query pins that plan shape.
+
+    Plan at scale: the flagged-supplier list is a tiny aggregate —
+    broadcast null-aware anti join against the lineitem scan (map-side,
+    no fact shuffle); part broadcasts likewise; the only exchange is the
+    COUNT(DISTINCT) on the ~|brand×type×size| grouped key space."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PARTS_SUPPLIER_SQL)
+
+
+# TPC-H Q15 shape: quarterly per-supplier revenue CTE reused against its
+# own global MAX. Revenue stays DECIMAL through the MAX-equality cut (an
+# exact comparison — a double round-trip could admit/expel ties), and is
+# cast to double only in the final projection.
+_TOP_SUPPLIER_SQL = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue_raw
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue_raw AS DOUBLE) AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue_raw = (SELECT MAX(total_revenue_raw) FROM revenue)
+"""
+
+
+@register(
+    "sql_top_supplier",
+    oracle=_TOP_SUPPLIER_SQL,
+    category="sql-api",
+    origin="EXT",
+)
+def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier) through the SQL entry point: a
+    quarterly revenue CTE consumed twice — once as the join input, once
+    reduced to its global MAX inside a scalar subquery. IDENTICAL text on
+    both engines; the equality cut compares DECIMALS, so ties are exact
+    and the result set is deterministic without an ORDER BY.
+
+    Plan at scale: ONE shuffle builds the per-supplier aggregate (the
+    date filter is pushed to the scan, so a quarter — not seven years —
+    shuffles); the scalar MAX reduces that aggregate to one broadcast
+    row; supplier (dimension) broadcasts into the equality-filtered CTE.
+    Catalyst may re-derive the CTE per consumer — both derivations are
+    the same single-exchange aggregate, and AQE reuses the shuffle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_TOP_SUPPLIER_SQL)

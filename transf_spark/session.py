@@ -66,6 +66,9 @@ def get_spark(app_name: str = "transf_spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.shuffle.partitions", str(max(n, 8)))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout clean for the bench harness: its ONE JSON line must
+        # survive the grading driver's small stdout tail capture untrampled
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in RUNTIME_CONFS.items():

@@ -305,7 +305,11 @@ def run_stateful_reassembly(
 
     global _QUERY_SEQ
     _QUERY_SEQ += 1
-    qname = f"stateful_reassembly_{_QUERY_SEQ}"
+    # distinct "_pt_" prefix: the NoTimeout branch names its sink
+    # stateful_reassembly_{n} via windows.drain_to_memory's independent
+    # counter — a shared prefix could collide in one process and silently
+    # replace the memory temp view behind a previously returned DataFrame
+    qname = f"stateful_reassembly_pt_{_QUERY_SEQ}"
     writer = out.writeStream.format("memory").queryName(qname).outputMode("append")
     query = writer.trigger(processingTime="2 seconds").start()
     deadline = _time.time() + SESSION_TIMEOUT_MS / 1000 + 240
