@@ -1,0 +1,111 @@
+"""Hot-bucket safety valves (round-5 verdict item 4).
+
+A mass-duplicate corpus (k copies of one boilerplate doc) is the
+scale-killer of both pair-generating dedup formulations:
+
+- MinHash-LSH: all k copies share every (band, band_hash) bucket, so an
+  uncapped self-join enumerates k²/2 candidate pairs. Above
+  ``BAND_BUCKET_CAP`` the bucket switches to a min-rooted STAR — O(k)
+  candidates that preserve the connected-component structure exactly.
+- n-gram Jaccard: every shingle of the family has document frequency k,
+  and the inverted-index join produces k²/2 rows PER SHINGLE. Shingles
+  with df > ``NGRAM_DF_CAP`` are dropped from the universe in BOTH
+  dialects (CCNet trick), so the family yields no pairs here by design —
+  that regime belongs to dedup_exact / the minhash star.
+
+This synthesizes a 1,000-copy family (≫ both caps) plus an organic
+near-dup pair and checks each path: bounded output, preserved component,
+untouched organic pair, and (for ngram) continued oracle parity with the
+mirrored-cap SQL.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from tests.oracle import compare
+from transf_spark import queries as q
+from transf_spark.operators.dedup import BAND_BUCKET_CAP, NGRAM_DF_CAP
+
+N_COPIES = 1_000
+
+
+def _words(prefix: str, n: int) -> list[str]:
+    return [f"{prefix}{i}" for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def hot_dir(tmp_path_factory):
+    """documents.parquet: 1,000 identical boilerplate docs (ids 0..999),
+    one engineered near-dup pair at j = 84/100 (ids 2000/2001), and
+    unrelated background docs."""
+    assert N_COPIES > max(BAND_BUCKET_CAP, NGRAM_DF_CAP)
+    out = str(tmp_path_factory.mktemp("hot_buckets"))
+    rows = []
+    boiler = " ".join(_words("boiler", 40))
+    for i in range(N_COPIES):
+        rows.append((i, boiler, "en", "synthetic", len(boiler)))
+    base = _words("p", 86)  # 84 shingles
+    ext = base + _words("px", 16)  # j = 84 / (84 + 16) = 0.84
+    rows.append((2000, " ".join(base), "en", "synthetic", len(" ".join(base))))
+    rows.append((2001, " ".join(ext), "en", "synthetic", len(" ".join(ext))))
+    for i in range(4):
+        w = " ".join(_words(f"bg{i}_", 40))
+        rows.append((3000 + i, w, "en", "synthetic", len(w)))
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(out, "documents.parquet"))
+    return out
+
+
+def test_minhash_star_valve_bounds_hot_bucket(spark, hot_dir):
+    q.queries()  # populate the registry
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in q.REGISTRY["dedup_fuzzy_minhash"].fn(spark, hot_dir).collect()
+    }
+    fam = {p for p in got if p[0] < N_COPIES and p[1] < N_COPIES}
+    # star, not all-pairs: k-1 links, every one rooted at the min doc_id
+    assert len(fam) == N_COPIES - 1, f"expected a {N_COPIES - 1}-edge star, got {len(fam)}"
+    assert all(a == 0 for a, _ in fam), "star must root at the bucket min"
+    assert {b for _, b in fam} == set(range(1, N_COPIES))
+    assert all(abs(got[p] - 1.0) < 1e-12 for p in fam), "copies are identical"
+    # the organic near-dup pair still resolves through the all-pairs path
+    assert (2000, 2001) in got and abs(got[(2000, 2001)] - 0.84) < 1e-12
+    # nothing else leaks
+    assert len(got) == len(fam) + 1, f"unexpected extra pairs: {set(got) - fam}"
+
+
+def test_ngram_df_cap_drops_family_keeps_organic_pair(spark, hot_dir):
+    q.queries()  # populate the registry
+    spec = q.REGISTRY["dedup_ngram_jaccard"]
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in spec.fn(spark, hot_dir).collect()
+    }
+    # the hot family's shingles all carry df = 1000 > cap ⇒ zero pairs
+    # (documented handoff to dedup_exact / the minhash star)
+    assert got == pytest.approx({(2000, 2001): 0.84}), got
+    # and the mirrored-cap oracle agrees on this adversarial corpus too
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{hot_dir}/documents.parquet')"
+    )
+    problems = compare(spec.fn(spark, hot_dir), con, spec.oracle)
+    con.close()
+    assert not problems, "; ".join(problems)

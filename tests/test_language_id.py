@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from transf_spark.operators.text import text_language_id
+from transf_spark.operators.text import language_id_predictions
 from transf_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.001"
@@ -19,7 +19,7 @@ FLOOR = 0.28
 
 
 def test_language_id_beats_chance(spark):
-    pred = text_language_id(spark, SF)
+    pred = language_id_predictions(spark, SF)
     truth = load_table(spark, SF, "documents").select("doc_id", "lang")
     acc = (
         pred.join(truth, "doc_id")
@@ -31,7 +31,7 @@ def test_language_id_beats_chance(spark):
 
 def test_language_id_covers_every_document(spark):
     n_docs = load_table(spark, SF, "documents").count()
-    assert text_language_id(spark, SF).count() == n_docs
+    assert language_id_predictions(spark, SF).count() == n_docs
 
 
 def test_bigram_extraction_guards_short_texts(spark):

@@ -176,22 +176,17 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_language_id",
-    oracle=None,  # heuristic classifier — rows-only (self-consistency in tests)
-    category="text-analysis",
-    origin="EXT",
-)
-def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-bigram language-ID: build per-lang bigram profiles from the
-    corpus itself (train), score each doc against every profile (sum of log
-    relative frequencies), predict argmax.
+def language_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language-ID, per-doc form: build per-lang bigram
+    profiles from the corpus itself (train), score each doc against every
+    profile (sum of log relative frequencies), predict argmax.
 
     Self-trained n-gram language identification — on the synthetic fixture
-    the lang labels are random, so the interesting output is the score
-    machinery (profile join + argmax), not accuracy. The plan: bigram
-    explode → profile aggregate (small: langs × bigrams) → broadcast back →
-    score — one shuffle to build profiles, map-side scoring after."""
+    the lang labels are only weakly coupled to content, so the interesting
+    output is the score machinery (profile join + argmax), not accuracy.
+    The plan: bigram explode → profile aggregate (small: langs × bigrams)
+    → broadcast back → score — one shuffle to build profiles, map-side
+    scoring after."""
     docs = load_table(spark, sf_dir, "documents")
     # greatest(..., 1): sequence(1, 0) is DESCENDING in Spark, not empty
     # (fixtures.py:chunks precedent) — an unguarded length(text)-1 turns a
@@ -239,6 +234,94 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (< 2 chars / NULL text — latent today) still gets a row, with NULL
     # prediction, preserving the full-coverage contract the test pins
     return docs.select("doc_id").join(top1, "doc_id", "left")
+
+
+# Accuracy floor for the DECLARED invariant (not the pytest signal gate,
+# which holds 0.28 at sf0.001 in tests/test_language_id.py): the fixture's
+# lang labels are only weakly coupled to content — measured overall
+# accuracy is 0.236 (sf0.1) / 0.358 (sf0.01) / 0.328 (sf0.001), with one
+# per-lang cell as low as 0.12 — so a tight floor would make the row flake
+# on fixture regeneration. 0.15 is solidly below the observed band but far
+# above the machinery-collapse modes this invariant exists to catch
+# (all-NULL predictions ≈ 0.0, empty profiles, degenerate argmax).
+LANG_ID_ACC_FLOOR = 0.15
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN length(text) >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_predicted,
+           CAST(0 AS BIGINT) AS n_out_of_domain,
+           CAST((SELECT COUNT(DISTINCT lang) FROM documents) AS BIGINT)
+             AS n_langs_predicted,
+           TRUE AS acc_above_floor
+    FROM documents GROUP BY lang
+    """,
+    category="text-analysis",
+    origin="EXT",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID invariant census — the hash-checkable declared form of
+    the heuristic classifier (round-5 verdict item 6; the
+    ``agg_approx_distinct`` invariant-oracle precedent). The classifier's
+    per-doc argmax (see :func:`language_id_predictions`) cannot be oracled
+    value-for-value, but its CONTRACTS can, and the oracle states each as
+    the exact value it must equal:
+
+    - coverage: every doc with a scoreable bigram (length ≥ 2) gets a
+      prediction — ``n_predicted`` must equal the oracle's exact count of
+      such docs per lang (profiles are trained on this same corpus, so
+      every bigram matches ≥1 profile by construction);
+    - domain: predictions only ever name training languages
+      (``n_out_of_domain`` = 0);
+    - no argmax collapse: all training languages appear somewhere as a
+      prediction (``n_langs_predicted`` = exact distinct-lang count);
+    - signal: overall accuracy vs the ``lang`` column clears
+      LANG_ID_ACC_FLOOR (see the floor's rationale above).
+
+    Plan: the per-doc machinery (one profile shuffle + broadcast scoring),
+    then one 5-row census aggregate; the three global invariants reduce to
+    a 1-row aggregate broadcast onto the census."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = language_id_predictions(spark, sf_dir)
+    truth = docs.select("doc_id", "lang", F.length("text").alias("_len"))
+    j = truth.join(pred, "doc_id")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    census = j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("predicted_lang").isNotNull().cast("long")).alias("n_predicted"),
+    )
+    globals_row = j.agg(
+        F.sum(
+            (
+                F.col("predicted_lang").isNotNull()
+                & ~F.col("predicted_lang").isin(langs)
+            ).cast("long")
+        ).alias("n_out_of_domain"),
+        F.count_distinct("predicted_lang").alias("n_langs_predicted"),
+        (
+            # coalesce: a NULL prediction must count as a miss, not drop
+            # out of the average
+            F.avg(
+                F.coalesce(
+                    (F.col("predicted_lang") == F.col("lang")).cast("double"),
+                    F.lit(0.0),
+                )
+            )
+            >= F.lit(LANG_ID_ACC_FLOOR)
+        ).alias("acc_above_floor"),
+    )
+    return census.join(F.broadcast(globals_row)).select(
+        "lang",
+        "n_docs",
+        "n_predicted",
+        "n_out_of_domain",
+        "n_langs_predicted",
+        "acc_above_floor",
+    )
 
 
 @register(

@@ -131,6 +131,7 @@ _SEMANTICS_CHANGED_IN: dict[str, int] = {
     "agg_approx_distinct": 5,  # r5: rows-only → oracle-checked error-bound invariant
     "agg_approx_percentile": 5,  # r5: rows-only → oracle-checked rank invariant
     "stream_stateful_reassembly": 5,  # r5: embedded batch_consistent column
+    "text_language_id": 6,  # r6: rows-only → invariant-census oracle
 }
 
 
