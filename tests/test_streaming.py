@@ -96,6 +96,14 @@ def test_stateful_reassembly_matches_batch_manifest(spark):
     # The declared output now EMBEDS this cross-check (round-4 verdict
     # item 6): batch_consistent must be uniformly true when the sets agree.
     assert stream_out.filter(~F.col("batch_consistent")).count() == 0
+    # Round-5 verdict item 8: exactly one '__summary__' row pins the
+    # expected cardinality (filesize := batch done count, written := batch
+    # rejected count) so the rows-only record can't silently shrink.
+    s = stream_out.filter(F.col("transfer_id") == "__summary__").collect()
+    assert len(s) == 1
+    assert s[0]["filesize"] == len(done_batch)
+    assert s[0]["written"] == len(bad_hs)
+    assert s[0]["batch_consistent"] is True
 
 
 def test_ack_verify_stream_stream_join(spark):

@@ -130,7 +130,7 @@ def _correctness_history(root: str | None = None) -> dict[str, tuple[int, bool]]
 _SEMANTICS_CHANGED_IN: dict[str, int] = {
     "agg_approx_distinct": 5,  # r5: rows-only → oracle-checked error-bound invariant
     "agg_approx_percentile": 5,  # r5: rows-only → oracle-checked rank invariant
-    "stream_stateful_reassembly": 5,  # r5: embedded batch_consistent column
+    "stream_stateful_reassembly": 6,  # r6: appended __summary__ cardinality row
     "text_language_id": 6,  # r6: rows-only → invariant-census oracle
 }
 

@@ -370,8 +370,12 @@ def stream_stateful_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast 1-row scalars, so stream ⊆ batch plus equal counts ⇒ set
     equality — without the rejected leg, silently dropped rejection rows
     would still grade green).
-    Row count is unchanged: the joins are left joins on the unique
-    transfer_id."""
+    The joins are left joins on the unique transfer_id, so detail-row
+    count is unchanged; ONE extra ``__summary__`` row (round-5 verdict
+    item 8) carries the batch twin's expected cardinality
+    (filesize := n_done_batch, written := n_rej_batch) so the driver's
+    rows-only record pins the manifest cardinality against silent-drop
+    regressions."""
     out = run_stateful_reassembly(
         spark, sf_dir, n_files=1, timeout_conf=GroupStateTimeout.NoTimeout
     )
@@ -424,8 +428,25 @@ def stream_stateful_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # without this leg a regression that silently drops
                 # rejected_handshake rows still graded green (review finding)
                 & (F.col("n_rej_stream") == F.col("n_rej_batch"))
-            ).alias("counts_ok")
+            ).alias("counts_ok"),
+            "n_done_batch",
+            "n_rej_batch",
         )
+    )
+    # One '__summary__' row rides along with the detail rows (round-5
+    # verdict item 8): it carries the BATCH twin's expected cardinality
+    # (filesize := n_done_batch, written := n_rej_batch — computed
+    # independently of the stream), so the driver's rows-only record pins
+    # the manifest's cardinality, not just that ≥0 rows came back. A
+    # stream that silently drops rows now changes the recorded row count
+    # AND flips this row's batch_consistent via counts_ok.
+    summary = counts.select(
+        F.lit("__summary__").alias("transfer_id"),
+        F.lit("summary").alias("status"),
+        F.col("n_done_batch").cast("long").alias("filesize"),
+        F.col("n_rej_batch").cast("long").alias("written"),
+        F.lit(None).cast("long").alias("n_rejected"),
+        F.col("counts_ok").alias("batch_consistent"),
     )
     row_ok = (F.col("status") == F.col("b_status")) & (
         (F.col("status") != "done")
@@ -435,5 +456,6 @@ def stream_stateful_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.join(expected, "transfer_id", "left")
         .crossJoin(F.broadcast(counts))
         .withColumn("batch_consistent", F.coalesce(row_ok, F.lit(False)) & F.col("counts_ok"))
-        .drop("b_filesize", "b_written", "b_status", "counts_ok")
+        .drop("b_filesize", "b_written", "b_status", "counts_ok", "n_done_batch", "n_rej_batch")
+        .unionByName(summary)
     )
