@@ -417,3 +417,243 @@ def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same single-exchange aggregate, and AQE reuses the shuffle."""
     register_views(spark, sf_dir)
     return spark.sql(_TOP_SUPPLIER_SQL)
+
+
+# TPC-H Q13 shape: the orders-per-customer histogram. The filter lives in
+# the JOIN CONDITION, not the WHERE — Q13's whole point: a WHERE would
+# turn the left join inner and silently drop zero-order customers from the
+# c_count = 0 bucket. COUNT(o_orderkey) (not COUNT(*)) counts only matched
+# rows, so unmatched customers contribute 0, not 1. IDENTICAL text on both
+# engines; counts are exact ints, the only typing care is DuckDB's
+# COUNT → HUGEINT (cast to BIGINT, comparator contract).
+_CUSTOMER_DISTRIBUTION_SQL = """
+    SELECT c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey,
+             CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+"""
+
+
+@register(
+    "sql_customer_distribution",
+    oracle=_CUSTOMER_DISTRIBUTION_SQL,
+    category="sql-api",
+    origin="EXT",
+)
+def sql_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    JOIN with the predicate in the ON clause, double aggregation
+    (per-customer count, then histogram of counts).
+
+    Plan at scale: orders shuffles on o_custkey once (the join and the
+    first groupBy share the key, so Catalyst reuses the exchange for the
+    partial count); the second aggregate runs on the tiny distinct-count
+    domain (≤ max orders per customer, ~30 keys) — map-side partials
+    collapse it before the final 30-row exchange. The o_orderpriority
+    filter is pushed to the orders scan even though it sits in the ON
+    clause (it references only the right side of a left join)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CUSTOMER_DISTRIBUTION_SQL)
+
+
+# TPC-H Q7 shape: bilateral shipping volume between two nations by year.
+_VOLUME_SHIPPING_SQL = f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_dsum_raw("volume", "revenue")}
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+             {SQL_DISC_PRICE} AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_11')
+          OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_9'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1997-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register(
+    "sql_volume_shipping",
+    oracle=_VOLUME_SHIPPING_SQL,
+    category="sql-api",
+    origin="EXT",
+)
+def sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue between two trading
+    nations per shipment year, both directions kept distinct — the
+    6-table star-with-two-dimension-roles join (nation joined TWICE under
+    different aliases). IDENTICAL text on both engines; decimal-exact
+    revenue; EXTRACT(YEAR) cast to INT on both (DuckDB returns BIGINT).
+
+    Plan at scale: the ship-date range is pushed to the lineitem scan (2
+    of 7 years read); supplier, customer, and both nation roles are
+    dimensions — all broadcast, so the ONLY fact shuffle is the
+    lineitem⋈orders key. The nation-pair filter prunes both dimension
+    broadcasts to ~1/20 before they ship. Group-by domain is 8 rows
+    (2 directions × 2-4 years) — map-side partials collapse everything."""
+    register_views(spark, sf_dir)
+    return spark.sql(_VOLUME_SHIPPING_SQL)
+
+
+# TPC-H Q17 shape: small-quantity-order revenue, the correlated scalar
+# subquery Catalyst must decorrelate into an aggregate+join. l_quantity
+# values are INTEGERS stored as doubles (fixture-checked), so AVG is a
+# ratio of exactly-representable sums — identical in both engines
+# regardless of summation order, making the 0.2·avg threshold compare
+# deterministic (the round-5 float-boundary checklist).
+_AVG_YEARLY_SQL = f"""
+    SELECT p_brand,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand IN ('Brand#3', 'Brand#14', 'Brand#25')
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    GROUP BY p_brand
+"""
+
+
+@register(
+    "sql_avg_yearly",
+    oracle=_AVG_YEARLY_SQL,
+    category="sql-api",
+    origin="EXT",
+)
+def sql_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): per brand, the
+    yearly-averaged revenue of lineitems whose quantity is below 20% of
+    that PART's average quantity — the correlated scalar subquery form.
+    IDENTICAL text on both engines.
+
+    Plan at scale: Catalyst decorrelates the subquery into a per-partkey
+    AVG aggregate joined back on p_partkey — no per-row subquery
+    execution. The brand filter broadcasts the pruned part dimension into
+    both the fact scan and the decorrelated aggregate; the per-part
+    average shuffles lineitem on l_partkey ONCE (the same key the verify
+    join uses, so AQE co-locates). Decimal-exact revenue; the /7.0 is a
+    constant double divide applied identically per group."""
+    register_views(spark, sf_dir)
+    return spark.sql(_AVG_YEARLY_SQL)
+
+
+# TPC-H Q21 shape restated on the available columns: the fixture has no
+# l_commitdate/l_receiptdate, so "late" is l_shipdate > o_orderdate + 90
+# days. The inner EXISTS/NOT EXISTS correlate ONLY on the equality
+# l_orderkey = l1.l_orderkey (the lateness test joins orders INSIDE the
+# subquery instead of referencing the outer o_orderdate — Spark's
+# decorrelation accepts equality correlation; an outer non-equi reference
+# would not decorrelate).
+_SUPPLIERS_WAITING_SQL = """
+    SELECT s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders     ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1
+        FROM lineitem l3
+        JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s_name
+"""
+
+
+@register(
+    "sql_suppliers_waiting",
+    oracle=_SUPPLIERS_WAITING_SQL,
+    category="sql-api",
+    origin="EXT",
+)
+def sql_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): count, per
+    supplier, the finished multi-supplier orders where ONLY that supplier
+    shipped late — the EXISTS + NOT EXISTS double-correlation form, the
+    hardest decorrelation on the board. IDENTICAL text on both engines.
+
+    Plan at scale: both subqueries decorrelate into aggregates/semi-joins
+    keyed on l_orderkey — the SAME key the outer lineitem⋈orders join
+    shuffles on, so the three legs co-partition and AQE reuses the
+    exchange. EXISTS becomes a left-semi, NOT EXISTS a left-anti; neither
+    carries NULL-key hazards (l_orderkey is non-null by construction).
+    supplier is a broadcast dimension; the final aggregate's domain is
+    ≤ |supplier| rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SUPPLIERS_WAITING_SQL)
+
+
+# TPC-H Q22 shape restated: no c_phone country codes in the fixture, so
+# the "acquirable customers" cohort keys on nation instead. The positive-
+# balance average is computed as exact-decimal SUM / COUNT (DuckDB's
+# AVG(DECIMAL) returns DOUBLE, but SUM(DECIMAL) is exact in both engines,
+# so the division operands — and therefore the threshold — are bit-
+# identical). NOT EXISTS (not NOT IN): o_custkey is non-null, but the
+# anti-join form sidesteps three-valued NULL semantics by construction.
+_LOST_CUSTOMERS_SQL = """
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*)
+        FROM customer c2
+        WHERE c2.c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c_nationkey
+"""
+
+
+@register(
+    "sql_lost_customers",
+    oracle=_LOST_CUSTOMERS_SQL,
+    category="sql-api",
+    origin="EXT",
+)
+def sql_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): per nation, the
+    above-average-balance customers with no recent orders — an
+    uncorrelated scalar subquery (the balance threshold) combined with a
+    correlated NOT EXISTS (the dormancy test). IDENTICAL text on both
+    engines.
+
+    Plan at scale: the scalar subquery is ONE map-side-combinable
+    aggregate broadcast as a literal into the customer scan's filter; the
+    NOT EXISTS becomes a left-anti join against the date-pruned orders
+    projection (the o_orderdate predicate pushes to the scan, so only
+    the recent slice shuffles); the final aggregate's domain is ≤ 25
+    nations. No fact-table window, no correlated re-execution."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LOST_CUSTOMERS_SQL)

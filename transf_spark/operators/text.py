@@ -324,9 +324,10 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_unigram_lm_score",
-    oracle="""
+# Per-doc unigram LM score as a standalone SELECT — shared by the
+# text_unigram_lm_score oracle and (as a CTE) the CCNet-style
+# docs_perplexity_buckets oracle.
+_UNIGRAM_LM_ORACLE = """
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
     ),
@@ -346,7 +347,12 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS commonness
     FROM tf JOIN corpus USING (term) CROSS JOIN tot
     GROUP BY doc_id, tot.total
-    """,
+"""
+
+
+@register(
+    "text_unigram_lm_score",
+    oracle=_UNIGRAM_LM_ORACLE,
     category="text-analysis",
     origin="EXT",
 )
@@ -514,4 +520,211 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
             F.sum("n_chars").alias("sum_chars"),
         )
+    )
+
+
+TOP_NGRAMS_K = 8  # per-language leaderboard depth
+
+
+@register(
+    "docs_ngram_topk_per_lang",
+    oracle=f"""
+    WITH w AS (
+      SELECT lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, ws[i] || ' ' || ws[i+1] AS gram
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t
+      WHERE len(ws) >= 2
+    ),
+    c AS (
+      SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM g GROUP BY lang, gram
+    )
+    SELECT lang, gram, cnt, rnk
+    FROM (
+      SELECT lang, gram, cnt,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, gram)
+                  AS BIGINT) AS rnk
+      FROM c
+    ) ranked
+    WHERE rnk <= {TOP_NGRAMS_K}
+    """,
+    category="text-analysis",
+    origin="EXT",
+)
+def docs_ngram_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k word bigrams per language — the corpus statistic a tokenizer/
+    vocabulary build starts from (merge-pair candidates, boilerplate
+    phrase detection).
+
+    Dialect care: the word-pair loop guards ``size(ws) < 2`` explicitly —
+    Spark's ``sequence(1, 0)`` is DESCENDING, not empty (round-5 checklist);
+    words are pre-filtered non-empty so ``concat`` never sees a NULL; the
+    rank is ROW_NUMBER (unique, tie-broken on the gram string), not RANK,
+    so the k-cut is deterministic on both engines.
+
+    Plan at scale: explode to (lang, gram) → ONE map-side-combinable count
+    shuffle keyed on the high-cardinality gram (even distribution — no hot
+    key can exceed its own corpus frequency); the rank window then sorts
+    only the per-lang AGGREGATE (vocabulary-sized, not corpus-sized). The
+    alternative — windowing the exploded rows — would sort the corpus; this
+    shape never sorts anything bigger than the distinct-gram table."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    grams = F.when(F.size(ws) < 2, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(1))),
+            lambda i: F.concat(
+                F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)
+            ),
+        )
+    )
+    counted = (
+        docs.select("lang", F.explode(grams).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_NGRAMS_K)
+        .select("lang", "gram", "cnt", "rnk")
+    )
+
+
+N_PPL_BUCKETS = 3  # CCNet's head / middle / tail
+
+
+@register(
+    "docs_perplexity_buckets",
+    oracle=f"""
+    WITH lm AS ({_UNIGRAM_LM_ORACLE}),
+    scored AS (
+      SELECT d.lang, lm.n_tokens, lm.commonness,
+             NTILE({N_PPL_BUCKETS}) OVER (
+               PARTITION BY d.lang ORDER BY lm.commonness, lm.doc_id
+             ) AS bucket
+      FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+    )
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           MIN(commonness) AS min_commonness,
+           MAX(commonness) AS max_commonness
+    FROM scored
+    GROUP BY lang, bucket
+    """,
+    category="text-analysis",
+    origin="EXT",
+)
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: split each language's documents into
+    head/middle/tail thirds by their corpus-LM score (here the exact
+    rational ``commonness`` from ``text_unigram_lm_score`` — same ordering
+    role as CCNet's wiki-LM perplexity) and report each bucket's census.
+    The head/tail census is how a curation pipeline decides how much of
+    each quality band to keep.
+
+    Determinism care: the NTILE ordering carries a doc_id tiebreak (equal
+    scores would otherwise split across a bucket boundary differently per
+    engine); bucket stats are exact ints plus MIN/MAX of per-doc doubles
+    that are themselves hash-green — no order-dependent float SUM/AVG.
+
+    Plan at scale: reuses the LM query's single corpus shuffle; the NTILE
+    window partitions by lang over (doc_id, score) rows — a per-lang sort
+    of doc-count rows, not corpus tokens; the final census is a 15-row
+    aggregate. If one language dominated the corpus, the per-lang sort is
+    the pressure point — the salted two-stage device (agg_skew_salted) or
+    an approx-quantile cut would replace exact NTILE at that point."""
+    docs = load_table(spark, sf_dir, "documents")
+    lm = text_unigram_lm_score(spark, sf_dir)
+    scored = lm.join(docs.select("doc_id", "lang"), "doc_id")
+    w = W.partitionBy("lang").orderBy(F.col("commonness").asc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("bucket", F.ntile(N_PPL_BUCKETS).over(w).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("commonness").alias("min_commonness"),
+            F.max("commonness").alias("max_commonness"),
+        )
+    )
+
+
+# Character-class census regexes: Spark (Java regex) and DuckDB (RE2)
+# spell the CJK block differently; the class census itself is exact
+# integer arithmetic. DuckDB's regexp_replace needs the explicit 'g' flag
+# (it replaces FIRST match by default — Spark replaces all).
+_CHAR_CLASSES = [
+    ("n_lower", "[a-z]", "[a-z]"),
+    ("n_upper", "[A-Z]", "[A-Z]"),
+    ("n_digit", "[0-9]", "[0-9]"),
+    ("n_space", r"\s", r"\s"),
+    ("n_cjk", r"[一-鿿]", r"[\x{4e00}-\x{9fff}]"),
+]
+
+
+def _char_class_oracle() -> str:
+    cls = ",\n           ".join(
+        f"CAST(SUM(length(text) - length(regexp_replace(text, '{ddb}', '', 'g')))"
+        f" AS BIGINT) AS {name}"
+        for name, _, ddb in _CHAR_CLASSES
+    )
+    return f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           {cls},
+           CASE WHEN SUM(length(text)) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(SUM(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')))
+                       AS DOUBLE) / SUM(length(text))
+           END AS lower_ratio
+    FROM documents
+    GROUP BY lang
+    """
+
+
+@register(
+    "docs_char_class_profile",
+    oracle=_char_class_oracle(),
+    category="text-analysis",
+    origin="EXT",
+)
+def docs_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-class census — the charset audit a corpus
+    ingest runs before picking filters (is the 'en' slice actually Latin?
+    how much CJK leaked into 'de'? what's the digit/whitespace load?).
+
+    Counting device: class count = length(text) − length(text with the
+    class deleted) — pure JVM expressions, exact integers, no explode.
+    The one ratio divides two exact ints (identical doubles both engines)
+    and guards the 0-char denominator in BOTH dialects (round-5 IEEE
+    checklist: 0/0 is NaN on one engine, NULL on the other).
+
+    Plan at scale: a single map-only pass over documents into a ≤|langs|
+    map-side-combinable aggregate — the cheapest possible shape; scales
+    with scan bandwidth."""
+    docs = load_table(spark, sf_dir, "documents")
+    tlen = F.length("text")
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tlen).alias("n_chars"),
+    ]
+    for name, spark_re, _ in _CHAR_CLASSES:
+        aggs.append(
+            F.sum(tlen - F.length(F.regexp_replace("text", spark_re, ""))).alias(name)
+        )
+    out = docs.groupBy("lang").agg(*aggs)
+    return out.withColumn(
+        "lower_ratio",
+        F.when(F.col("n_chars") == 0, F.lit(0.0)).otherwise(
+            F.col("n_lower").cast("double") / F.col("n_chars")
+        ),
     )

@@ -132,6 +132,8 @@ _SEMANTICS_CHANGED_IN: dict[str, int] = {
     "agg_approx_percentile": 5,  # r5: rows-only → oracle-checked rank invariant
     "stream_stateful_reassembly": 6,  # r6: appended __summary__ cardinality row
     "text_language_id": 6,  # r6: rows-only → invariant-census oracle
+    "dedup_fuzzy_minhash": 6,  # r6: hot-bucket star valve (values unchanged on fixtures)
+    "dedup_ngram_jaccard": 6,  # r6: shingle df-cap in both dialects (values unchanged)
 }
 
 
