@@ -807,3 +807,136 @@ def test_shard_assign_one_corpus_scan_window_on_aggregate(spark):
     plan = physical_plan(df)
     assert plan.count("FileScan") == 1
     assert scan_columns(df) == [{"doc_id", "n_chars"}]
+
+
+def test_customer_distribution_pushes_on_clause_filter(spark):
+    """Q13 shape: the o_orderpriority filter lives in the LEFT JOIN's ON
+    clause, yet must still reach the orders parquet scan (it references
+    only the preserved-null side); the orders scan reads exactly the join
+    key + count column + filter column."""
+    df = _q(spark, "sql_customer_distribution")
+    st = plan_stats(df)
+    assert st.nested_loop_joins == 0 and st.sort_merge_joins == 0
+    assert st.exchanges == 2  # per-customer count + histogram aggregate
+    assert any("o_orderpriority" in pf for pf in st.pushed_filters)
+    assert {"o_orderkey", "o_custkey", "o_orderpriority"} in scan_columns(df)
+
+
+def test_volume_shipping_single_fact_shuffle_all_dims_broadcast(spark):
+    """Q7 shape: 6-table join with nation in two roles — every dimension
+    broadcasts (supplier, customer, nation×2 + the orders side under the
+    fixture threshold), the ship-date range reaches the lineitem scan, and
+    only ONE exchange (the 8-row final aggregate) remains."""
+    df = _q(spark, "sql_volume_shipping")
+    st = plan_stats(df)
+    assert st.broadcast_joins == 5
+    assert st.sort_merge_joins == 0 and st.nested_loop_joins == 0
+    assert st.exchanges == 1
+    assert any("l_shipdate" in pf for pf in st.pushed_filters)
+
+
+def test_avg_yearly_decorrelates_to_aggregate_join(spark):
+    """Q17 shape: the correlated 0.2·AVG subquery must decorrelate into a
+    per-partkey aggregate joined back (2 exchanges total) — never a
+    per-row re-execution (which would show as a nested-loop) — and the
+    brand IN-list must reach the part scan."""
+    df = _q(spark, "sql_avg_yearly")
+    st = plan_stats(df)
+    assert st.nested_loop_joins == 0 and st.sort_merge_joins == 0
+    assert st.broadcast_joins == 2  # part dim + decorrelated avg join
+    assert st.exchanges == 2
+    assert any("p_brand" in pf for pf in st.pushed_filters)
+
+
+def test_suppliers_waiting_correlations_become_joins(spark):
+    """Q21 shape: EXISTS and NOT EXISTS both decorrelate to joins on
+    l_orderkey — no nested-loop replay; at most the one fact⋈fact
+    sort-merge on the shared l_orderkey key survives (every other leg
+    broadcasts)."""
+    df = _q(spark, "sql_suppliers_waiting")
+    st = plan_stats(df)
+    assert st.nested_loop_joins == 0
+    assert st.sort_merge_joins <= 1
+    assert st.broadcast_joins >= 3
+    assert any("o_orderstatus" in pf for pf in st.pushed_filters)
+
+
+def test_lost_customers_anti_join_prunes_orders_scan(spark):
+    """Q22 shape: the NOT EXISTS compiles to an anti join, the balance
+    threshold (scalar subquery result) and the order-date cutoff are both
+    pushed into their scans — the orders side shuffles only the recent
+    slice's (o_custkey, o_orderdate) projection."""
+    df = _q(spark, "sql_lost_customers")
+    st = plan_stats(df)
+    assert st.nested_loop_joins == 0 and st.sort_merge_joins == 0
+    assert st.broadcast_joins >= 1
+    joined = " ".join(st.pushed_filters)
+    assert "c_acctbal" in joined and "o_orderdate" in joined
+    assert {"o_custkey", "o_orderdate"} in scan_columns(df)
+
+
+def test_ngram_topk_counts_on_gram_key_sorts_only_vocabulary(spark):
+    """The bigram leaderboard: ONE map-side-combinable count exchange on
+    the high-cardinality (lang, gram) key plus the per-lang rank window
+    over the vocabulary-sized aggregate — windowing the exploded corpus
+    instead would sort token-count rows. Scan reads (text, lang) only."""
+    df = _q(spark, "docs_ngram_topk_per_lang")
+    st = plan_stats(df)
+    assert st.exchanges == 2
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+    assert scan_columns(df) == [{"text", "lang"}]
+
+
+def test_char_class_profile_is_map_only_census(spark):
+    """Character-class census: a single ≤|langs| aggregate exchange over a
+    map-only scan — the cheapest possible shape; any join/window here is a
+    regression."""
+    df = _q(spark, "docs_char_class_profile")
+    st = plan_stats(df)
+    assert st.exchanges == 1
+    assert st.broadcast_joins == 0 and st.sort_merge_joins == 0
+    assert scan_columns(df) == [{"text", "lang"}]
+
+
+def test_token_budget_window_and_census_share_lang_partitioning(spark):
+    """Budgeted selection: the running-sum window shuffles by lang ONCE and
+    the census aggregate rides the same partitioning map-side — a second
+    exchange would mean the groupBy lost the window's partitioning."""
+    df = _q(spark, "docs_token_budget_sample")
+    st = plan_stats(df)
+    assert st.exchanges == 1
+    assert st.broadcast_joins == 0 and st.sort_merge_joins == 0
+    assert scan_columns(df) == [{"text", "lang", "doc_id"}]
+
+
+def test_quality_gate_report_single_pass(spark):
+    """Gate funnel: all three gates evaluate in the scan's project, one
+    census exchange — the funnel must never materialize per-gate passes."""
+    df = _q(spark, "docs_quality_gate_report")
+    st = plan_stats(df)
+    assert st.exchanges == 1
+    assert st.broadcast_joins == 0 and st.sort_merge_joins == 0
+    assert scan_columns(df) == [{"text", "lang"}]
+
+
+def test_centroid_cosine_quadratic_only_in_labels(spark):
+    """Label-centroid audit: the (label, pos) aggregate is the only
+    corpus-sized work; the pairing join runs on the |labels|-row arrays
+    (tiny-side nested-loop is acceptable THERE and only there). vec_id
+    must be pruned from the embedding scan."""
+    df = _q(spark, "embedding_label_centroid_cosine")
+    st = plan_stats(df)
+    assert st.sort_merge_joins == 0
+    assert st.nested_loop_joins <= 1  # the ≤|labels|² theta pairing only
+    for cols in scan_columns(df):
+        assert cols == {"embedding", "label"}
+
+
+def test_text_lines_roundtrip_single_census_exchange(spark):
+    """Text-source roundtrip: parse + census in one exchange over the line
+    scan (text sources have no column pruning — the known format tax the
+    docstring declares)."""
+    df = _q(spark, "scan_text_lines_roundtrip")
+    st = plan_stats(df)
+    assert st.exchanges == 1
+    assert st.broadcast_joins == 0 and st.sort_merge_joins == 0

@@ -811,3 +811,168 @@ def docs_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_chars").cast("double") * F.lit(N_SHARDS) / total.cast("double")
         ).alias("rel_load"),
     )
+
+
+# Per-language token budget for the budgeted-selection manifest. At the
+# fixture scales the en slice holds ~2-12k ws-tokens per lang, so 2,000
+# cuts mid-corpus — the interesting regime (every lang keeps some and
+# drops some).
+TOKEN_BUDGET_PER_LANG = 2_000
+
+
+@register(
+    "docs_token_budget_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR) || ':budget') AS h,
+             doc_id
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS running
+      FROM t
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN running <= {TOKEN_BUDGET_PER_LANG} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN running <= {TOKEN_BUDGET_PER_LANG} THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_kept
+    FROM c
+    GROUP BY lang
+    """,
+    category="pipeline/sampling",
+    origin="EXT",
+)
+def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted corpus selection: per language, keep documents in a
+    deterministic pseudo-random order (md5(doc_id || ':budget') — salted
+    independently of the split/shard/stratified draws) until the running
+    whitespace-token total exceeds the budget; report the selection
+    manifest. This is the data-mixing primitive — "give me N tokens of
+    each language, reproducibly" — that sits in front of every training
+    run; rand() would change the kept set per retry/partitioning.
+
+    Exactness: token counts and running sums are pure ints; the cut
+    compares ints against an int literal — no float anywhere. The window
+    ordering is unique ((h, doc_id) — md5 collisions broken by id), so
+    the prefix is identical in both engines.
+
+    Plan at scale: ONE shuffle partitions by lang for the running-sum
+    window; the census aggregate rides the same partitioning map-side.
+    The window sorts each language's (hash, tokens) pairs — doc-count
+    rows, not token rows. A skew-dominant language would shard the sort
+    via the budget-per-shard refinement (split budget over k salted
+    sub-streams), same device as agg_skew_salted_two_stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":budget"))).alias("h"),
+        "doc_id",
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    kept = F.col("running") <= TOKEN_BUDGET_PER_LANG
+    return (
+        t.withColumn("running", F.sum("n_tokens").over(w))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("n_tokens").alias("tokens_total"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+                "tokens_kept"
+            ),
+        )
+    )
+
+
+# Quality-gate thresholds (cheap structural filters, the pre-LLM curation
+# pass). The distinct-token ratio is the repetition proxy: boilerplate /
+# keyword-stuffed docs repeat a small vocabulary.
+GATE_MIN_CHARS = 100
+GATE_MIN_TOKENS = 20
+GATE_MIN_DISTINCT_RATIO = 0.3
+
+
+@register(
+    "docs_quality_gate_report",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang,
+             length(text) >= {GATE_MIN_CHARS} AS g_len,
+             len(string_split(text, ' ')) >= {GATE_MIN_TOKENS} AS g_tok,
+             CASE WHEN len(string_split(text, ' ')) = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / len(string_split(text, ' '))
+             END >= {GATE_MIN_DISTINCT_RATIO} AS g_div
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN g_len THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_len,
+           CAST(SUM(CASE WHEN g_len AND g_tok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass_len_tok,
+           CAST(SUM(CASE WHEN g_len AND g_tok AND g_div THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass_all,
+           CAST(SUM(CASE WHEN g_len AND g_tok AND g_div THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS yield_ratio
+    FROM g
+    GROUP BY lang
+    """,
+    category="pipeline/quality",
+    origin="EXT",
+)
+def docs_quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative quality-gate funnel per language: length gate → token-
+    count gate → vocabulary-diversity gate, reported as the yield census a
+    curation pipeline uses to tune thresholds (how many docs does each
+    gate kill, per language?). The gates are the cheap structural tier
+    that runs before anything model-based.
+
+    Exactness: every gate is an int comparison except the diversity
+    ratio, which divides two exact ints (identical doubles both engines)
+    and guards its 0-token denominator in BOTH dialects; the funnel
+    counts are exact ints and yield_ratio divides them (COUNT(*) ≥ 1 by
+    grouping). Boundary compares against the 0.3 literal are identical
+    doubles on identical rationals — no engine-order dependence.
+
+    Plan at scale: single map-only pass, one ≤|langs| map-side-combinable
+    aggregate — scan-bandwidth bound, the cheapest possible shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    g_len = F.length("text") >= GATE_MIN_CHARS
+    g_tok = n_tok >= GATE_MIN_TOKENS
+    g_div = (
+        F.when(n_tok == 0, F.lit(0.0)).otherwise(
+            F.size(F.array_distinct(toks)).cast("double") / n_tok
+        )
+        >= GATE_MIN_DISTINCT_RATIO
+    )
+    return (
+        docs.select("lang", g_len.alias("g_len"), (g_len & g_tok).alias("g_lt"),
+                    (g_len & g_tok & g_div).alias("g_all"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("g_len").cast("long")).alias("n_pass_len"),
+            F.sum(F.col("g_lt").cast("long")).alias("n_pass_len_tok"),
+            F.sum(F.col("g_all").cast("long")).alias("n_pass_all"),
+        )
+        .withColumn(
+            "yield_ratio",
+            F.col("n_pass_all").cast("double") / F.col("n_total"),
+        )
+    )

@@ -812,3 +812,103 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "label", project("v").alias("p")).select(
         "vec_id", "label", "p.*"
     )
+
+
+# Fixed-point quantization scale for the centroid aggregation: float32
+# components (|x| ≲ 1) carry ~7 significant digits; 1e6 preserves them
+# while making the row-wise mean an EXACT integer sum (doubles summed
+# across rows are order-dependent; longs are not).
+CENTROID_QUANT = 1_000_000
+
+
+@register(
+    "embedding_label_centroid_cosine",
+    oracle=f"""
+    WITH comp AS (
+      SELECT label, i AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {CENTROID_QUANT}.0) AS BIGINT)
+               AS qv
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(SUM(qv) AS DOUBLE) / ({CENTROID_QUANT}.0 * COUNT(*)) AS c
+      FROM comp GROUP BY label, pos
+    ),
+    arr AS (
+      SELECT label, list(c ORDER BY pos) AS cv, CAST(MAX(n) AS BIGINT) AS n
+      FROM (SELECT cent.label, cent.pos, cent.c, cnt.n
+            FROM cent JOIN (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label) cnt
+            USING (label))
+      GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+           list_dot_product(a.cv, b.cv)
+             / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv)))
+             AS cosine
+    FROM arr a JOIN arr b ON a.label < b.label
+    """,
+    category="similarity",
+    origin="EXT",
+)
+def embedding_label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids — the
+    class-separation audit run on an embedding space before trusting it
+    for clustering/dedup (labels whose centroids sit at cosine ≈ 1 are
+    indistinguishable to any downstream ANN).
+
+    Determinism device (the reason this is hash-checkable at all):
+    centroids are row-aggregations of floats, and float SUM across rows
+    is summation-order-dependent — so each component is quantized to a
+    fixed 1e-6 grid FIRST (floor of an identical double product), summed
+    exactly as longs, and divided back once. The pairwise dot products
+    then fold SEQUENTIALLY over the 64-element centroid arrays (Spark
+    ``aggregate(zip_with(...))`` == DuckDB ``list_dot_product`` — the
+    proven device of ``similarity_topk_cosine``), never through a
+    row-order-dependent aggregate.
+
+    Plan at scale: posexplode → ONE (label, pos) map-side-combinable
+    shuffle (|labels|·d partials — tiny regardless of corpus size); the
+    |labels| centroid arrays then self-join all-pairs, which is quadratic
+    ONLY in label count (10 here; even 10⁵ labels is trivial) — corpus
+    size touches nothing past the first aggregate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label",
+        F.posexplode(F.expr("transform(embedding, x -> cast(x AS double))")).alias(
+            "pos", "val"
+        ),
+    )
+    cent = (
+        comp.withColumn(
+            "qv", F.floor(F.col("val") * F.lit(float(CENTROID_QUANT))).cast("long")
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "pos",
+            (F.col("s").cast("double") / (float(CENTROID_QUANT) * F.col("n"))).alias(
+                "c"
+            ),
+            "n",
+        )
+    )
+    arr = cent.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").alias(
+            "cv"
+        ),
+        F.max("n").cast("long").alias("n"),
+    )
+    a, b = arr.alias("a"), arr.alias("b")
+    return (
+        a.join(b, F.col("a.label") < F.col("b.label"))
+        .select(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.expr(_COS.format(a="a.cv", b="b.cv")).alias("cosine"),
+        )
+    )

@@ -467,3 +467,71 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+# The line-oriented escape is PART OF the declared transform (not a lossy
+# accident): both dialects apply the identical newline/tab → space
+# replacement, so the roundtrip stays hash-green even if a regenerated
+# fixture grows embedded newlines. DuckDB needs the explicit 'g' flag
+# (regexp_replace is first-match-only by default there).
+_TEXT_LINES_ORACLE = r"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(length(regexp_replace(coalesce(text, ''), '[\r\n\t]', ' ', 'g')))
+                AS BIGINT) AS sum_len,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY lang
+"""
+
+
+@register(
+    "scan_text_lines_roundtrip",
+    oracle=_TEXT_LINES_ORACLE,
+    category="scan/source",
+    origin="R1+",
+)
+def scan_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source coverage (the last line-oriented built-in after
+    csv/json/orc/parquet): documents staged as TSV-ish text lines
+    (``doc_id \\t lang \\t escaped-text``) through ``write.text``, read
+    back with ``read.text``, parsed by splitting on the delimiter, and
+    aggregated per language. The oracle computes the same census from the
+    original parquet THROUGH THE SAME ESCAPE, so equality proves the
+    line roundtrip loses nothing the escape didn't declare.
+
+    Dialect care: the payload is coalesce(text, '') on BOTH sides —
+    ``concat_ws`` silently SKIPS a NULL field (round-5 checklist), which
+    would shift the line format instead of emitting an empty field.
+
+    Scale: text files split by line like CSV — per-split parallelism on
+    read, no column pruning (whole-line reads are the format tax); the
+    aggregate is one ≤|langs| map-side-combinable exchange. The staging
+    write partitions like any Spark write — one file per task."""
+    escaped = F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"[\r\n\t]", " ")
+
+    def write(out: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        docs.select(
+            F.concat_ws(
+                "\t", F.col("doc_id").cast("string"), F.col("lang"), escaped
+            ).alias("value")
+        ).write.mode("overwrite").text(f"{out}/data")
+
+    tag = tables.staging_tag(sf_dir, "documents", extra="textlines")
+    src = tables.stage_once("/tmp/transf_spark_fmt_text_", tag, write)
+    parts = F.split(F.col("value"), "\t", 3)
+    lines = spark.read.text(f"{src}/data").select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        parts.getItem(2).alias("line"),
+    )
+    return lines.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("line")).alias("sum_len"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
