@@ -114,6 +114,19 @@ HEADLINE = [
     "sql_top_supplier",
     "docs_train_val_split",
     "docs_shard_assign",
+    # round-6 second batch
+    "sql_customer_distribution",
+    "sql_volume_shipping",
+    "sql_avg_yearly",
+    "sql_suppliers_waiting",
+    "sql_lost_customers",
+    "docs_ngram_topk_per_lang",
+    "docs_perplexity_buckets",
+    "docs_char_class_profile",
+    "docs_token_budget_sample",
+    "docs_quality_gate_report",
+    "embedding_label_centroid_cosine",
+    "scan_text_lines_roundtrip",
 ]
 
 
