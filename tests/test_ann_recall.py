@@ -15,8 +15,10 @@ SF = "/root/testdata/sf0.01"
 
 
 def test_ann_lsh_topk_recall_vs_bruteforce(spark):
+    from transf_spark.operators.similarity import ann_lsh_topk
+
     qs = queries()
-    ann = qs["similarity_ann_lsh"](spark, SF).collect()
+    ann = ann_lsh_topk(spark, SF).collect()
     bf = qs["similarity_topk_cosine"](spark, SF).collect()
 
     bf_queries = {r["q_id"] for r in bf}

@@ -46,10 +46,11 @@ def test_cli_run_explain_oracle_roundtrip(spark):
         assert cli.cmd_oracle(_ns(name="agg_mode_exact")) == 0
     assert "OK" in buf.getvalue()
 
-    # rows-only query: reported as such, exit 0
+    # rows-only query: reported as such, exit 0 (ann_lsh graduated to an
+    # invariant-census oracle in round 6; IVF is still rows-only)
     buf = io.StringIO()
     with redirect_stdout(buf):
-        assert cli.cmd_oracle(_ns(name="similarity_ann_lsh")) == 0
+        assert cli.cmd_oracle(_ns(name="similarity_ann_ivf")) == 0
     assert "rows-only" in buf.getvalue()
 
 

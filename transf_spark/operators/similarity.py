@@ -333,14 +333,7 @@ def _bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.withColumn("planes", plane_arr).select("vec_id", "v", bucket.alias("bucket"))
 
 
-@register(
-    "similarity_ann_lsh",
-    oracle=None,  # approximate by construction — rows-only; recall vs brute
-    # force asserted in tests/test_ann_recall.py
-    category="similarity",
-    origin="EXT",
-)
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe random-hyperplane LSH top-k — the similarity-search scale
     path (same query surface as ``similarity_topk_cosine``, approximate).
 
@@ -382,6 +375,106 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "nn_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+# Recall floor for the DECLARED invariant (the pytest gate in
+# tests/test_ann_recall.py holds the tighter 0.2): the fixture embeddings
+# are near-random (max pairwise cosine ≈ 0.5), so achievable recall for
+# any sublinear index is capped low — measured 0.30 deterministic on this
+# fixture with hamming-2 multi-probe. 0.15 sits under the observed band
+# but far above the collapse modes the invariant exists to catch (empty
+# probe sets, broken bucket join ≈ 0.0 recall, random buckets ≈ 0.14).
+ANN_LSH_RECALL_FLOOR = 0.15
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST({TOP_K} AS BIGINT) AS rows_per_query,
+           TRUE AS ranks_complete,
+           TRUE AS cosines_sorted,
+           TRUE AS recall_above_floor
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+    category="similarity",
+    origin="EXT",
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-LSH invariant census — the hash-checkable declared form of the
+    approximate index (the ``text_language_id`` / ``agg_approx_distinct``
+    invariant-oracle device). The per-query top-k rows (see
+    :func:`ann_lsh_topk`) cannot be oracled value-for-value — the index is
+    approximate by construction — but the index's CONTRACTS can, each
+    stated as the exact value it must equal:
+
+    - coverage: every designated query vector (vec_id % 100 == 0) gets an
+      answer — ``n_queries`` must equal the oracle's exact count;
+    - completeness: every query returns exactly TOP_K rows with ranks
+      1..k (``rows_per_query`` = k, ``ranks_complete``);
+    - ordering: per-query cosines are non-increasing in rank
+      (``cosines_sorted``);
+    - quality: recall against the exact brute-force baseline clears
+      ANN_LSH_RECALL_FLOOR (see the floor's rationale above). The
+      brute-force comparison is fixture-affordable; at production scale
+      this invariant runs on a held-out query sample, not the corpus.
+
+    Plan: the LSH top-k (broadcast probes, bucket join, candidate
+    re-rank), the exact baseline on the same query set, one join on
+    (q_id, nn_id) to count hits, and three 1-row aggregates folded into
+    the census."""
+    ann = ann_lsh_topk(spark, sf_dir)
+    bf = similarity_topk_cosine(spark, sf_dir)
+    per_q = ann.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("k_rows"),
+        F.min("rnk").alias("min_rnk"),
+        F.max("rnk").alias("max_rnk"),
+        F.count_distinct("rnk").alias("n_rnk"),
+        # cosines non-increasing when walked in rank order: sort the
+        # (rnk, cosine) structs by rank, then verify the cosine sequence
+        # equals its own descending sort
+        F.expr(
+            "transform(array_sort(collect_list(struct(rnk, cosine))), x -> x.cosine)"
+        ).alias("by_rank"),
+    )
+    per_q = per_q.select(
+        "q_id",
+        "k_rows",
+        ((F.col("min_rnk") == 1) & (F.col("max_rnk") == TOP_K) & (F.col("n_rnk") == TOP_K)).alias(
+            "ranks_ok"
+        ),
+        (
+            F.col("by_rank")
+            == F.reverse(F.array_sort("by_rank"))
+        ).alias("sorted_ok"),
+    )
+    hits = ann.join(
+        bf.select("q_id", "nn_id"), ["q_id", "nn_id"], "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    bf_total = bf.agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        per_q.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.min("k_rows").alias("_kmin"),
+            F.max("k_rows").alias("_kmax"),
+            F.min(F.col("ranks_ok").cast("int")).alias("_ranks"),
+            F.min(F.col("sorted_ok").cast("int")).alias("_sorted"),
+        )
+        .crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(bf_total))
+        .select(
+            "n_queries",
+            F.when(F.col("_kmin") == F.col("_kmax"), F.col("_kmax").cast("long"))
+            .otherwise(F.lit(-1))
+            .alias("rows_per_query"),
+            (F.col("_ranks") == 1).alias("ranks_complete"),
+            (F.col("_sorted") == 1).alias("cosines_sorted"),
+            (
+                F.col("n_hits").cast("double") / F.col("n_true")
+                >= ANN_LSH_RECALL_FLOOR
+            ).alias("recall_above_floor"),
+        )
     )
 
 

@@ -134,6 +134,7 @@ _SEMANTICS_CHANGED_IN: dict[str, int] = {
     "text_language_id": 6,  # r6: rows-only → invariant-census oracle
     "dedup_fuzzy_minhash": 6,  # r6: hot-bucket star valve (values unchanged on fixtures)
     "dedup_ngram_jaccard": 6,  # r6: shingle df-cap in both dialects (values unchanged)
+    "similarity_ann_lsh": 6,  # r6: rows-only top-k → invariant-census oracle
 }
 
 
