@@ -178,15 +178,18 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) AS (band, band_hash)"))
     )
     # Hot-bucket valve (BAND_BUCKET_CAP): annotate every band row with its
-    # bucket's size and min member (one map-side-combinable aggregate +
-    # co-partitioned join on the same key the self-join shuffles on), then
-    # generate all-pairs only for buckets under the cap and a min-rooted
-    # star for oversized ones — candidate volume per bucket is bounded by
+    # bucket's size and min member via a whole-partition window — ONE
+    # shuffle on the same (band, band_hash) key the self-join uses (the
+    # groupBy+join form paid an extra aggregate exchange) — then generate
+    # all-pairs only for buckets under the cap and a min-rooted star for
+    # oversized ones; candidate volume per bucket is bounded by
     # max(CAP²/2, k) instead of k²/2.
-    bucket = bands.groupBy("band", "band_hash").agg(
-        F.count(F.lit(1)).alias("bsz"), F.min("doc_id").alias("bmin")
+    from pyspark.sql import Window as W
+
+    wb = W.partitionBy("band", "band_hash")
+    annotated = bands.withColumn("bsz", F.count(F.lit(1)).over(wb)).withColumn(
+        "bmin", F.min("doc_id").over(wb)
     )
-    annotated = bands.join(bucket, ["band", "band_hash"])
     small = annotated.filter(F.col("bsz") <= BAND_BUCKET_CAP)
     cand_pairs = (
         small.alias("a")
