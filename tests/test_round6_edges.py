@@ -1,0 +1,97 @@
+"""Edge-case gates for the round-6 corpus-statistics queries, on a
+synthetic fixture the real testdata doesn't exercise: empty texts,
+one-word documents, NULL text, a language whose whole corpus fits the
+token budget, and duplicate-free vocabulary. Each case is a
+regeneration-latent hazard class from the round-5 checklist (0/0
+denominators, degenerate word-pair loops, concat_ws NULL skipping) —
+parity with the DuckDB oracle is asserted on the same synthetic table so
+both dialects face the edge together.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from tests.oracle import compare
+from transf_spark.queries import oracle_sql, queries
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    """documents.parquet with degenerate rows: empty text, single word,
+    NULL text, whitespace-only, and a tiny 'xx' language."""
+    out = str(tmp_path_factory.mktemp("edge_docs"))
+    rows = [
+        (1, "", "en", "srcA", 0),                       # empty text
+        (2, "word", "en", "srcA", 4),                   # one word — no bigram
+        (3, None, "en", "srcA", 0),                     # NULL text
+        (4, "   ", "en", "srcB", 3),                    # whitespace only
+        (5, "alpha beta gamma alpha beta", "xx", "srcB", 27),
+        (6, "alpha beta delta epsilon zeta", "xx", "srcB", 29),
+        (7, "a b c d e f g h i j " * 30, "en", "srcB", 600),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out, "documents.parquet"))
+    return out
+
+
+def _con(edge_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{edge_dir}/documents.parquet'"
+    )
+    return con
+
+
+EDGE_QUERIES = [
+    "docs_ngram_topk_per_lang",
+    "docs_char_class_profile",
+    "docs_token_budget_sample",
+    "docs_quality_gate_report",
+]
+
+
+@pytest.mark.parametrize("name", EDGE_QUERIES)
+def test_round6_docs_queries_survive_degenerate_rows(spark, edge_dir, name):
+    """Empty/NULL/one-word texts must neither error nor diverge from the
+    oracle — the 0-denominator guards and the size<2 gram gate are load-
+    bearing here, not decorative."""
+    df = queries()[name](spark, edge_dir)
+    assert not compare(df, _con(edge_dir), oracle_sql()[name])
+
+
+def test_ngram_degenerate_docs_contribute_no_grams(spark, edge_dir):
+    """Docs 1-4 (empty/one-word/NULL/whitespace) produce zero bigrams;
+    the 'xx' language still ranks its four distinct pairs."""
+    from pyspark.sql import functions as F
+
+    out = queries()["docs_ngram_topk_per_lang"](spark, edge_dir).collect()
+    xx = [r for r in out if r["lang"] == "xx"]
+    assert {r["gram"] for r in xx} >= {"alpha beta"}
+    # 'alpha beta' appears twice in doc 5 and once in doc 6
+    assert max(r["cnt"] for r in xx) == 3
+
+
+def test_token_budget_small_lang_fully_kept(spark, edge_dir):
+    """A language whose whole corpus fits the budget keeps everything —
+    the running-sum cut must not drop the final row on the <= boundary."""
+    out = {
+        r["lang"]: r
+        for r in queries()["docs_token_budget_sample"](spark, edge_dir).collect()
+    }
+    assert out["xx"]["n_kept"] == out["xx"]["n_total"] == 2
+    assert out["xx"]["tokens_kept"] == out["xx"]["tokens_total"]

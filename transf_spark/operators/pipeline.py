@@ -825,7 +825,7 @@ TOKEN_BUDGET_PER_LANG = 2_000
     oracle=f"""
     WITH t AS (
       SELECT lang,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens,
              md5(CAST(doc_id AS VARCHAR) || ':budget') AS h,
              doc_id
       FROM documents
@@ -872,9 +872,14 @@ def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the budget-per-shard refinement (split budget over k salted
     sub-streams), same device as agg_skew_salted_two_stage."""
     docs = load_table(spark, sf_dir, "documents")
+    # coalesce BOTH dialects: size(split(NULL)) is -1 under pinned ANSI-off
+    # while the oracle's len(NULL) is NULL — a NULL-text doc would skew
+    # the running sum by -1 (round-5 checklist; latent until regeneration)
     t = docs.select(
         "lang",
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .cast("long")
+        .alias("n_tokens"),
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":budget"))).alias("h"),
         "doc_id",
     )
