@@ -95,3 +95,30 @@ def test_token_budget_small_lang_fully_kept(spark, edge_dir):
     }
     assert out["xx"]["n_kept"] == out["xx"]["n_total"] == 2
     assert out["xx"]["tokens_kept"] == out["xx"]["tokens_total"]
+
+
+def test_hash_noncrypto_values_deterministic_and_census_consistent(spark):
+    """The per-doc hash surface behind the declared census: values are
+    repeat-deterministic, non-NULL for non-NULL text, and the 64-bit
+    injectivity the census asserts holds row-for-row on the fixture."""
+    from transf_spark.operators.scalars import hash_noncrypto_values
+
+    sf = "/root/testdata/sf0.001"
+    a = {r["doc_id"]: r for r in hash_noncrypto_values(spark, sf).collect()}
+    b = {r["doc_id"]: r for r in hash_noncrypto_values(spark, sf).collect()}
+    assert a.keys() == b.keys() and len(a) > 0
+    for k in a:
+        assert (
+            a[k]["text_xxh64"],
+            a[k]["text_crc32"],
+            a[k]["text_murmur3"],
+        ) == (b[k]["text_xxh64"], b[k]["text_crc32"], b[k]["text_murmur3"])
+    texts = {r["text"] for r in a.values() if r["text"] is not None}
+    xxh = {r["text_xxh64"] for r in a.values() if r["text_xxh64"] is not None}
+    assert len(xxh) == len(texts)
+
+    census = queries()["hash_noncrypto"](spark, sf).collect()
+    assert len(census) == 1
+    row = census[0]
+    assert row["n_distinct_xxh64"] == len(texts)
+    assert row["small_hash_collisions_bounded"] is True

@@ -263,16 +263,67 @@ def hash_integrity_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hash_noncrypto",
-    oracle=None,  # Spark-specific hash functions (xxhash64 seed, crc32) — rows-only
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(text) AS BIGINT) AS n_hashed,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_text,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_xxh64,
+           TRUE AS small_hash_collisions_bounded
+    FROM documents
+    """,
     category="hash/integrity",
     origin="R8+",
 )
 def hash_noncrypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-crypto-hash invariant census — the hash-checkable declared form
+    (the ``similarity_ann_lsh`` / ``text_language_id`` device): xxhash64 /
+    crc32 / murmur3 values are Spark-specific (no DuckDB twin exists), but
+    their key-quality CONTRACTS are exactly statable:
+
+    - coverage: every row hashes non-NULL (``n_hashed`` = row count);
+    - injectivity at 64 bits: distinct xxhash64 count EQUALS distinct
+      input count — a birthday collision among even 10⁶ texts has
+      probability ~1e-7, so the equality is regeneration-safe; a broken
+      hash (constant, truncated, NULL-folding) collapses it instantly;
+    - 32-bit honesty: crc32/murmur3 CAN collide at corpus scale
+      (birthday ≈ 0.3% at 5k docs), so they get a bounded-loss flag
+      (≤ 2 collisions each) rather than a brittle exact equality.
+
+    The per-doc hash surface — the actual partitioning/sampling keys —
+    stays as :func:`hash_noncrypto_values` (repeat-determinism and
+    collision census gated in tests/test_round6_edges.py). Plan: one map
+    pass + one global aggregate; the distinct counts are the only
+    shuffle."""
+    h = hash_noncrypto_values(spark, sf_dir)
+    return h.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (
+                F.col("text_xxh64").isNotNull()
+                & F.col("text_crc32").isNotNull()
+                & F.col("text_murmur3").isNotNull()
+            ).cast("long")
+        ).alias("n_hashed"),
+        F.count_distinct("text").alias("n_distinct_text"),
+        F.count_distinct("text_xxh64").alias("n_distinct_xxh64"),
+        (
+            (
+                (F.count_distinct("text") - F.count_distinct("text_crc32")) <= 2
+            )
+            & (
+                (F.count_distinct("text") - F.count_distinct("text_murmur3")) <= 2
+            )
+        ).alias("small_hash_collisions_bounded"),
+    )
+
+
+def hash_noncrypto_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-cryptographic hashes for partitioning/sampling/dedup keys at
     100 TB — xxhash64 (Spark's shuffle-grade hash), crc32, murmur3."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
+        "text",
         F.xxhash64("text").alias("text_xxh64"),
         F.crc32(F.col("text").cast("binary")).alias("text_crc32"),
         F.hash("text").alias("text_murmur3"),

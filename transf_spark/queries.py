@@ -135,6 +135,7 @@ _SEMANTICS_CHANGED_IN: dict[str, int] = {
     "dedup_fuzzy_minhash": 6,  # r6: hot-bucket star valve (values unchanged on fixtures)
     "dedup_ngram_jaccard": 6,  # r6: shingle df-cap in both dialects (values unchanged)
     "similarity_ann_lsh": 6,  # r6: rows-only top-k → invariant-census oracle
+    "hash_noncrypto": 6,  # r6: rows-only per-doc hashes → invariant-census oracle
 }
 
 
