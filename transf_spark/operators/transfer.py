@@ -28,13 +28,7 @@ from transf_spark.sources.fixtures import CHUNKS_FAULTY_SQL, CHUNKS_SQL, HANDSHA
 # --------------------------------------------------------------------------
 
 
-@register(
-    "scan_binary_chunked",
-    oracle=None,  # binary content — rows-only check by design
-    category="scan/source",
-    origin="R1,R2",
-)
-def scan_binary_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+def binary_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile source + 64 KiB chunker over real files — the reference's
     file-open/seek/sequential-read loop (`/root/reference/transf_client.cpp:102-133`)
     as one narrow map stage. Emits per-chunk sha256 instead of payloads so
@@ -52,6 +46,92 @@ def scan_binary_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("c.payload").alias("chunk_len"),
             F.sha2("c.payload", 256).alias("chunk_sha"),
         )
+    )
+
+
+# The testdata layout contract (TESTDATA.md): every sf directory holds
+# exactly these ten tables as one parquet file each — the one exact count
+# the census oracle can state without filesystem access.
+N_FIXTURE_TABLES = 10
+CHUNK_SIZE_BYTES = 64 * 1024
+
+
+@register(
+    "scan_binary_chunked",
+    oracle=f"""
+    SELECT CAST({N_FIXTURE_TABLES} AS BIGINT) AS n_files,
+           TRUE AS chunk_streams_complete,
+           TRUE AS bytes_conserved,
+           TRUE AS chunk_lens_valid,
+           TRUE AS shas_distinct_per_file
+    """,
+    category="scan/source",
+    origin="R1,R2",
+)
+def scan_binary_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-chunk invariant census — the hash-checkable declared form of
+    the chunker (the invariant-census device; DuckDB cannot read the raw
+    files, but the chunk stream's CONTRACTS — the exact guarantees the
+    reference's seek/read loop relies on — are statable):
+
+    - coverage: all ``N_FIXTURE_TABLES`` fixture files chunk (the
+      testdata layout contract — the one exact count available without
+      filesystem access);
+    - completeness: per file, seqs run 1..ceil(size/64KiB) (the protocol's
+      1-based numbering, `transf.h` SEQ semantics) with no gap or
+      duplicate (``chunk_streams_complete``);
+    - byte conservation: per file, Σ chunk_len == filesize
+      (``bytes_conserved``);
+    - framing: every chunk is exactly 64 KiB except a smaller final one
+      (``chunk_lens_valid``);
+    - content sanity: per-chunk sha256 digests are distinct within a file
+      (``shas_distinct_per_file`` — a chunker that re-reads the same
+      offset twice collapses this).
+
+    Per-chunk surface stays as :func:`binary_chunk_manifest` (used by the
+    reassembly round-trip test). Plan: one narrow binaryFile map stage +
+    one per-file aggregate + a 1-row reduction."""
+    ch = binary_chunk_manifest(spark, sf_dir)
+    sz = CHUNK_SIZE_BYTES
+    per_file = ch.groupBy("file", "filesize").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_distinct("seq").alias("n_seqs"),
+        F.min("seq").alias("min_seq"),
+        F.max("seq").alias("max_seq"),
+        F.sum("chunk_len").alias("sum_len"),
+        F.sum((F.col("chunk_len") == sz).cast("long")).alias("n_full"),
+        F.sum(
+            ((F.col("chunk_len") > 0) & (F.col("chunk_len") < sz)).cast("long")
+        ).alias("n_partial"),
+        F.count_distinct("chunk_sha").alias("n_shas"),
+    )
+    expected_chunks = F.ceil(F.col("filesize") / F.lit(sz)).cast("long")
+    flags = per_file.select(
+        (
+            (F.col("n_chunks") == expected_chunks)
+            & (F.col("n_seqs") == F.col("n_chunks"))
+            & (F.col("min_seq") == 1)
+            & (F.col("max_seq") == F.col("n_chunks"))
+        ).alias("complete"),
+        (F.col("sum_len") == F.col("filesize")).alias("conserved"),
+        (
+            (F.col("n_partial") <= 1)
+            & (F.col("n_full") + F.col("n_partial") == F.col("n_chunks"))
+        ).alias("lens_valid"),
+        (F.col("n_shas") == F.col("n_chunks")).alias("shas_ok"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.min(F.col("complete").cast("int")).alias("_c"),
+        F.min(F.col("conserved").cast("int")).alias("_b"),
+        F.min(F.col("lens_valid").cast("int")).alias("_l"),
+        F.min(F.col("shas_ok").cast("int")).alias("_s"),
+    ).select(
+        "n_files",
+        (F.col("_c") == 1).alias("chunk_streams_complete"),
+        (F.col("_b") == 1).alias("bytes_conserved"),
+        (F.col("_l") == 1).alias("chunk_lens_valid"),
+        (F.col("_s") == 1).alias("shas_distinct_per_file"),
     )
 
 

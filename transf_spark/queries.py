@@ -136,6 +136,7 @@ _SEMANTICS_CHANGED_IN: dict[str, int] = {
     "dedup_ngram_jaccard": 6,  # r6: shingle df-cap in both dialects (values unchanged)
     "similarity_ann_lsh": 6,  # r6: rows-only top-k → invariant-census oracle
     "hash_noncrypto": 6,  # r6: rows-only per-doc hashes → invariant-census oracle
+    "scan_binary_chunked": 6,  # r6: rows-only chunk rows → invariant-census oracle
 }
 
 
