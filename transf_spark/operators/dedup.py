@@ -367,10 +367,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Distinct 64-bit shingle hashes (join keys stay codegen'd longs, not
     # strings), set size via window — same plan shape as the minhash verify.
     eh = _shingle_hashes(load_table(spark, sf_dir, "documents")).distinct()
-    # df-cap: one map-side-combinable aggregate + co-partitioned join on
-    # (lang, h) — the same key space the pair join shuffles on.
-    dfreq = eh.groupBy("lang", "h").agg(F.count(F.lit(1)).alias("df"))
-    eh = eh.join(dfreq.filter(F.col("df") <= NGRAM_DF_CAP).drop("df"), ["lang", "h"])
+    # df-cap via a whole-partition window on (lang, h) — ONE shuffle on the
+    # same key the pair join uses (the groupBy+join form paid an extra
+    # aggregate exchange; minhash bucket-valve precedent).
+    eh = (
+        eh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("lang", "h")))
+        .filter(F.col("df") <= NGRAM_DF_CAP)
+        .drop("df")
+    )
     ehn = eh.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
     a = ehn.select(
         F.col("doc_id").alias("doc_id_a"), F.col("lang").alias("lang_a"),
