@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from transf_spark.operators.multimodal import _decode_stub, multimodal_media_features
+from transf_spark.operators.multimodal import _decode_stub, media_feature_rows
 from transf_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.001"
@@ -15,7 +15,7 @@ SF = "/root/testdata/sf0.001"
 def test_media_features_match_per_row_reference(spark):
     got = {
         r["doc_id"]: (r["n_bytes"], r["width"], r["height"], r["n_frames"], r["feature_norm"])
-        for r in multimodal_media_features(spark, SF).collect()
+        for r in media_feature_rows(spark, SF).collect()
     }
     docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
     assert len(got) == len(docs) > 0
@@ -27,8 +27,8 @@ def test_media_features_match_per_row_reference(spark):
 
 
 def test_media_features_deterministic(spark):
-    a = sorted(map(tuple, multimodal_media_features(spark, SF).collect()))
-    b = sorted(map(tuple, multimodal_media_features(spark, SF).collect()))
+    a = sorted(map(tuple, media_feature_rows(spark, SF).collect()))
+    b = sorted(map(tuple, media_feature_rows(spark, SF).collect()))
     assert a == b
 
 

@@ -133,13 +133,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register(
-    "multimodal_media_features",
-    oracle=None,  # stubbed decode — rows-only (schema + determinism in tests)
-    category="multimodal",
-    origin="EXT",
-)
-def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_feature_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media feature extraction pipeline:
 
     documents → binary payload column (UTF-8 bytes stand in for image bytes)
@@ -158,6 +152,63 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("content")
     )
     return payloads.mapInPandas(_extract_batches, schema=MEDIA_SCHEMA)
+
+
+@register(
+    "multimodal_media_features",
+    oracle="""
+    SELECT CAST(COUNT(text) AS BIGINT) AS n_rows,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+           TRUE AS dims_in_domain,
+           TRUE AS frames_in_domain,
+           TRUE AS norm_in_unit,
+           TRUE AS mime_uniform
+    FROM documents WHERE text IS NOT NULL
+    """,
+    category="multimodal",
+    origin="EXT",
+)
+def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-feature invariant census — the hash-checkable declared form of
+    the stub-decode pipeline (the invariant-census device). The stub's
+    dimension values cannot be oracled (DuckDB 1.0 has no blob byte
+    access to replay the prefix hash), but the PLUMBING contracts — what
+    the rows-only check previously left unpinned — can, each stated
+    exactly:
+
+    - coverage: one feature row per non-NULL document (``n_rows``);
+    - byte conservation through the Arrow boundary: Σ n_bytes equals the
+      corpus's exact UTF-8 octet length (``sum_bytes`` — a payload
+      truncated or re-encoded anywhere between the JVM binary cast and
+      the Python worker flips this);
+    - decode domain: stub dimensions live in their documented ranges
+      (64 ≤ w,h < 1088; 1 ≤ frames ≤ 30), features in [0, 1], mime
+      uniform (``*_in_domain`` / ``norm_in_unit`` / ``mime_uniform``).
+
+    Per-row surface stays as :func:`media_feature_rows` (schema +
+    determinism in tests/test_multimodal.py). Plan: the pure-map feature
+    stage + one 1-row aggregate."""
+    mf = media_feature_rows(spark, sf_dir)
+    return mf.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_bytes").alias("sum_bytes"),
+        (
+            F.min(
+                (
+                    F.col("width").between(64, 1087)
+                    & F.col("height").between(64, 1087)
+                ).cast("int")
+            )
+            == 1
+        ).alias("dims_in_domain"),
+        (F.min(F.col("n_frames").between(1, 30).cast("int")) == 1).alias(
+            "frames_in_domain"
+        ),
+        (F.min(F.col("feature_norm").between(0.0, 1.0).cast("int")) == 1).alias(
+            "norm_in_unit"
+        ),
+        (F.count_distinct("mime") == 1).alias("mime_uniform"),
+    )
 
 
 # ---- frame sampling (video-style 1→N expansion) ---------------------------

@@ -137,6 +137,7 @@ _SEMANTICS_CHANGED_IN: dict[str, int] = {
     "similarity_ann_lsh": 6,  # r6: rows-only top-k → invariant-census oracle
     "hash_noncrypto": 6,  # r6: rows-only per-doc hashes → invariant-census oracle
     "scan_binary_chunked": 6,  # r6: rows-only chunk rows → invariant-census oracle
+    "multimodal_media_features": 6,  # r6: rows-only stub rows → invariant-census oracle
 }
 
 
