@@ -72,22 +72,90 @@ def hot_dir(tmp_path_factory):
     return out
 
 
-def test_minhash_star_valve_bounds_hot_bucket(spark, hot_dir):
+def test_minhash_exact_family_collapses_to_mirrored_star(spark, hot_dir):
+    """The 1,000 IDENTICAL copies collapse in the exact-duplicate pre-pass
+    (round-6): one representative reaches the band pipeline, the family is
+    declared as a min-rooted star at jaccard 1.0 — and because the oracle
+    mirrors the same pre-pass, this adversarial corpus is ORACLE-PARITY
+    checkable, not just structurally bounded."""
     q.queries()  # populate the registry
+    spec = q.REGISTRY["dedup_fuzzy_minhash"]
     got = {
         (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
-        for r in q.REGISTRY["dedup_fuzzy_minhash"].fn(spark, hot_dir).collect()
+        for r in spec.fn(spark, hot_dir).collect()
     }
     fam = {p for p in got if p[0] < N_COPIES and p[1] < N_COPIES}
     # star, not all-pairs: k-1 links, every one rooted at the min doc_id
     assert len(fam) == N_COPIES - 1, f"expected a {N_COPIES - 1}-edge star, got {len(fam)}"
-    assert all(a == 0 for a, _ in fam), "star must root at the bucket min"
+    assert all(a == 0 for a, _ in fam), "star must root at the family min"
     assert {b for _, b in fam} == set(range(1, N_COPIES))
     assert all(abs(got[p] - 1.0) < 1e-12 for p in fam), "copies are identical"
     # the organic near-dup pair still resolves through the all-pairs path
     assert (2000, 2001) in got and abs(got[(2000, 2001)] - 0.84) < 1e-12
     # nothing else leaks
     assert len(got) == len(fam) + 1, f"unexpected extra pairs: {set(got) - fam}"
+    # and the mirrored-pre-pass oracle agrees pair-for-pair
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{hot_dir}/documents.parquet')"
+    )
+    problems = compare(spec.fn(spark, hot_dir), con, spec.oracle)
+    con.close()
+    assert not problems, "; ".join(problems)
+
+
+@pytest.fixture(scope="module")
+def near_dup_dir(tmp_path_factory):
+    """documents.parquet with 400 NEAR-identical-but-DISTINCT texts (shared
+    120-word boilerplate + one unique trailing word each, pairwise jaccard
+    ≈ 0.98) — the residual regime the exact pre-pass cannot collapse and
+    the BAND_BUCKET_CAP star valve exists for."""
+    out = str(tmp_path_factory.mktemp("near_dup"))
+    boiler = " ".join(_words("nb", 120))
+    rows = []
+    for i in range(400):
+        t = f"{boiler} uniq{i}"
+        rows.append((i, t, "en", "synthetic", len(t)))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(out, "documents.parquet"))
+    return out
+
+
+def test_minhash_band_valve_bounds_distinct_text_family(spark, near_dup_dir):
+    """The band-bucket star valve (the second line of defense): 400
+    distinct texts at pairwise jaccard ≈ 0.98 land ~92% of the family in
+    ONE bucket per band (> BAND_BUCKET_CAP), so candidate volume must stay
+    near-linear in the family size — NOT the 79,800 all-pairs — while the
+    min-rooted star keeps every member connected to doc 0. Above the cap
+    the declared output deviates from the brute-force oracle BY DESIGN
+    (scale-qualified exactness), so this test pins structure, not parity."""
+    q.queries()
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in q.REGISTRY["dedup_fuzzy_minhash"].fn(spark, near_dup_dir).collect()
+    }
+    assert got, "near-dup family must produce pairs"
+    # bounded: far below all-pairs (the valve held)
+    assert len(got) < 5_000, f"valve failed: {len(got)} pairs ≈ all-pairs"
+    # connected: every doc reachable from the min root (directly or not)
+    star_children = {b for a, b in got if a == 0}
+    touched = {d for p in got for d in p}
+    assert touched == set(range(400)), "valve dropped a family member"
+    assert len(star_children) >= 300, "min-rooted star edges missing"
+    # every surviving pair really is a near-dup
+    assert all(v >= 0.8 for v in got.values())
 
 
 def test_ngram_df_cap_drops_family_keeps_organic_pair(spark, hot_dir):

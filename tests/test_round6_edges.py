@@ -32,6 +32,13 @@ def edge_dir(tmp_path_factory):
         (5, "alpha beta gamma alpha beta", "xx", "srcB", 27),
         (6, "alpha beta delta epsilon zeta", "xx", "srcB", 29),
         (7, "a b c d e f g h i j " * 30, "en", "srcB", 600),
+        # U+000B vertical tab: Java \s counts it, RE2 \s does not — the
+        # round-6 review's whitespace-shorthand divergence repro
+        (8, "tab\x0bsep and\ttab", "en", "srcB", 16),
+        # a lang slice whose EVERY text is NULL: SUM over all-NULL flags
+        # is NULL in Spark vs 0 in the oracle's CASE arm unless mirrored
+        (9, None, "yy", "srcC", 0),
+        (10, None, "yy", "srcC", 0),
     ]
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -62,6 +69,7 @@ EDGE_QUERIES = [
     "docs_char_class_profile",
     "docs_token_budget_sample",
     "docs_quality_gate_report",
+    "hash_noncrypto",  # xxhash64(NULL) = seed, not NULL — guarded distinct counts
 ]
 
 

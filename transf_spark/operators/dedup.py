@@ -20,7 +20,7 @@ never all pairs. The brute-force oracle is the *check*, not the plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from transf_spark.queries import register
 from transf_spark.sources.tables import load_table
@@ -42,16 +42,21 @@ N_BANDS = 24
 ROWS_PER_BAND = 4
 JACCARD_THRESHOLD = 0.8
 
-# Hot-bucket safety valve (round-5 verdict): a dup-heavy corpus (10⁶ copies
-# of one boilerplate doc) lands every copy in ONE (band, band_hash) bucket,
-# and an uncapped self-join enumerates k²/2 ≈ 5·10¹¹ candidate pairs. Above
-# this membership cap a bucket switches from all-pairs to a STAR around its
-# min doc_id — O(k) candidates that preserve the connected-component
-# structure (what dedup_cluster_cc consumes) exactly for the
-# mass-duplicate case; the full pair list inside an oversized bucket is
-# recoverable transitively. 256 is ~20× the largest organic bucket either
-# fixture produces (max 14 at sf0.1), so declared values are unchanged
-# below the valve.
+# Hot-bucket safety valve (round-5 verdict), SECOND line of defense: the
+# exact-duplicate pre-pass inside dedup_fuzzy_minhash already collapses
+# identical texts before any band forms, so this cap only fires for a
+# mass family of NEAR-identical-but-distinct texts (boilerplate differing
+# only in an ID/timestamp) — still one (band, band_hash) bucket, still
+# k²/2 candidate pairs uncapped. Above this membership cap a bucket
+# switches from all-pairs to a STAR around its min doc_id — O(k)
+# candidates that preserve the connected-component structure (what
+# dedup_cluster_cc consumes); the full pair list inside an oversized
+# bucket is recoverable transitively. Above the cap the declared output
+# therefore deviates from the brute-force oracle BY DESIGN
+# (scale-qualified exactness — tests/test_dedup_hot_buckets.py pins the
+# bounded star behavior structurally instead). 256 is ~20× the largest
+# organic bucket either fixture produces (max 14 at sf0.1), so declared
+# values are unchanged below the valve.
 BAND_BUCKET_CAP = 256
 
 def _shingle_hashes(docs: "DataFrame") -> "DataFrame":
@@ -114,16 +119,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_fuzzy_minhash",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
-    nz AS (SELECT * FROM sh WHERE len(shingles) > 0)
+    WITH sh AS (SELECT doc_id, md5(text) AS fp, {_SHINGLES_SQL} AS shingles
+                FROM documents),
+    nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
+    fam AS (SELECT doc_id, fp, shingles,
+                   MIN(doc_id) OVER (PARTITION BY fp) AS rep
+            FROM nz),
+    star AS (
+      SELECT rep AS doc_id_a, doc_id AS doc_id_b, CAST(1.0 AS DOUBLE) AS jaccard
+      FROM fam WHERE doc_id <> rep
+    ),
+    reps AS (SELECT doc_id, shingles FROM fam WHERE doc_id = rep)
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
            CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
              / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
              AS jaccard
-    FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+    FROM reps a JOIN reps b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
              / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
           >= {JACCARD_THRESHOLD}
+    UNION ALL
+    SELECT * FROM star
     """,
     # ^ nz: drop empty-shingle docs (< 3 words) BEFORE the pair join —
     # matching the Spark side, where such docs produce no hashes and no
@@ -131,22 +147,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL on DuckDB 1.0 (row silently dropped, consistent by luck) but
     # NaN under ieee_floating_point_ops (DuckDB >= 1.1 default), and
     # DuckDB sorts NaN above every value so NaN >= 0.8 EMITS the pair.
+    # ^ fam/star/reps mirror the Spark side's exact-duplicate pre-pass
+    # (round-6 review): identical texts collapse to a min-doc_id
+    # representative BEFORE any pair generation in BOTH dialects, each
+    # family contributing a rep-rooted star at jaccard 1.0 — so a mass-
+    # duplicate corpus no longer drives either engine quadratic, and the
+    # declared output stays hash-matched in the dup-heavy regime.
     category="dedup",
     origin="EXT",
 )
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, pure DataFrame ops.
 
-    Plan: shingle-hash (map) → 96 min-aggregates over affine permutations
-    of the shingle hash (one doc_id shuffle, map-side combinable) → 24
-    band hashes of 4 rows each (map) → explode bands → self-join on
-    (band, band_hash) → distinct candidate pairs → exact Jaccard verify ≥ 0.8
-    (geometry rationale at the module header: miss-prob ≈ 3e-6 at j = 0.8).
+    Plan: exact-duplicate pre-pass (md5 families collapse to a min-doc_id
+    representative, each family declared as a rep-rooted star at jaccard
+    1.0) → shingle-hash (map) over representatives → 96 min-aggregates
+    over affine permutations of the shingle hash (one doc_id shuffle,
+    map-side combinable) → 24 band hashes of 4 rows each (map) → explode
+    bands → self-join on (band, band_hash) → distinct candidate pairs →
+    exact Jaccard verify ≥ 0.8 (geometry rationale at the module header:
+    miss-prob ≈ 3e-6 at j = 0.8) → union the family stars back in.
 
-    The oracle is the brute-force all-pairs Jaccard — at driver scale
-    (500-5000 docs) that is feasible; the LSH plan is the one that survives
-    100 TB (candidates ≪ n², one even shuffle on band hash). Jaccard itself
-    is an exact int/int division — bit-identical on both engines.
+    The oracle mirrors the SAME pre-pass and then brute-forces all
+    representative pairs — feasible at driver scale (500-5000 docs); the
+    LSH plan is the one that survives 100 TB (candidates ≪ n², one even
+    shuffle on band hash). Jaccard itself is an exact int/int division —
+    bit-identical on both engines.
     """
     # Explode + groupBy formulation: one xxhash64 per shingle (codegen'd),
     # then 96 min-aggregates over cheap affine permutations of that hash —
@@ -156,7 +182,28 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (duplicates never change a min), and interpreted array_distinct is the
     # single most expensive expression in the naive plan.
     docs = load_table(spark, sf_dir, "documents")
-    hashed = _shingle_hashes(docs).select("doc_id", "h")
+    # Exact-duplicate pre-pass (round-6 review; the round-5 verdict's own
+    # scale prescription): identical texts collapse to a min-doc_id
+    # representative BEFORE signatures — each family is declared as a
+    # rep-rooted star at jaccard 1.0 (identical shingle sets), and the LSH
+    # pipeline sees ONE row per distinct text. This is what actually
+    # defuses the 10⁶-boilerplate-copies corpus: the copies never reach a
+    # band bucket at all. The oracle mirrors the same fam/star/reps split,
+    # so the declared output stays hash-matched in the dup-heavy regime
+    # (the previous band-bucket star deviated from the brute-force oracle
+    # above the cap). size(split) >= 3 is the same "has a shingle"
+    # predicate as the oracle's len(shingles) > 0.
+    nz = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    fam = nz.withColumn("rep", F.min("doc_id").over(W.partitionBy("fp")))
+    star = fam.filter(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("doc_id_a"),
+        F.col("doc_id").alias("doc_id_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    reps = fam.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    hashed = _shingle_hashes(docs).select("doc_id", "h").join(reps, "doc_id")
     # Deterministic odd multipliers/offsets (splitmix-style constants).
     perms = [
         (0x9E3779B97F4A7C15 * (2 * k + 1) & 0x7FFFFFFFFFFFFFFF | 1,
@@ -184,8 +231,6 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all-pairs only for buckets under the cap and a min-rooted star for
     # oversized ones; candidate volume per bucket is bounded by
     # max(CAP²/2, k) instead of k²/2.
-    from pyspark.sql import Window as W
-
     wb = W.partitionBy("band", "band_hash")
     annotated = bands.withColumn("bsz", F.count(F.lit(1)).over(wb)).withColumn(
         "bmin", F.min("doc_id").over(wb)
@@ -243,6 +288,7 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pair_sets.select("doc_id_a", "doc_id_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .unionByName(star)
     )
 
 
@@ -362,8 +408,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumeration — only pairs sharing ≥1 kept shingle materialize, keyed on
     the shingle itself (high cardinality ⇒ even shuffle), and the cap
     bounds any one shingle's join contribution at cap²/2."""
-    from pyspark.sql import Window as W
-
     # Distinct 64-bit shingle hashes (join keys stay codegen'd longs, not
     # strings), set size via window — same plan shape as the minhash verify.
     eh = _shingle_hashes(load_table(spark, sf_dir, "documents")).distinct()

@@ -966,15 +966,22 @@ def docs_quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         >= GATE_MIN_DISTINCT_RATIO
     )
+    # when/otherwise(0), not cast("long"): a NULL text makes g_len NULL,
+    # and a lang slice of all-NULL texts would SUM to NULL where the
+    # oracle's CASE arm yields 0 (round-6 review finding, reproduced) —
+    # the otherwise(0) mirrors the oracle's ELSE 0 exactly
+    def _n(flag):
+        return F.sum(F.when(flag, F.lit(1)).otherwise(F.lit(0)))
+
     return (
         docs.select("lang", g_len.alias("g_len"), (g_len & g_tok).alias("g_lt"),
                     (g_len & g_tok & g_div).alias("g_all"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_total"),
-            F.sum(F.col("g_len").cast("long")).alias("n_pass_len"),
-            F.sum(F.col("g_lt").cast("long")).alias("n_pass_len_tok"),
-            F.sum(F.col("g_all").cast("long")).alias("n_pass_all"),
+            _n(F.col("g_len")).alias("n_pass_len"),
+            _n(F.col("g_lt")).alias("n_pass_len_tok"),
+            _n(F.col("g_all")).alias("n_pass_all"),
         )
         .withColumn(
             "yield_ratio",

@@ -295,24 +295,31 @@ def hash_noncrypto(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass + one global aggregate; the distinct counts are the only
     shuffle."""
     h = hash_noncrypto_values(spark, sf_dir)
+    # Every hash column is gated on text IS NOT NULL before the distinct
+    # count: xxhash64/murmur3 of a NULL input return the SEED (42), not
+    # NULL, so an unguarded count_distinct would count one extra "hash of
+    # nothing" value the oracle's COUNT(DISTINCT text) can't see (round-6
+    # review finding, reproduced on a synthetic NULL-text fixture).
+    nn = F.col("text").isNotNull()
+
+    def _nn_distinct(col: str):
+        return F.count_distinct(F.when(nn, F.col(col)))
+
     return h.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(
             (
-                F.col("text_xxh64").isNotNull()
+                nn
+                & F.col("text_xxh64").isNotNull()
                 & F.col("text_crc32").isNotNull()
                 & F.col("text_murmur3").isNotNull()
             ).cast("long")
         ).alias("n_hashed"),
         F.count_distinct("text").alias("n_distinct_text"),
-        F.count_distinct("text_xxh64").alias("n_distinct_xxh64"),
+        _nn_distinct("text_xxh64").alias("n_distinct_xxh64"),
         (
-            (
-                (F.count_distinct("text") - F.count_distinct("text_crc32")) <= 2
-            )
-            & (
-                (F.count_distinct("text") - F.count_distinct("text_murmur3")) <= 2
-            )
+            ((F.count_distinct("text") - _nn_distinct("text_crc32")) <= 2)
+            & ((F.count_distinct("text") - _nn_distinct("text_murmur3")) <= 2)
         ).alias("small_hash_collisions_bounded"),
     )
 

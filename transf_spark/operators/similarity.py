@@ -5,7 +5,9 @@
 - ``dedup_embedding_cosine``   — all-pairs cosine ≥ threshold (embedding
                                  near-dup; oracle-checked)
 - ``similarity_ann_lsh``       — random-hyperplane LSH bucketed ANN (the
-                                 100 TB scale path; approximate ⇒ rows-only)
+                                 100 TB scale path; approximate — declared
+                                 as a hash-checked invariant census since
+                                 round 6, per-row surface ``ann_lsh_topk``)
 - ``similarity_ann_ivf``       — IVF coarse-quantized ANN (second scale
                                  path; approximate ⇒ rows-only, recall-gated)
 

@@ -287,20 +287,26 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row aggregate broadcast onto the census."""
     docs = load_table(spark, sf_dir, "documents")
     pred = language_id_predictions(spark, sf_dir)
-    truth = docs.select("doc_id", "lang", F.length("text").alias("_len"))
+    truth = docs.select("doc_id", "lang")
     j = truth.join(pred, "doc_id")
-    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
     census = j.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("predicted_lang").isNotNull().cast("long")).alias("n_predicted"),
     )
+    # out-of-domain predictions via a LAZY left-anti join against the
+    # training-language set — the earlier isin(collect()) form ran an
+    # eager Spark job at DataFrame-construction time (round-6 review),
+    # so even explain/plan-gating the query executed the cluster
+    ood = (
+        j.filter(F.col("predicted_lang").isNotNull())
+        .join(
+            F.broadcast(docs.select(F.col("lang").alias("_train_lang")).distinct()),
+            F.col("predicted_lang") == F.col("_train_lang"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_out_of_domain"))
+    )
     globals_row = j.agg(
-        F.sum(
-            (
-                F.col("predicted_lang").isNotNull()
-                & ~F.col("predicted_lang").isin(langs)
-            ).cast("long")
-        ).alias("n_out_of_domain"),
         F.count_distinct("predicted_lang").alias("n_langs_predicted"),
         (
             # coalesce: a NULL prediction must count as a miss, not drop
@@ -313,7 +319,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             >= F.lit(LANG_ID_ACC_FLOOR)
         ).alias("acc_above_floor"),
-    )
+    ).crossJoin(F.broadcast(ood))
     return census.join(F.broadcast(globals_row)).select(
         "lang",
         "n_docs",
@@ -678,7 +684,11 @@ _CHAR_CLASSES = [
     ("n_lower", "[a-z]", "[a-z]"),
     ("n_upper", "[A-Z]", "[A-Z]"),
     ("n_digit", "[0-9]", "[0-9]"),
-    ("n_space", r"\s", r"\s"),
+    # explicit whitespace class, IDENTICAL in both dialects: Java's \s
+    # includes U+000B (vertical tab) but RE2's does not — a shorthand-class
+    # divergence of the round-5 checklist kind (round-6 review finding,
+    # reproduced with a chr(11) fixture)
+    ("n_space", r"[ \t\n\x0B\f\r]", r"[ \t\n\x0B\f\r]"),
     ("n_cjk", r"[一-鿿]", r"[\x{4e00}-\x{9fff}]"),
 ]
 

@@ -28,12 +28,18 @@ from transf_spark.sources.fixtures import CHUNKS_FAULTY_SQL, CHUNKS_SQL, HANDSHA
 # --------------------------------------------------------------------------
 
 
+# 64 KiB protocol chunk size — the ONE definition both the chunker and
+# the census's framing checks read (a retune that edited only one of two
+# copies would red the census for a non-regression; round-6 review).
+CHUNK_SIZE_BYTES = 64 * 1024
+
+
 def binary_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile source + 64 KiB chunker over real files — the reference's
     file-open/seek/sequential-read loop (`/root/reference/transf_client.cpp:102-133`)
     as one narrow map stage. Emits per-chunk sha256 instead of payloads so
     the result is manifest-sized."""
-    sz = 64 * 1024
+    sz = CHUNK_SIZE_BYTES
     bf = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
     slices = chunk_slices("content", sz)
     return (
@@ -53,7 +59,6 @@ def binary_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly these ten tables as one parquet file each — the one exact count
 # the census oracle can state without filesystem access.
 N_FIXTURE_TABLES = 10
-CHUNK_SIZE_BYTES = 64 * 1024
 
 
 @register(
