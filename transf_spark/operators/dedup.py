@@ -194,7 +194,7 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # above the cap). size(split) >= 3 is the same "has a shingle"
     # predicate as the oracle's len(shingles) > 0.
     nz = docs.filter(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id", F.md5("text").alias("fp")
+        "doc_id", F.md5("text").alias("fp"), "lang", "text"
     )
     fam = nz.withColumn("rep", F.min("doc_id").over(W.partitionBy("fp")))
     star = fam.filter(F.col("doc_id") != F.col("rep")).select(
@@ -202,8 +202,14 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_id_b"),
         F.lit(1.0).alias("jaccard"),
     )
-    reps = fam.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
-    hashed = _shingle_hashes(docs).select("doc_id", "h").join(reps, "doc_id")
+    # text rides the fp window shuffle so shingles are computed for
+    # REPRESENTATIVES ONLY — in the mass-dup regime the copies collapse
+    # before the shingle explode even runs (a post-hoc shingles⋈reps join
+    # instead re-shuffled the whole shingle stream; measured slower).
+    reps_docs = fam.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "lang", "text"
+    )
+    hashed = _shingle_hashes(reps_docs).select("doc_id", "h")
     # Deterministic odd multipliers/offsets (splitmix-style constants).
     perms = [
         (0x9E3779B97F4A7C15 * (2 * k + 1) & 0x7FFFFFFFFFFFFFFF | 1,
