@@ -1,22 +1,24 @@
-"""Hot-bucket safety valves (round-5 verdict item 4).
+"""Hot-bucket safety valves (round-5 verdict item 4; reshaped in round 6).
 
-A mass-duplicate corpus (k copies of one boilerplate doc) is the
-scale-killer of both pair-generating dedup formulations:
+A mass-duplicate corpus (k near-copies of one boilerplate doc) is the
+scale-killer of both pair-generating dedup formulations. Three defenses,
+each tested here:
 
-- MinHash-LSH: all k copies share every (band, band_hash) bucket, so an
-  uncapped self-join enumerates k²/2 candidate pairs. Above
-  ``BAND_BUCKET_CAP`` the bucket switches to a min-rooted STAR — O(k)
-  candidates that preserve the connected-component structure exactly.
-- n-gram Jaccard: every shingle of the family has document frequency k,
-  and the inverted-index join produces k²/2 rows PER SHINGLE. Shingles
-  with df > ``NGRAM_DF_CAP`` are dropped from the universe in BOTH
-  dialects (CCNet trick), so the family yields no pairs here by design —
-  that regime belongs to dedup_exact / the minhash star.
-
-This synthesizes a 1,000-copy family (≫ both caps) plus an organic
-near-dup pair and checks each path: bounded output, preserved component,
-untouched organic pair, and (for ngram) continued oracle parity with the
-mirrored-cap SQL.
+- IDENTICAL copies: the sha256 exact-family pre-pass inside
+  ``dedup_fuzzy_minhash`` collapses them to one representative before any
+  band forms, declaring a min-rooted star at jaccard 1.0 — mirrored in
+  the oracle, so this regime is parity-checkable.
+- NEAR-identical-but-DISTINCT texts (boilerplate + unique ID): they
+  survive the pre-pass and still share (band, band_hash) buckets; above
+  ``BAND_BUCKET_CAP`` a bucket switches to a min-rooted STAR — O(k)
+  candidates preserving the connected-component structure (declared
+  output deviates from the brute-force oracle here BY DESIGN, so that
+  path is pinned structurally, not by parity).
+- n-gram Jaccard: every shingle of a family has document frequency k and
+  the inverted-index join produces k²/2 rows PER SHINGLE. Shingles with
+  df > ``NGRAM_DF_CAP`` are dropped from the universe in BOTH dialects
+  (CCNet trick) — the family yields no pairs here by design; that regime
+  belongs to dedup_exact / the minhash paths above.
 """
 
 from __future__ import annotations
@@ -26,6 +28,7 @@ import os
 import duckdb
 import pytest
 
+from tests.docfixtures import write_documents
 from tests.oracle import compare
 from transf_spark import queries as q
 from transf_spark.operators.dedup import BAND_BUCKET_CAP, NGRAM_DF_CAP
@@ -56,20 +59,7 @@ def hot_dir(tmp_path_factory):
         w = " ".join(_words(f"bg{i}_", 40))
         rows.append((3000 + i, w, "en", "synthetic", len(w)))
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    table = pa.table(
-        {
-            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-            "text": pa.array([r[1] for r in rows], pa.string()),
-            "lang": pa.array([r[2] for r in rows], pa.string()),
-            "source": pa.array([r[3] for r in rows], pa.string()),
-            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
-        }
-    )
-    pq.write_table(table, os.path.join(out, "documents.parquet"))
-    return out
+    return write_documents(out, rows)
 
 
 def test_minhash_exact_family_collapses_to_mirrored_star(spark, hot_dir):
@@ -117,20 +107,7 @@ def near_dup_dir(tmp_path_factory):
     for i in range(400):
         t = f"{boiler} uniq{i}"
         rows.append((i, t, "en", "synthetic", len(t)))
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    table = pa.table(
-        {
-            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-            "text": pa.array([r[1] for r in rows], pa.string()),
-            "lang": pa.array([r[2] for r in rows], pa.string()),
-            "source": pa.array([r[3] for r in rows], pa.string()),
-            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
-        }
-    )
-    pq.write_table(table, os.path.join(out, "documents.parquet"))
-    return out
+    return write_documents(out, rows)
 
 
 def test_minhash_band_valve_bounds_distinct_text_family(spark, near_dup_dir):

@@ -24,6 +24,7 @@ import os
 import duckdb
 import pytest
 
+from tests.docfixtures import write_documents
 from tests.oracle import compare
 from transf_spark import queries as q
 
@@ -62,20 +63,7 @@ def borderline_dir(tmp_path_factory, spark):
         w = _words(f"bg{i}_", 40)
         rows.append((100 + i, _doc(w), "en", "synthetic", len(_doc(w))))
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    table = pa.table(
-        {
-            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-            "text": pa.array([r[1] for r in rows], pa.string()),
-            "lang": pa.array([r[2] for r in rows], pa.string()),
-            "source": pa.array([r[3] for r in rows], pa.string()),
-            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
-        }
-    )
-    pq.write_table(table, os.path.join(out, "documents.parquet"))
-    return out
+    return write_documents(out, rows)
 
 
 def test_borderline_pairs_found_and_subthreshold_excluded(spark, borderline_dir):

@@ -25,35 +25,26 @@ def edge_dir(tmp_path_factory):
     NULL text, whitespace-only, and a tiny 'xx' language."""
     out = str(tmp_path_factory.mktemp("edge_docs"))
     rows = [
-        (1, "", "en", "srcA", 0),                       # empty text
-        (2, "word", "en", "srcA", 4),                   # one word — no bigram
-        (3, None, "en", "srcA", 0),                     # NULL text
-        (4, "   ", "en", "srcB", 3),                    # whitespace only
-        (5, "alpha beta gamma alpha beta", "xx", "srcB", 27),
-        (6, "alpha beta delta epsilon zeta", "xx", "srcB", 29),
-        (7, "a b c d e f g h i j " * 30, "en", "srcB", 600),
+        (1, "", "en", "srcA"),                       # empty text
+        (2, "word", "en", "srcA"),                   # one word — no bigram
+        (3, None, "en", "srcA"),                     # NULL text
+        (4, "   ", "en", "srcB"),                    # whitespace only
+        (5, "alpha beta gamma alpha beta", "xx", "srcB"),
+        (6, "alpha beta delta epsilon zeta", "xx", "srcB"),
+        (7, "a b c d e f g h i j " * 30, "en", "srcB"),
         # U+000B vertical tab: Java \s counts it, RE2 \s does not — the
         # round-6 review's whitespace-shorthand divergence repro
-        (8, "tab\x0bsep and\ttab", "en", "srcB", 16),
+        (8, "tab\x0bsep and\ttab", "en", "srcB"),
         # a lang slice whose EVERY text is NULL: SUM over all-NULL flags
         # is NULL in Spark vs 0 in the oracle's CASE arm unless mirrored
-        (9, None, "yy", "srcC", 0),
-        (10, None, "yy", "srcC", 0),
+        (9, None, "yy", "srcC"),
+        (10, None, "yy", "srcC"),
     ]
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    # n_chars derived from the text by the shared writer — a hand-kept
+    # count drifted off-by-one in an earlier revision (review finding)
+    from tests.docfixtures import write_documents
 
-    tbl = pa.table(
-        {
-            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-            "text": pa.array([r[1] for r in rows], pa.string()),
-            "lang": pa.array([r[2] for r in rows], pa.string()),
-            "source": pa.array([r[3] for r in rows], pa.string()),
-            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
-        }
-    )
-    pq.write_table(tbl, os.path.join(out, "documents.parquet"))
-    return out
+    return write_documents(out, rows)
 
 
 def _con(edge_dir):

@@ -119,7 +119,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_fuzzy_minhash",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, md5(text) AS fp, {_SHINGLES_SQL} AS shingles
+    WITH sh AS (SELECT doc_id, sha256(text) AS fp, {_SHINGLES_SQL} AS shingles
                 FROM documents),
     nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
     fam AS (SELECT doc_id, fp, shingles,
@@ -159,7 +159,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, pure DataFrame ops.
 
-    Plan: exact-duplicate pre-pass (md5 families collapse to a min-doc_id
+    Plan: exact-duplicate pre-pass (sha256 families collapse to a min-doc_id
     representative, each family declared as a rep-rooted star at jaccard
     1.0) → shingle-hash (map) over representatives → 96 min-aggregates
     over affine permutations of the shingle hash (one doc_id shuffle,
@@ -193,8 +193,12 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the previous band-bucket star deviated from the brute-force oracle
     # above the cap). size(split) >= 3 is the same "has a shingle"
     # predicate as the oracle's len(shingles) > 0.
+    # sha256, not md5, for the family fingerprint: equality-MERGING on a
+    # collision-broken hash would silently fuse two crafted distinct docs
+    # into one "identical" family (public md5 collision artifacts exist in
+    # web corpora) — same standard dedup_exact already applies.
     nz = docs.filter(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id", F.md5("text").alias("fp"), "lang", "text"
+        "doc_id", F.sha2("text", 256).alias("fp"), "lang", "text"
     )
     fam = nz.withColumn("rep", F.min("doc_id").over(W.partitionBy("fp")))
     star = fam.filter(F.col("doc_id") != F.col("rep")).select(

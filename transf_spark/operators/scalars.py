@@ -280,7 +280,9 @@ def hash_noncrypto(spark: SparkSession, sf_dir: str) -> DataFrame:
     crc32 / murmur3 values are Spark-specific (no DuckDB twin exists), but
     their key-quality CONTRACTS are exactly statable:
 
-    - coverage: every row hashes non-NULL (``n_hashed`` = row count);
+    - coverage: every NON-NULL text hashes non-NULL (``n_hashed`` =
+      ``COUNT(text)`` — NULL inputs are excluded on both sides because
+      xxhash64/murmur3 of NULL return the seed, not NULL);
     - injectivity at 64 bits: distinct xxhash64 count EQUALS distinct
       input count — a birthday collision among even 10⁶ texts has
       probability ~1e-7, so the equality is regeneration-safe; a broken

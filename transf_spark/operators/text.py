@@ -293,21 +293,24 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("predicted_lang").isNotNull().cast("long")).alias("n_predicted"),
     )
-    # out-of-domain predictions via a LAZY left-anti join against the
-    # training-language set — the earlier isin(collect()) form ran an
-    # eager Spark job at DataFrame-construction time (round-6 review),
-    # so even explain/plan-gating the query executed the cluster
-    ood = (
-        j.filter(F.col("predicted_lang").isNotNull())
-        .join(
-            F.broadcast(docs.select(F.col("lang").alias("_train_lang")).distinct()),
-            F.col("predicted_lang") == F.col("_train_lang"),
-            "left_anti",
-        )
-        .agg(F.count(F.lit(1)).alias("n_out_of_domain"))
+    # out-of-domain predictions via a LAZY broadcast LEFT join against the
+    # distinct training-language set, counted INSIDE the same global
+    # aggregate — the earlier isin(collect()) form ran an eager Spark job
+    # at DataFrame-construction time, and a separate left-anti subtree
+    # would re-evaluate the whole prediction pipeline a third time
+    # (round-6 review, both findings). The train set is distinct, so the
+    # left join matches ≤ 1 row and never duplicates j.
+    train = docs.select(F.col("lang").alias("_train_lang")).distinct()
+    j2 = j.join(
+        F.broadcast(train), F.col("predicted_lang") == F.col("_train_lang"), "left"
     )
-    globals_row = j.agg(
+    globals_row = j2.agg(
         F.count_distinct("predicted_lang").alias("n_langs_predicted"),
+        F.sum(
+            (
+                F.col("predicted_lang").isNotNull() & F.col("_train_lang").isNull()
+            ).cast("long")
+        ).alias("n_out_of_domain"),
         (
             # coalesce: a NULL prediction must count as a miss, not drop
             # out of the average
@@ -319,7 +322,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             >= F.lit(LANG_ID_ACC_FLOOR)
         ).alias("acc_above_floor"),
-    ).crossJoin(F.broadcast(ood))
+    )
     return census.join(F.broadcast(globals_row)).select(
         "lang",
         "n_docs",

@@ -132,7 +132,8 @@ _SEMANTICS_CHANGED_IN: dict[str, int] = {
     "agg_approx_percentile": 5,  # r5: rows-only → oracle-checked rank invariant
     "stream_stateful_reassembly": 6,  # r6: appended __summary__ cardinality row
     "text_language_id": 6,  # r6: rows-only → invariant-census oracle
-    "dedup_fuzzy_minhash": 6,  # r6: hot-bucket star valve (values unchanged on fixtures)
+    "dedup_fuzzy_minhash": 6,  # r6: exact-family pre-pass + star (changes declared
+    # values on any fixture bearing exact-duplicate texts; mirrored in oracle)
     "dedup_ngram_jaccard": 6,  # r6: shingle df-cap in both dialects (values unchanged)
     "similarity_ann_lsh": 6,  # r6: rows-only top-k → invariant-census oracle
     "hash_noncrypto": 6,  # r6: rows-only per-doc hashes → invariant-census oracle
