@@ -187,18 +187,34 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: every vec_id % 100 == 0 is a query; rank all
     other vectors by cosine, keep 10. The broadcast of the (small) query set
     makes this a map-side scored scan + per-query top-k window — the shape
-    that stays correct at any corpus size (queries ≪ corpus)."""
+    that stays correct at any corpus size (queries ≪ corpus). Scoring keeps
+    the JVM left-to-right fold: this is the ORACLE-CHECKED exact query and
+    its float parity with DuckDB's list_dot_product is hash-proven."""
+    return _brute_topk(spark, sf_dir, kernel=False)
+
+
+def brute_topk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same brute-force top-k, scored by the vectorized einsum kernel —
+    the baseline the ANN census measures recall against. Not oracle-bound,
+    so the kernel's different float summation order is free (it can flip a
+    rank only on an exact-tie boundary, where the nn_id tie-break applies
+    identically); at a 20k-vector probe the interpreted fold measured
+    2 min vs seconds for the kernel."""
+    return _brute_topk(spark, sf_dir, kernel=True)
+
+
+def _brute_topk(spark: SparkSession, sf_dir: str, *, kernel: bool) -> DataFrame:
     e = _emb_double(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
+    if kernel:
+        cosine = _cosine_pairs_udf()(F.col("qv"), F.col("v"))
+    else:
+        cosine = F.expr(_COS.format(a="qv", b="v"))
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("nn_id"),
-            F.expr(_COS.format(a="qv", b="v")).alias("cosine"),
-        )
+        .select("q_id", F.col("vec_id").alias("nn_id"), cosine.alias("cosine"))
     )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id").asc())
     return (
@@ -370,10 +386,21 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = bucketed.join(F.broadcast(probes), "bucket").filter(
         F.col("vec_id") != F.col("q_id")
     )
-    cos = F.expr(_COS.format(a="qv", b="v"))
+    # Vectorized candidate re-rank (module BLAS rule): the interpreted
+    # aggregate(zip_with) fold costs |cand|·d lambda evals — measured 41 s
+    # on a 20k-vector dup-heavy probe corpus (577k candidates) vs seconds
+    # for the einsum kernel. ANN output is approximate (rows-only recall
+    # contract on the per-row surface, flag-census on the declared one),
+    # so the kernel's different float summation order is free to use —
+    # unlike the oracle-checked exact queries, which keep the JVM fold.
+    cos_pairs = _cosine_pairs_udf()
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id").asc())
     return (
-        cand.select("q_id", F.col("vec_id").alias("nn_id"), cos.alias("cosine"))
+        cand.select(
+            "q_id",
+            F.col("vec_id").alias("nn_id"),
+            cos_pairs(F.col("qv"), F.col("v")).alias("cosine"),
+        )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "nn_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
@@ -427,9 +454,26 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_id, nn_id) to count hits, and three 1-row aggregates folded into
     the census."""
     ann = ann_lsh_topk(spark, sf_dir)
-    bf = similarity_topk_cosine(spark, sf_dir)
-    per_q = ann.groupBy("q_id").agg(
-        F.count(F.lit(1)).alias("k_rows"),
+    # kernel-scored baseline: the recall check needs the true top-k SET,
+    # not DuckDB-parity cosines — see brute_topk_kernel
+    bf = brute_topk_kernel(spark, sf_dir)
+    # ONE linear chain — full-outer pair join, per-query aggregate, global
+    # aggregate — so the ANN and brute-force subtrees each evaluate ONCE.
+    # The earlier fan-in (per-q stats ⋈ hit count ⋈ baseline count as
+    # three branches) re-derived both expensive subtrees per branch:
+    # measured 147 s vs ~15 s of component work on a 20k-vector probe.
+    j = ann.select(
+        "q_id", "nn_id", "rnk", "cosine", F.lit(1).alias("in_ann")
+    ).join(
+        bf.select("q_id", "nn_id", F.lit(1).alias("in_bf")),
+        ["q_id", "nn_id"],
+        "full_outer",
+    )
+    ann_struct = F.when(
+        F.col("in_ann") == 1, F.struct("rnk", "cosine")
+    )  # NULL for baseline-only rows — collect_list skips them
+    per_q = j.groupBy("q_id").agg(
+        F.sum(F.coalesce(F.col("in_ann"), F.lit(0))).alias("k_rows"),
         F.min("rnk").alias("min_rnk"),
         F.max("rnk").alias("max_rnk"),
         F.count_distinct("rnk").alias("n_rnk"),
@@ -437,12 +481,19 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (rnk, cosine) structs by rank, then verify the cosine sequence
         # equals its own descending sort
         F.expr(
-            "transform(array_sort(collect_list(struct(rnk, cosine))), x -> x.cosine)"
+            "transform(array_sort(collect_list(CASE WHEN in_ann = 1 "
+            "THEN struct(rnk, cosine) END)), x -> x.cosine)"
         ).alias("by_rank"),
+        F.sum(
+            (F.coalesce(F.col("in_ann"), F.lit(0)) * F.coalesce(F.col("in_bf"), F.lit(0)))
+        ).alias("n_hits_q"),
+        F.sum(F.coalesce(F.col("in_bf"), F.lit(0))).alias("n_true_q"),
     )
     per_q = per_q.select(
         "q_id",
         "k_rows",
+        "n_hits_q",
+        "n_true_q",
         ((F.col("min_rnk") == 1) & (F.col("max_rnk") == TOP_K) & (F.col("n_rnk") == TOP_K)).alias(
             "ranks_ok"
         ),
@@ -451,32 +502,26 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.reverse(F.array_sort("by_rank"))
         ).alias("sorted_ok"),
     )
-    hits = ann.join(
-        bf.select("q_id", "nn_id"), ["q_id", "nn_id"], "left_semi"
-    ).agg(F.count(F.lit(1)).alias("n_hits"))
-    bf_total = bf.agg(F.count(F.lit(1)).alias("n_true"))
-    return (
-        per_q.agg(
-            F.count(F.lit(1)).alias("n_queries"),
-            F.min("k_rows").alias("_kmin"),
-            F.max("k_rows").alias("_kmax"),
-            F.min(F.col("ranks_ok").cast("int")).alias("_ranks"),
-            F.min(F.col("sorted_ok").cast("int")).alias("_sorted"),
-        )
-        .crossJoin(F.broadcast(hits))
-        .crossJoin(F.broadcast(bf_total))
-        .select(
-            "n_queries",
-            F.when(F.col("_kmin") == F.col("_kmax"), F.col("_kmax").cast("long"))
-            .otherwise(F.lit(-1))
-            .alias("rows_per_query"),
-            (F.col("_ranks") == 1).alias("ranks_complete"),
-            (F.col("_sorted") == 1).alias("cosines_sorted"),
-            (
-                F.col("n_hits").cast("double") / F.col("n_true")
-                >= ANN_LSH_RECALL_FLOOR
-            ).alias("recall_above_floor"),
-        )
+    return per_q.agg(
+        F.sum((F.col("k_rows") > 0).cast("long")).alias("n_queries"),
+        F.min("k_rows").alias("_kmin"),
+        F.max("k_rows").alias("_kmax"),
+        # coalesce: a coverage-missing query has NULL rank stats, and
+        # F.min would silently SKIP the null instead of failing the flag
+        F.min(F.coalesce(F.col("ranks_ok"), F.lit(False)).cast("int")).alias("_ranks"),
+        F.min(F.coalesce(F.col("sorted_ok"), F.lit(False)).cast("int")).alias("_sorted"),
+        F.sum("n_hits_q").alias("_hits"),
+        F.sum("n_true_q").alias("_true"),
+    ).select(
+        "n_queries",
+        F.when(F.col("_kmin") == F.col("_kmax"), F.col("_kmax").cast("long"))
+        .otherwise(F.lit(-1))
+        .alias("rows_per_query"),
+        (F.col("_ranks") == 1).alias("ranks_complete"),
+        (F.col("_sorted") == 1).alias("cosines_sorted"),
+        (
+            F.col("_hits").cast("double") / F.col("_true") >= ANN_LSH_RECALL_FLOOR
+        ).alias("recall_above_floor"),
     )
 
 
