@@ -289,37 +289,50 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = language_id_predictions(spark, sf_dir)
     truth = docs.select("doc_id", "lang")
     j = truth.join(pred, "doc_id")
-    census = j.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("predicted_lang").isNotNull().cast("long")).alias("n_predicted"),
-    )
-    # out-of-domain predictions via a LAZY broadcast LEFT join against the
-    # distinct training-language set, counted INSIDE the same global
-    # aggregate — the earlier isin(collect()) form ran an eager Spark job
-    # at DataFrame-construction time, and a separate left-anti subtree
-    # would re-evaluate the whole prediction pipeline a third time
-    # (round-6 review, both findings). The train set is distinct, so the
-    # left join matches ≤ 1 row and never duplicates j.
+    # out-of-domain flag via a LAZY broadcast LEFT join against the
+    # distinct training-language set — the earlier isin(collect()) form
+    # ran an eager Spark job at DataFrame-construction time, and a
+    # separate left-anti subtree re-evaluated the whole prediction
+    # pipeline (round-6 review, both findings). The train set is
+    # distinct, so the left join matches ≤ 1 row and never duplicates j.
     train = docs.select(F.col("lang").alias("_train_lang")).distinct()
     j2 = j.join(
         F.broadcast(train), F.col("predicted_lang") == F.col("_train_lang"), "left"
     )
-    globals_row = j2.agg(
-        F.count_distinct("predicted_lang").alias("n_langs_predicted"),
+    # ONE first-level aggregate to the tiny (lang, predicted_lang, ood)
+    # confusion table; BOTH the per-lang census and the global invariants
+    # derive from it. The two consumers reference the IDENTICAL exchange,
+    # so AQE reuses the shuffle and the prediction pipeline runs ONCE —
+    # aggregating each branch directly over j ran it twice (measured
+    # 4.2 s → the pipeline's single-run cost at sf0.1).
+    base = j2.groupBy(
+        "lang",
+        "predicted_lang",
+        (F.col("predicted_lang").isNotNull() & F.col("_train_lang").isNull()).alias(
+            "is_ood"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    census = base.groupBy("lang").agg(
+        F.sum("n").alias("n_docs"),
         F.sum(
-            (
-                F.col("predicted_lang").isNotNull() & F.col("_train_lang").isNull()
-            ).cast("long")
-        ).alias("n_out_of_domain"),
+            F.when(F.col("predicted_lang").isNotNull(), F.col("n")).otherwise(0)
+        ).alias("n_predicted"),
+    )
+    globals_row = base.agg(
+        F.count_distinct("predicted_lang").alias("n_langs_predicted"),
+        F.sum(F.when(F.col("is_ood"), F.col("n")).otherwise(0)).alias(
+            "n_out_of_domain"
+        ),
         (
-            # coalesce: a NULL prediction must count as a miss, not drop
-            # out of the average
-            F.avg(
-                F.coalesce(
-                    (F.col("predicted_lang") == F.col("lang")).cast("double"),
-                    F.lit(0.0),
+            # NULL predictions count as misses: they contribute n to the
+            # denominator but the when() arm (NULL == lang → NULL) sends
+            # them to otherwise(0) in the numerator
+            F.sum(
+                F.when(F.col("predicted_lang") == F.col("lang"), F.col("n")).otherwise(
+                    0
                 )
-            )
+            ).cast("double")
+            / F.sum("n")
             >= F.lit(LANG_ID_ACC_FLOOR)
         ).alias("acc_above_floor"),
     )
