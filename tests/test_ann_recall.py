@@ -167,3 +167,34 @@ def test_pca_matches_offline_numpy_and_invariants(spark):
     offline = (x - x.mean(0)) @ comps.T
     for i, vid in enumerate(ids):
         assert np.allclose(by_id[vid], offline[i], atol=1e-9)
+
+
+def test_cosine_kernel_sinks_corrupt_vectors(spark):
+    """Round-6 review: a NULL/NaN vector element becomes NaN in the numpy
+    kernel, and Spark orders NaN ABOVE every double — unguarded, a corrupt
+    vector would take rank 1 in every top-k it touched. The kernel maps
+    non-finite cosines to -inf, which sinks them below every real score
+    (where the JVM fold's NULL landed under DESC ordering)."""
+    from pyspark.sql import functions as F
+
+    from transf_spark.operators.similarity import _cosine_pairs_udf
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),       # cosine 1.0
+            (2, [1.0, None], [1.0, 0.0]),      # corrupt left vector
+            (3, [1.0, 0.0], [float("nan"), 1.0]),  # NaN element right
+            (4, [0.0, 0.0], [1.0, 0.0]),       # zero vector → 0/1 = 0.0
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = {r["id"]: r["c"] for r in df.select(
+        "id", _cosine_pairs_udf()(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert rows[1] == 1.0
+    assert rows[2] == float("-inf") and rows[3] == float("-inf")
+    assert rows[4] == 0.0
+    # and DESC ordering puts the corrupt rows LAST
+    ordered = [r["id"] for r in df.select(
+        "id", _cosine_pairs_udf()(F.col("a"), F.col("b")).alias("c"))
+        .orderBy(F.col("c").desc()).collect()]
+    assert set(ordered[-2:]) == {2, 3}

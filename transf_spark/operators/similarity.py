@@ -144,14 +144,23 @@ def _nearest_l2_udf(ids: np.ndarray, cent: np.ndarray):
 def _cosine_pairs_udf():
     """pandas_udf: row-wise cosine between two array<double> columns —
     the vectorized re-rank kernel for candidate pairs (einsum dot, no
-    per-element lambdas)."""
+    per-element lambdas).
+
+    Non-finite results (a NULL/NaN vector element anywhere) map to -inf:
+    numpy turns a NULL element into NaN, and Spark orders NaN ABOVE every
+    double — an unguarded corrupt vector would take rank 1 in every top-k
+    it touched (round-6 review). -inf sinks it below every real cosine,
+    matching where the JVM fold's NULL landed under DESC ordering. A
+    dim-mismatched vector still fails the einsum loudly — better than the
+    fold's silent NULL."""
     @F.pandas_udf("double")
     def cos(a: pd.Series, b: pd.Series) -> pd.Series:
         ma, mb = _batch_matrix(a), _batch_matrix(b)
         num = np.einsum("bd,bd->b", ma, mb)
         den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
         den[den == 0.0] = 1.0
-        return pd.Series(num / den)
+        res = num / den
+        return pd.Series(np.where(np.isfinite(res), res, -np.inf))
 
     return cos
 
@@ -469,9 +478,8 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["q_id", "nn_id"],
         "full_outer",
     )
-    ann_struct = F.when(
-        F.col("in_ann") == 1, F.struct("rnk", "cosine")
-    )  # NULL for baseline-only rows — collect_list skips them
+    # NULL struct for baseline-only rows — collect_list skips them
+    ann_struct = F.when(F.col("in_ann") == 1, F.struct("rnk", "cosine"))
     per_q = j.groupBy("q_id").agg(
         F.sum(F.coalesce(F.col("in_ann"), F.lit(0))).alias("k_rows"),
         F.min("rnk").alias("min_rnk"),
@@ -480,9 +488,8 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cosines non-increasing when walked in rank order: sort the
         # (rnk, cosine) structs by rank, then verify the cosine sequence
         # equals its own descending sort
-        F.expr(
-            "transform(array_sort(collect_list(CASE WHEN in_ann = 1 "
-            "THEN struct(rnk, cosine) END)), x -> x.cosine)"
+        F.transform(
+            F.array_sort(F.collect_list(ann_struct)), lambda x: x["cosine"]
         ).alias("by_rank"),
         F.sum(
             (F.coalesce(F.col("in_ann"), F.lit(0)) * F.coalesce(F.col("in_bf"), F.lit(0)))
@@ -506,8 +513,12 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("k_rows") > 0).cast("long")).alias("n_queries"),
         F.min("k_rows").alias("_kmin"),
         F.max("k_rows").alias("_kmax"),
-        # coalesce: a coverage-missing query has NULL rank stats, and
-        # F.min would silently SKIP the null instead of failing the flag
+        # coalesce on ranks_ok: a coverage-missing query has NULL rank
+        # stats and F.min would silently SKIP the null instead of failing
+        # the flag. sorted_ok is vacuously TRUE there (empty array equals
+        # its own reversed sort) — coverage gaps are caught by
+        # n_queries/rows_per_query/ranks_complete, never by this flag;
+        # the coalesce is kept only as belt-and-braces.
         F.min(F.coalesce(F.col("ranks_ok"), F.lit(False)).cast("int")).alias("_ranks"),
         F.min(F.coalesce(F.col("sorted_ok"), F.lit(False)).cast("int")).alias("_sorted"),
         F.sum("n_hits_q").alias("_hits"),
