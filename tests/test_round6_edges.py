@@ -55,12 +55,43 @@ def _con(edge_dir):
     return con
 
 
+# Every documents-only query with an oracle runs against the degenerate
+# fixture — the full-family sweep that exposed seven latent divergences
+# (size(split(NULL)) = -1, NULL-text fingerprint folds, untrainable-lang
+# census, a sequence(1,-1) crash) in queries that had been green on the
+# well-formed fixtures since rounds 3-5.
 EDGE_QUERIES = [
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_fuzzy_minhash",
+    "dedup_ngram_jaccard",
+    "text_analysis_tokens",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "text_language_id",
+    "text_unigram_lm_score",
+    "text_tfidf_topk",
+    "docs_length_histogram",
     "docs_ngram_topk_per_lang",
+    "docs_perplexity_buckets",
     "docs_char_class_profile",
     "docs_token_budget_sample",
     "docs_quality_gate_report",
     "hash_noncrypto",  # xxhash64(NULL) = seed, not NULL — guarded distinct counts
+    "docs_train_val_split",
+    "docs_shard_assign",
+    "text_repetition_filter",
+    "text_denylist_scrub",
+    "text_domain_cap",
+    "text_decontaminate",
+    "text_pii_redact",
+    "docs_pack_sequences",
+    "text_segment_dedup",
+    "sample_group_topk_hash",
+    "docs_chunk_overlap",
+    "sample_stratified",
+    "multimodal_media_features",
 ]
 
 

@@ -138,7 +138,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, lang, doc_id % {PACK_SHARDS} AS shard,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens
       FROM documents
     ),
     placed AS (
@@ -173,7 +173,11 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         (F.col("doc_id") % PACK_SHARDS).cast("long").alias("shard"),
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        # coalesce BOTH dialects: size(split(NULL)) = -1 vs oracle NULL
+        # (round-6 degenerate-fixture sweep)
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .cast("long")
+        .alias("n_tokens"),
     )
     win = (
         W.partitionBy("lang", "shard")
@@ -393,7 +397,8 @@ SAMPLE_TOPK_SALT = 32  # stage-1 fan-out of the two-phase top-k
     "text_segment_dedup",
     oracle=f"""
     WITH base AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+      FROM documents
     ),
     segs AS (
       SELECT doc_id,
@@ -445,7 +450,12 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tokenize ONCE per row (a split inside the transform lambda would
     # re-run per segment — no common-subexpression elimination across
     # lambda invocations), then build all segments from the cached array.
-    segs = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
+    # coalesce BOTH dialects (round-6 degenerate sweep): size(split(NULL))
+    # is -1, and sequence(0, -1) DESCENDS — NULL-text docs emitted phantom
+    # segment rows the oracle's comprehension never produced
+    segs = docs.select(
+        "doc_id", F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks")
+    ).select(
         "doc_id",
         F.expr(
             f"""explode(transform(
@@ -535,8 +545,10 @@ CHUNK_STRIDE = 48  # chunk start spacing ⇒ 16-token overlap between chunks
 @register(
     "docs_chunk_overlap",
     oracle=f"""
-    WITH d AS (SELECT doc_id, lang, string_split(text,' ') AS toks,
-                      len(string_split(text,' ')) AS n FROM documents)
+    WITH d AS (SELECT doc_id, lang,
+                      string_split(coalesce(text, ''),' ') AS toks,
+                      len(string_split(coalesce(text, ''),' ')) AS n
+               FROM documents)
     SELECT doc_id, lang,
            CAST((s-1)//{CHUNK_STRIDE} AS BIGINT) AS chunk_id,
            CAST(s AS BIGINT) AS start_tok,
@@ -562,11 +574,15 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel, which is exactly why it belongs in the scan
     stage of a 100 TB corpus pipeline."""
     docs = load_table(spark, sf_dir, "documents")
+    # coalesce BOTH dialects (round-6 degenerate sweep): a NULL text made
+    # n = size(split(NULL)) = -1, and sequence(1, -1, stride) THROWS
+    # ("Illegal sequence boundaries") — the one query the sweep crashed
+    t = F.coalesce(F.col("text"), F.lit(""))
     toked = docs.select(
         "doc_id",
         "lang",
-        F.split("text", " ").alias("toks"),
-        F.size(F.split("text", " ")).alias("n"),
+        F.split(t, " ").alias("toks"),
+        F.size(F.split(t, " ")).alias("n"),
     )
     return (
         toked.select(

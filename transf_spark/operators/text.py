@@ -60,6 +60,7 @@ def text_analysis_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_quality_score",
     oracle=f"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
            CAST(length(text) AS BIGINT) AS n_chars,
@@ -73,8 +74,11 @@ def text_analysis_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
            0.5 * (CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL})) AS DOUBLE)
                   / len(string_split(text, ' ')))
              + 0.5 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) AS quality
-    FROM documents
+    FROM d
     """,
+    # ^ coalesce(text, '') in BOTH dialects: a NULL text makes Spark's
+    # size(split()) -1 under pinned ANSI-off while the oracle's len() is
+    # NULL (round-6 degenerate-fixture sweep)
     category="text-analysis",
     origin="EXT",
 )
@@ -83,7 +87,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword ratio, whitespace ratio, and a blended 0-1 quality score —
     the standard cheap pre-filter before expensive LLM-data cleaning.
     All ratios are exact int/int divisions ⇒ oracle-hashable."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
     toks = F.split("text", " ")
     n_tokens = F.size(toks).cast("long")
     n_chars = F.length("text").cast("long")
@@ -117,9 +123,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_count",
     oracle=r"""
     SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens,
-           CAST(ceil(length(text) / 4.0) AS BIGINT) AS len4_estimate
+           CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(coalesce(text, ''), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens,
+           CAST(ceil(length(coalesce(text, '')) / 4.0) AS BIGINT) AS len4_estimate
     FROM documents
     """,
     category="text-analysis",
@@ -129,17 +135,22 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting three ways: whitespace split, a BPE-ish regex
     (letter-runs | digit-runs | other), and the chars/4 LLM heuristic."""
     docs = load_table(spark, sf_dir, "documents")
+    # coalesce BOTH dialects: size(split(NULL)) is -1 under pinned
+    # ANSI-off where the oracle's len(NULL) is NULL (round-6 degenerate-
+    # fixture sweep; latent until a regenerated fixture carries NULL text)
+    t = F.coalesce(F.col("text"), F.lit(""))
     return docs.select(
         "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
-        F.regexp_count("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").alias("bpe_ish_tokens"),
-        F.ceil(F.length("text") / 4.0).cast("long").alias("len4_estimate"),
+        F.size(F.split(t, " ")).cast("long").alias("ws_tokens"),
+        F.regexp_count(t, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").alias("bpe_ish_tokens"),
+        F.ceil(F.length(t) / 4.0).cast("long").alias("len4_estimate"),
     )
 
 
 @register(
     "text_fingerprint",
     oracle=f"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
     SELECT doc_id,
            list_reduce(
              list_prepend(CAST(0 AS BIGINT),
@@ -150,8 +161,11 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                           list_transform(string_split(substring(text, 1, 64), ''),
                                          c -> CAST(ascii(c) AS BIGINT))),
              (a, b) -> (a * {FP_MUL} + b) % {FP_MOD}) AS head_fingerprint
-    FROM documents
+    FROM d
     """,
+    # ^ coalesce(text, '') in BOTH dialects: a NULL text folds to NULL on
+    # the Spark side but to the prepended 0 on DuckDB's (round-6 sweep) —
+    # an empty text fingerprints as 0 identically in both
     category="text-analysis",
     origin="EXT",
 )
@@ -171,8 +185,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.select(
         "doc_id",
-        fp("text").alias("fingerprint"),
-        fp("substring(text, 1, 64)").alias("head_fingerprint"),
+        fp("coalesce(text, '')").alias("fingerprint"),
+        fp("substring(coalesce(text, ''), 1, 64)").alias("head_fingerprint"),
     )
 
 
@@ -255,11 +269,16 @@ LANG_ID_ACC_FLOOR = 0.15
            CAST(SUM(CASE WHEN length(text) >= 2 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_predicted,
            CAST(0 AS BIGINT) AS n_out_of_domain,
-           CAST((SELECT COUNT(DISTINCT lang) FROM documents) AS BIGINT)
+           CAST((SELECT COUNT(DISTINCT lang) FROM documents
+                 WHERE length(text) >= 2) AS BIGINT)
              AS n_langs_predicted,
            TRUE AS acc_above_floor
     FROM documents GROUP BY lang
     """,
+    # ^ n_langs_predicted counts TRAINABLE languages (those with at least
+    # one bigram-bearing doc): a language whose every text is NULL/short
+    # trains no profile and can never be predicted (round-6 degenerate-
+    # fixture sweep — an unqualified COUNT(DISTINCT lang) broke there)
     category="text-analysis",
     origin="EXT",
 )
@@ -277,8 +296,10 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       every bigram matches ≥1 profile by construction);
     - domain: predictions only ever name training languages
       (``n_out_of_domain`` = 0);
-    - no argmax collapse: all training languages appear somewhere as a
-      prediction (``n_langs_predicted`` = exact distinct-lang count);
+    - no argmax collapse: all TRAINABLE languages (≥1 bigram-bearing doc
+      — a language of only NULL/short texts trains no profile) appear
+      somewhere as a prediction (``n_langs_predicted`` = that exact
+      count);
     - signal: overall accuracy vs the ``lang`` column clears
       LANG_ID_ACC_FLOOR (see the floor's rationale above).
 
