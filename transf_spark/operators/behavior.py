@@ -36,6 +36,7 @@ NS_PER_DAY = 86_400_000_000_000
     oracle="""
     WITH e AS (
       SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ),
     s1 AS (
       SELECT user_id, MIN(tns) AS t1 FROM e
@@ -84,7 +85,13 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionization's windows already assume; a pathological single-user
     hot key would salt/pre-filter upstream, not here. The final step
     counts are a 1-row global aggregate (second, 1-row exchange)."""
-    ev = load_table(spark, sf_dir, "events")
+    # user_id/ts NOT NULL in BOTH dialects: the oracle's per-step JOIN
+    # USING (user_id) silently drops a NULL user that the Spark groupBy
+    # fold keeps (NULL keys group but never equi-join — round-6 events
+    # sweep); an untimed event cannot participate in a strict time chain
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     per_user = (
         ev.filter(F.col("event_type").isin(*FUNNEL_STEPS))
         .groupBy("user_id")
@@ -187,7 +194,7 @@ def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type AS from_type,
              LEAD(event_type) OVER (
                PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS to_type
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     t AS (
       SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
@@ -220,7 +227,10 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization is a window over that tiny aggregate. Per-user journey
     length only affects a task's row count, not its memory (lead(1) keeps
     no per-key state beyond one row)."""
-    ev = load_table(spark, sf_dir, "events")
+    # ts IS NOT NULL in BOTH dialects: Spark windows order NULLs FIRST,
+    # DuckDB LAST — an untimed event would reorder every lead() pair in
+    # its user's journey differently per engine (round-6 events sweep)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     seq = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
     pairs = (
         ev.select(
@@ -253,7 +263,7 @@ PATH_TOP_K = 10
       SELECT event_type AS e1,
              LEAD(event_type, 1) OVER w AS e2,
              LEAD(event_type, 2) OVER w AS e3
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
     ),
     paths AS (
@@ -286,7 +296,9 @@ def events_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     global top-k ranking window runs over that tiny aggregate — its
     single-partition sort sees hundreds of rows, never the corpus (the
     same aggregate-then-rank shape as events_markov_transitions)."""
-    ev = load_table(spark, sf_dir, "events")
+    # ts IS NOT NULL: same NULLS FIRST/LAST window hazard as the markov
+    # twin (round-6 events sweep)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     seq = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
     paths = (
         ev.select(

@@ -953,7 +953,8 @@ SESSION_GAP_NS = 30 * 60 * 1_000_000_000  # 30-minute inactivity gap
     "events_sessionize",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, event_id, ts, event_type, epoch_ns(ts) AS tns FROM events
+      SELECT user_id, event_id, ts, event_type, epoch_ns(ts) AS tns
+      FROM events WHERE ts IS NOT NULL
     ),
     m AS (
       SELECT user_id, event_id, ts, event_type, tns,
@@ -994,7 +995,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash(user_id) distribution already in place, so no second exchange
     (plan-gated). At 100 TB this is the minimum movement sessionization
     admits: each user's timeline lands on one task once."""
-    ev = load_table(spark, sf_dir, "events")
+    # ts IS NOT NULL in BOTH dialects: Spark windows order NULLs FIRST,
+    # DuckDB orders them LAST, so an untimed event would shift every
+    # session boundary differently per engine (round-6 events sweep)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
     gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
     flagged = ev.withColumn(

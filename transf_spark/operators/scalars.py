@@ -194,7 +194,7 @@ def scalar_date_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(json_extract_string(props, '$.k') AS INT) % 7 AS prop_k_mod,
            CAST(to_json([event_id % 5, user_id % 5, CAST(length(event_type) AS BIGINT)]) AS VARCHAR) AS triple,
            list_contains([event_id % 5, user_id % 5], 3) AS has_three,
-           len(string_split(event_type, 'i')) - 1 AS n_i,
+           len(string_split(coalesce(event_type, ''), 'i')) - 1 AS n_i,
            CAST(user_id AS BIGINT) AS map_user
     FROM events
     """,
@@ -223,10 +223,18 @@ def scalar_array_map_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.length("event_type").cast("long"),
             )
         ).alias("triple"),
-        F.array_contains(F.array(F.col("event_id") % 5, F.col("user_id") % 5), 3).alias(
-            "has_three"
-        ),
-        (F.size(F.split("event_type", "i")) - 1).cast("long").alias("n_i"),
+        # coalesce: Spark's array_contains is THREE-valued (NULL when the
+        # probe is absent but the array holds a NULL) while DuckDB's
+        # list_contains is two-valued FALSE (round-6 events sweep)
+        F.coalesce(
+            F.array_contains(F.array(F.col("event_id") % 5, F.col("user_id") % 5), 3),
+            F.lit(False),
+        ).alias("has_three"),
+        # coalesce BOTH dialects: size(split(NULL)) = -1 (so n_i = -2)
+        # where the oracle's len(NULL) is NULL (round-6 events sweep)
+        (F.size(F.split(F.coalesce(F.col("event_type"), F.lit("")), "i")) - 1)
+        .cast("long")
+        .alias("n_i"),
         m.getItem("u").alias("map_user"),
     )
 
