@@ -1,0 +1,107 @@
+"""Degenerate-embeddings parity sweep (round-6 third family, after
+documents and events): NULL embeddings, zero vectors, tiny norms, NULL
+labels, exact-duplicate vectors. The classes this caught on first run
+(all fixed, mirrored in both dialects):
+
+- NULL embedding: DuckDB's list_inner_product ERRORS outright, and a
+  None row makes the numpy kernel's Arrow batch ragged — ``_emb_double``
+  now applies the module-wide ``embedding IS NOT NULL`` input contract,
+  mirrored in every similarity oracle;
+- the ANN census's exact rows-per-query contract was regeneration-
+  fragile (a sparse probe set legitimately returns fewer than k) —
+  redefined as bounded + contiguous-rank flags, with exact k still
+  pinned by the pytest recall gate on the known fixture.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from tests.docfixtures import write_documents
+from tests.oracle import compare
+from transf_spark.queries import REGISTRY, queries
+
+_D = 8
+
+
+def _vec(seed: int, scale: float = 1.0) -> list[float]:
+    return [((seed * 31 + i * 7) % 13 - 6) / 6.0 * scale for i in range(_D)]
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("edge_emb"))
+    rows = [
+        (0, _vec(1), 0),            # query vector (vec_id % 100 == 0)
+        (1, _vec(2), 0),
+        (2, _vec(3), 1),
+        (3, [0.0] * _D, 1),         # zero vector — 0-norm guard
+        (4, _vec(5), None),         # NULL label
+        (5, None, 2),               # NULL embedding — input contract
+        (6, _vec(1), 2),            # exact duplicate of vec 0
+        (100, _vec(9), 3),          # second query
+        (7, _vec(2, 1e-30), 3),     # tiny-norm vector
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out, "embeddings.parquet"))
+    # documents twin for the multimodal join
+    write_documents(
+        out, [(i, f"doc text {i} alpha beta", "en", "srcA") for i in range(8)]
+    )
+    return out
+
+
+EDGE_EMB_QUERIES = [
+    "similarity_topk_cosine",
+    "dedup_embedding_cosine",
+    "embedding_norm_stats",
+    "embedding_quantize_int8",
+    "embedding_label_centroid_cosine",
+    "similarity_ann_lsh",
+    "multimodal_doc_join",
+]
+
+
+@pytest.mark.parametrize("name", EDGE_EMB_QUERIES)
+def test_embedding_queries_survive_degenerate_rows(spark, edge_emb_dir, name):
+    queries()  # populate the registry
+    spec = REGISTRY[name]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{edge_emb_dir}/embeddings.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{edge_emb_dir}/documents.parquet')"
+    )
+    try:
+        problems = compare(spec.fn(spark, edge_emb_dir), con, spec.oracle)
+    finally:
+        con.close()
+    assert not problems, "; ".join(str(p) for p in problems)
+
+
+def test_null_embedding_excluded_duplicate_pair_found(spark, edge_emb_dir):
+    """Semantics sanity: the NULL-embedding row is excluded by the input
+    contract (not crashed on), and the engineered exact-duplicate vector
+    pair (0, 6) is still found at cosine ≈ 1."""
+    queries()
+    pairs = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+        for r in REGISTRY["dedup_embedding_cosine"].fn(spark, edge_emb_dir).collect()
+    }
+    assert (0, 6) in pairs and abs(pairs[(0, 6)] - 1.0) < 1e-9
+    assert not any(5 in p for p in pairs), "NULL-embedding row must not pair"

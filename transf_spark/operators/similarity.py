@@ -166,8 +166,13 @@ def _cosine_pairs_udf():
 
 
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings widened to double — the module's shared input contract:
+    ``embedding IS NOT NULL`` (a vector-less row cannot participate in any
+    vector math; DuckDB's list_inner_product ERRORS on it outright, and a
+    None row makes the Arrow batch ragged in the numpy kernels — round-6
+    embeddings sweep). Every oracle mirrors the same predicate."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
+    return emb.filter(F.col("embedding").isNotNull()).select(
         "vec_id", "label", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
     )
 
@@ -175,7 +180,8 @@ def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "similarity_topk_cosine",
     oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
     q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
     scored AS (
       SELECT q.q_id, e.vec_id AS nn_id,
@@ -236,7 +242,8 @@ def _brute_topk(spark: SparkSession, sf_dir: str, *, kernel: bool) -> DataFrame:
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL)
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
            list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
@@ -430,11 +437,11 @@ ANN_LSH_RECALL_FLOOR = 0.15
     "similarity_ann_lsh",
     oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
-           CAST({TOP_K} AS BIGINT) AS rows_per_query,
-           TRUE AS ranks_complete,
+           TRUE AS k_rows_bounded,
+           TRUE AS ranks_contiguous,
            TRUE AS cosines_sorted,
            TRUE AS recall_above_floor
-    FROM embeddings WHERE vec_id % 100 = 0
+    FROM embeddings WHERE vec_id % 100 = 0 AND embedding IS NOT NULL
     """,
     category="similarity",
     origin="EXT",
@@ -447,10 +454,14 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate by construction — but the index's CONTRACTS can, each
     stated as the exact value it must equal:
 
-    - coverage: every designated query vector (vec_id % 100 == 0) gets an
-      answer — ``n_queries`` must equal the oracle's exact count;
-    - completeness: every query returns exactly TOP_K rows with ranks
-      1..k (``rows_per_query`` = k, ``ranks_complete``);
+    - coverage: every designated query vector (vec_id % 100 == 0, with a
+      vector) gets an answer — ``n_queries`` must equal the oracle's
+      exact count;
+    - completeness: every query returns 1..TOP_K rows (``k_rows_bounded``
+      — NOT "exactly TOP_K": a sparse probe set can legitimately hold
+      fewer than k candidates, so an exact-k contract would flake on
+      regeneration; the pytest gate still pins exact k on the known
+      fixture) with contiguous ranks 1..k_rows (``ranks_contiguous``);
     - ordering: per-query cosines are non-increasing in rank
       (``cosines_sorted``);
     - quality: recall against the exact brute-force baseline clears
@@ -501,9 +512,14 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_rows",
         "n_hits_q",
         "n_true_q",
-        ((F.col("min_rnk") == 1) & (F.col("max_rnk") == TOP_K) & (F.col("n_rnk") == TOP_K)).alias(
-            "ranks_ok"
-        ),
+        (F.col("k_rows").between(1, TOP_K)).alias("k_ok"),
+        # contiguity 1..k_rows, not exactly TOP_K: a sparse probe set can
+        # legitimately return fewer than k candidates
+        (
+            (F.col("min_rnk") == 1)
+            & (F.col("max_rnk") == F.col("k_rows"))
+            & (F.col("n_rnk") == F.col("k_rows"))
+        ).alias("ranks_ok"),
         (
             F.col("by_rank")
             == F.reverse(F.array_sort("by_rank"))
@@ -511,24 +527,21 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_q.agg(
         F.sum((F.col("k_rows") > 0).cast("long")).alias("n_queries"),
-        F.min("k_rows").alias("_kmin"),
-        F.max("k_rows").alias("_kmax"),
         # coalesce on ranks_ok: a coverage-missing query has NULL rank
         # stats and F.min would silently SKIP the null instead of failing
         # the flag. sorted_ok is vacuously TRUE there (empty array equals
         # its own reversed sort) — coverage gaps are caught by
-        # n_queries/rows_per_query/ranks_complete, never by this flag;
+        # n_queries/k_rows_bounded/ranks_contiguous, never by this flag;
         # the coalesce is kept only as belt-and-braces.
+        F.min(F.coalesce(F.col("k_ok"), F.lit(False)).cast("int")).alias("_kok"),
         F.min(F.coalesce(F.col("ranks_ok"), F.lit(False)).cast("int")).alias("_ranks"),
         F.min(F.coalesce(F.col("sorted_ok"), F.lit(False)).cast("int")).alias("_sorted"),
         F.sum("n_hits_q").alias("_hits"),
         F.sum("n_true_q").alias("_true"),
     ).select(
         "n_queries",
-        F.when(F.col("_kmin") == F.col("_kmax"), F.col("_kmax").cast("long"))
-        .otherwise(F.lit(-1))
-        .alias("rows_per_query"),
-        (F.col("_ranks") == 1).alias("ranks_complete"),
+        (F.col("_kok") == 1).alias("k_rows_bounded"),
+        (F.col("_ranks") == 1).alias("ranks_contiguous"),
         (F.col("_sorted") == 1).alias("cosines_sorted"),
         (
             F.col("_hits").cast("double") / F.col("_true") >= ANN_LSH_RECALL_FLOOR
@@ -770,7 +783,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(embedding) AS BIGINT) AS dim,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     )
     SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
@@ -812,7 +825,8 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_quantize_int8",
     oracle="""
-    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
     q AS (
       SELECT vec_id, label, v,
              list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS qscale
@@ -981,6 +995,7 @@ CENTROID_QUANT = 1_000_000
                AS qv
       FROM embeddings,
            LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+      WHERE embedding IS NOT NULL
     ),
     cent AS (
       SELECT label, pos,
@@ -990,7 +1005,8 @@ CENTROID_QUANT = 1_000_000
     arr AS (
       SELECT label, list(c ORDER BY pos) AS cv, CAST(MAX(n) AS BIGINT) AS n
       FROM (SELECT cent.label, cent.pos, cent.c, cnt.n
-            FROM cent JOIN (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label) cnt
+            FROM cent JOIN (SELECT label, COUNT(*) AS n FROM embeddings
+                            WHERE embedding IS NOT NULL GROUP BY label) cnt
             USING (label))
       GROUP BY label
     )
