@@ -500,7 +500,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY epoch_ns(ts), event_id) AS rna,
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rnd
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id,
            MAX(CASE WHEN rna = 1 THEN event_type END) AS first_touch,
@@ -529,7 +529,10 @@ def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives 100 TB (per-key state is one (key, value) pair; a window form
     would sort every user's history). Ties are impossible: event_id is
     unique and tie-breaks equal timestamps in both engines."""
-    ev = load_table(spark, sf_dir, "events")
+    # ts IS NOT NULL in BOTH dialects: an untimed event has no
+    # chronological position — Spark's struct-min_by ranks a NULL ts_ns
+    # LOWEST while the oracle's window orders it LAST (round-6 sweep)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     ordkey = F.struct("ts_ns", "event_id")
     return ev.groupBy("user_id").agg(
         F.min_by("event_type", ordkey).alias("first_touch"),

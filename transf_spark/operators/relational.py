@@ -409,8 +409,14 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_ao"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("_ap"),
     )
-    return exact.join(F.broadcast(approx), "l_returnflag").select(
-        "l_returnflag",
+    # eqNullSafe: a NULL group key (regeneration-latent) exists on BOTH
+    # sides but would never plain-equi-join — the oracle's GROUP BY keeps
+    # the NULL group, so the rejoin must too (round-6 universe sweep)
+    return exact.join(
+        F.broadcast(approx),
+        exact["l_returnflag"].eqNullSafe(approx["l_returnflag"]),
+    ).select(
+        exact["l_returnflag"],
         "n_orders",
         "n_parts",
         (F.abs(F.col("_ao") - F.col("n_orders")) <= 0.05 * F.col("n_orders")).alias(
@@ -813,7 +819,12 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.5D)").alias("median_exact"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    j = li.join(F.broadcast(appx), "l_returnflag")
+    # eqNullSafe: a NULL group key must rejoin its own sketch row (the
+    # oracle's GROUP BY keeps the NULL group — round-6 universe sweep)
+    appx = appx.withColumnRenamed("l_returnflag", "_rf")
+    j = li.join(
+        F.broadcast(appx), F.col("l_returnflag").eqNullSafe(F.col("_rf"))
+    ).drop("_rf")
     aggs = [
         F.first("median_exact").alias("median_exact"),
         F.first("n_rows").alias("n_rows"),

@@ -432,7 +432,10 @@ def fmt_size_udf(size: pd.Series) -> pd.Series:
         num = str(s) + ("" if p == 0 else "." + p_str)
         return num + " " + units[i]
 
-    return size.map(one)
+    # na_action="ignore": a NULL size reaches the batch as NaN (nullable
+    # int64 → float64) and int(NaN) raises — NULL passes through as NULL,
+    # matching the oracle's NULL-propagating CASE (round-6 universe sweep)
+    return size.map(one, na_action="ignore")
 
 
 @register(

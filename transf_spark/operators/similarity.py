@@ -512,13 +512,19 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_rows",
         "n_hits_q",
         "n_true_q",
-        (F.col("k_rows").between(1, TOP_K)).alias("k_ok"),
+        # 0..TOP_K, not 1..TOP_K: an empty probe set is legitimate sparse-
+        # bucket behavior (a BROKEN index — all-empty — reds via the
+        # recall floor instead)
+        (F.col("k_rows").between(0, TOP_K)).alias("k_ok"),
         # contiguity 1..k_rows, not exactly TOP_K: a sparse probe set can
-        # legitimately return fewer than k candidates
+        # legitimately return fewer than k candidates; vacuous when empty
         (
-            (F.col("min_rnk") == 1)
-            & (F.col("max_rnk") == F.col("k_rows"))
-            & (F.col("n_rnk") == F.col("k_rows"))
+            (F.col("k_rows") == 0)
+            | (
+                (F.col("min_rnk") == 1)
+                & (F.col("max_rnk") == F.col("k_rows"))
+                & (F.col("n_rnk") == F.col("k_rows"))
+            )
         ).alias("ranks_ok"),
         (
             F.col("by_rank")
@@ -526,7 +532,14 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sorted_ok"),
     )
     return per_q.agg(
-        F.sum((F.col("k_rows") > 0).cast("long")).alias("n_queries"),
+        # a designated query appears in per_q through EITHER side of the
+        # full-outer join (the brute-force baseline answers every query on
+        # any corpus ≥ 2 vectors, even when a sparse probe set leaves the
+        # ANN side empty) — counting only k_rows > 0 undercounted against
+        # the oracle's designated-query census (round-6 universe sweep)
+        F.sum(
+            ((F.col("k_rows") > 0) | (F.col("n_true_q") > 0)).cast("long")
+        ).alias("n_queries"),
         # coalesce on ranks_ok: a coverage-missing query has NULL rank
         # stats and F.min would silently SKIP the null instead of failing
         # the flag. sorted_ok is vacuously TRUE there (empty array equals

@@ -41,7 +41,8 @@ HLL_BOUND = 0.05  # |estimate − exact| ≤ 5%·exact (default lgK=12 ⇒ ~1.6%
       SELECT o_custkey AS c_custkey, CAST(o_orderdate AS DATE) AS valid_from,
              o_orderpriority AS segment
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
-                                         ORDER BY o_orderkey DESC) AS rn FROM orders)
+                                         ORDER BY o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate IS NOT NULL)
       WHERE rn = 1
     ),
     hist AS (
@@ -84,6 +85,11 @@ def merge_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     day = F.col("o_orderdate").cast("date")
+    # o_orderdate IS NOT NULL in BOTH dialects: an undated change event
+    # has no position on the validity timeline, and a NULL valid_from
+    # sorts FIRST in Spark windows but LAST in DuckDB's — shifting the
+    # whole collapse/interval chain (round-6 universe sweep)
+    orders = orders.filter(F.col("o_orderdate").isNotNull())
     upd = (
         orders.withColumn(
             "rn",
@@ -217,8 +223,14 @@ def agg_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = orders.groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").alias("n_exact")
     )
-    return exact.join(F.broadcast(merged), "o_orderstatus").select(
-        "o_orderstatus",
+    # eqNullSafe: a NULL status group (regeneration-latent) exists on both
+    # sides but never plain-equi-joins, silently dropping the group the
+    # oracle's GROUP BY keeps (round-6 universe sweep)
+    return exact.join(
+        F.broadcast(merged),
+        exact["o_orderstatus"].eqNullSafe(merged["o_orderstatus"]),
+    ).select(
+        exact["o_orderstatus"],
         "n_exact",
         (
             F.abs(F.col("est") - F.col("n_exact")) <= HLL_BOUND * F.col("n_exact")
@@ -384,7 +396,11 @@ def agg_incremental_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(day).alias("last_day"),
         )
 
-    state = partial(orders.filter(day < split))
+    # The two partitions must be a TOTAL cover of the table or the
+    # merge-equals-direct invariant breaks: a NULL o_orderdate satisfies
+    # neither `< split` nor `>= split` and silently vanished from both
+    # (round-6 universe sweep). Undated rows are classified as history.
+    state = partial(orders.filter((day < split) | day.isNull()))
     delta = partial(orders.filter(day >= split))
     return (
         state.unionByName(delta)
