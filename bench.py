@@ -181,20 +181,24 @@ def main() -> None:
     # (15.4s vs 19.4s for the same 12-query subset) — far larger than any
     # real plan change. min-of-N measures steady-state plan cost, not host
     # contention; "reps"/"agg" in the JSON make the protocol explicit.
-    # (min-of-3 since round 5 — the 39-query headline set gave host noise
-    # more chances to contaminate a 2-rep minimum.)
-    REPS = 3
+    # (min-of-3 since round 5; min-of-5 AND pass-interleaved since round 8:
+    # round 7 measured a 6.2x swing on one unchanged query, meaning a
+    # contention burst can span 3 BACK-TO-BACK reps of the same query.
+    # Interleaving — run the whole set once per pass, take each query's min
+    # ACROSS passes — spreads a query's reps minutes apart, so a burst must
+    # persist for the entire run to contaminate its minimum.)
+    REPS = 5
 
     def run_set(d: str) -> dict[str, float]:
         t: dict[str, float] = {}
-        for name in names:
-            best = float("inf")
-            for _ in range(REPS):
+        for _ in range(REPS):
+            for name in names:
                 t0 = time.perf_counter()
                 materialize(registry[name](spark, d))
-                best = min(best, time.perf_counter() - t0)
-            t[name] = round(best, 4)
-        return t
+                dt = time.perf_counter() - t0
+                if dt < t.get(name, float("inf")):
+                    t[name] = dt
+        return {name: round(v, 4) for name, v in t.items()}
 
     timings = run_set(sf_dir)
     total = round(sum(timings.values()), 3)

@@ -80,8 +80,10 @@ def test_ann_ivf_topk_recall_vs_bruteforce(spark):
     partitioning respects cosine geometry better than independent sign
     bits on near-random data); the floor catches a broken index while
     leaving headroom (random recall ≈ 0.02)."""
+    from transf_spark.operators.similarity import ann_ivf_topk
+
     qs = queries()
-    ivf = qs["similarity_ann_ivf"](spark, SF).collect()
+    ivf = ann_ivf_topk(spark, SF).collect()
     bf = qs["similarity_topk_cosine"](spark, SF).collect()
 
     bf_queries = {r["q_id"] for r in bf}
@@ -119,7 +121,7 @@ def test_kmeans_inertia_monotone_and_assignment_optimal(spark):
     assert inertias[0] >= inertias[1] * (1 - 1e-12)
     assert inertias[1] >= inertias[2] * (1 - 1e-12)
 
-    rows = queries()["embedding_kmeans"](spark, SF).collect()
+    rows = s.kmeans_cluster_profile(spark, SF).collect()
     assert 1 <= len(rows) <= s.KMEANS_K
     n = sum(r["n_vecs"] for r in rows)
     from transf_spark.sources.tables import load_table
@@ -156,7 +158,7 @@ def test_pca_matches_offline_numpy_and_invariants(spark):
     assert 0 < evr.sum() <= 1 + 1e-12
 
     # projection parity: Spark map pass == numpy projection
-    rows = queries()["embedding_pca_project"](spark, SF).collect()
+    rows = s.pca_projection_rows(spark, SF).collect()
     assert len(rows) == len(x)
     # declared output is flat pc0..pc7 scalars (driver canon can't hash arrays)
     by_id = {
@@ -167,6 +169,46 @@ def test_pca_matches_offline_numpy_and_invariants(spark):
     offline = (x - x.mean(0)) @ comps.T
     for i, vid in enumerate(ids):
         assert np.allclose(by_id[vid], offline[i], atol=1e-9)
+
+
+def test_promoted_censuses_all_green_on_fixture(spark):
+    """Round-8 census promotions: the four formerly rows-only queries now
+    declare invariant censuses — on the known fixture every flag must be
+    TRUE and every exact count must equal the fixture's ground truth
+    (5 designated queries, 500 vectors at sf0.01)."""
+    from transf_spark.sources.tables import load_table
+
+    qs = queries()
+    n_vecs = load_table(spark, SF, "embeddings").count()
+
+    for name in ("similarity_ann_lsh", "similarity_ann_ivf"):
+        row = qs[name](spark, SF).collect()
+        assert len(row) == 1, name
+        r = row[0]
+        assert r["n_queries"] == 5, name
+        for flag in (
+            "k_rows_bounded",
+            "ranks_contiguous",
+            "cosines_sorted",
+            "recall_above_floor",
+        ):
+            assert r[flag] is True, f"{name}.{flag}"
+
+    (km,) = qs["embedding_kmeans"](spark, SF).collect()
+    assert km["n_vecs_total"] == n_vecs
+    assert km["k_bounded"] is True
+    assert km["assignment_optimal"] is True
+    assert km["inertia_monotone"] is True
+
+    (pca,) = qs["embedding_pca_project"](spark, SF).collect()
+    assert pca["n_rows"] == n_vecs
+    for flag in (
+        "components_orthonormal",
+        "evr_valid",
+        "variance_ordered",
+        "projections_centered",
+    ):
+        assert pca[flag] is True, flag
 
 
 def test_cosine_kernel_sinks_corrupt_vectors(spark):

@@ -46,11 +46,14 @@ def test_cli_run_explain_oracle_roundtrip(spark):
         assert cli.cmd_oracle(_ns(name="agg_mode_exact")) == 0
     assert "OK" in buf.getvalue()
 
-    # rows-only query: reported as such, exit 0 (ann_lsh graduated to an
-    # invariant-census oracle in round 6; IVF is still rows-only)
+    # rows-only query: reported as such, exit 0 (the ANN/kmeans/PCA/frame
+    # family graduated to invariant-census oracles in rounds 6-8; the
+    # stateful stream — whose batch cross-check is embedded — is the one
+    # rows-only query left, and the CLI must short-circuit WITHOUT running
+    # it, so this stays cheap)
     buf = io.StringIO()
     with redirect_stdout(buf):
-        assert cli.cmd_oracle(_ns(name="similarity_ann_ivf")) == 0
+        assert cli.cmd_oracle(_ns(name="stream_stateful_reassembly")) == 0
     assert "rows-only" in buf.getvalue()
 
 

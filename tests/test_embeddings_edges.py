@@ -71,6 +71,11 @@ EDGE_EMB_QUERIES = [
     "embedding_label_centroid_cosine",
     "similarity_ann_lsh",
     "multimodal_doc_join",
+    # round-8 census promotions — the iterative/approximate family must
+    # survive NULL embeddings, zero vectors and tiny norms like the rest
+    "similarity_ann_ivf",
+    "embedding_kmeans",
+    "embedding_pca_project",
 ]
 
 

@@ -85,6 +85,9 @@ EDGE_EVENT_QUERIES = [
     "scalar_date_math_suite",
     "scalar_array_map_json_suite",
     "agg_skew_salted_two_stage",
+    # round-8 additions
+    "events_user_lifecycle",
+    "agg_bitmap_distinct_segments",
 ]
 
 

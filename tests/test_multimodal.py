@@ -38,10 +38,10 @@ def test_frame_sample_expansion_matches_stub_decode(spark):
     from transf_spark.operators.multimodal import (
         FRAME_STRIDE,
         THUMB_MAX,
-        multimodal_frame_sample,
+        frame_sample_rows,
     )
 
-    rows = multimodal_frame_sample(spark, SF).collect()
+    rows = frame_sample_rows(spark, SF).collect()
     by_doc = {}
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r)

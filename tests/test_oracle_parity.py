@@ -155,10 +155,15 @@ def test_debt_priorities_match_known_history():
         if rnd == 4:  # until a round-5+ row supersedes it
             assert not green, f"{name} r4 row should parse as red"
             assert q._grading_priority(name, hist) == -1
-    # rows-only query that executed → green at its round, not red
+    # rows-only query that executed → green at its round, not red — but the
+    # round-8 census promotion marks it semantics-changed, so until an r8+
+    # row lands it must rank as ungraded (-1), then settle at its round
     rnd, green = hist["multimodal_frame_sample"]
     assert green, "rows-only executed row must count as green"
-    assert q._grading_priority("multimodal_frame_sample", hist) == rnd
+    expected = (
+        -1 if rnd < q._SEMANTICS_CHANGED_IN["multimodal_frame_sample"] else rnd
+    )
+    assert q._grading_priority("multimodal_frame_sample", hist) == expected
     # a semantics change overrides a green history row until re-graded
     rnd, green = hist["stream_stateful_reassembly"]
     assert green

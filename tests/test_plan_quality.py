@@ -402,7 +402,9 @@ def test_ann_ivf_assignment_is_map_only_single_window_exchange(spark):
     Arrow-batched closures, so the ONLY exchange in the whole plan is the
     final per-query top-k window on q_id. A crossJoin (nested-loop) or an
     assignment shuffle reappearing here means the n×K row blowup is back."""
-    df = _q(spark, "similarity_ann_ivf")
+    from transf_spark.operators.similarity import ann_ivf_topk
+
+    df = ann_ivf_topk(spark, SF)
     st = plan_stats(df)
     assert st.nested_loop_joins == 0, "centroid scoring must not crossJoin"
     assert st.exchanges == 1, "only the q_id top-k window may shuffle"
@@ -415,7 +417,9 @@ def test_kmeans_profile_single_exchange_no_joins(spark):
     (centroids are closure literals), so the output plan is scan → UDF →
     one groupBy(c_id) exchange. Joins or extra exchanges mean the
     crossJoin/struct-argmin form regressed."""
-    df = _q(spark, "embedding_kmeans")
+    from transf_spark.operators.similarity import kmeans_cluster_profile
+
+    df = kmeans_cluster_profile(spark, SF)
     st = plan_stats(df)
     assert st.exchanges == 1
     assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
@@ -479,7 +483,9 @@ def test_pca_projection_is_map_only(spark):
     """PCA projection: the fitted mean/components are closure literals, so
     the output plan is scan → vectorized map — zero exchanges, no joins.
     (The fit's own moment pass is a separate bounded-collect job.)"""
-    df = _q(spark, "embedding_pca_project")
+    from transf_spark.operators.similarity import pca_projection_rows
+
+    df = pca_projection_rows(spark, SF)
     st = plan_stats(df)
     assert st.exchanges == 0
     assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
@@ -940,3 +946,44 @@ def test_text_lines_roundtrip_single_census_exchange(spark):
     st = plan_stats(df)
     assert st.exchanges == 1
     assert st.broadcast_joins == 0 and st.sort_merge_joins == 0
+
+
+def test_user_lifecycle_single_user_shuffle_pruned(spark):
+    """Growth accounting: the whole lifecycle classification rides ONE
+    user_id exchange (the collect_set aggregate) plus the calendar-sized
+    day census — a lag/lead window formulation would add a third; the scan
+    must read only (user_id, ts)."""
+    df = _q(spark, "events_user_lifecycle")
+    st = plan_stats(df)
+    assert st.exchanges == 2
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+    assert scan_columns(df) == [{"user_id", "ts"}]
+
+
+def test_bitmap_distinct_two_exchanges_pruned(spark):
+    """Roaring-lite bitmap distinct: level-1 (segment, word) bit_or and
+    level-2 segment sum — both map-side combinable, nothing else; the scan
+    reads only (event_type, user_id). An Expand or a third exchange means
+    the two-level mergeable shape regressed to expand-based distinct."""
+    df = _q(spark, "agg_bitmap_distinct_segments")
+    st = plan_stats(df)
+    assert st.exchanges == 2
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+    from transf_spark.plans.inspect import physical_plan
+
+    assert "Expand" not in physical_plan(df)
+    assert scan_columns(df) == [{"event_type", "user_id"}]
+
+
+def test_mixture_reweight_broadcasts_weights(spark):
+    """Mixture reweighting: group stats + totals window + broadcast
+    rejoin + census — three exchanges total (stats agg, the 1-partition
+    window over the GROUP-sized aggregate, final census), the weight table
+    joins back as a broadcast (a sort-merge join here would shuffle the
+    corpus a second time), and the stats scan is pruned to the group
+    keys."""
+    df = _q(spark, "docs_mixture_reweight")
+    st = plan_stats(df)
+    assert st.exchanges == 3
+    assert st.broadcast_joins == 1 and st.sort_merge_joins == 0
+    assert {"lang", "source"} in scan_columns(df)

@@ -92,6 +92,9 @@ EDGE_QUERIES = [
     "docs_chunk_overlap",
     "sample_stratified",
     "multimodal_media_features",
+    "multimodal_frame_sample",  # r8 census promotion — same stub pipeline
+    "docs_mixture_reweight",  # r8 — NULL (lang, source) groups must survive
+    "scan_jsonl_corrupt_tolerant",  # r8 — JSON twin of the CSV corrupt scan
 ]
 
 

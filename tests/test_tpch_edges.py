@@ -46,10 +46,16 @@ def _tpch_only_queries() -> list[str]:
     for name, spec in REGISTRY.items():
         if spec.oracle is None:
             continue
-        src = inspect.getsource(spec.fn)
-        if any(f'"{t}"' in src for t in _TPCH) and not any(
-            f'"{t}"' in src or t in src for t in _OTHER
-        ):
+        # function source for load_table("<t>") callers; the ORACLE SQL for
+        # the sql-api family, whose table references live in module-level
+        # SQL constants the function source never mentions (round-8 fix —
+        # discovery had silently skipped every spark.sql query, so the
+        # whole sql_* family missed the degenerate sweep)
+        src = inspect.getsource(spec.fn) + " " + spec.oracle
+        if (
+            any(f'"{t}"' in src for t in _TPCH)
+            or any(f" {t}" in spec.oracle for t in _TPCH)
+        ) and not any(f'"{t}"' in src or t in src for t in _OTHER):
             out.append(name)
     return out
 

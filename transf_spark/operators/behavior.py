@@ -320,6 +320,9 @@ def events_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_journeys"))
     )
+    # deliberate single-partition window — expected "No Partition Defined"
+    # WindowExec warning; its input is the path AGGREGATE (bounded at
+    # |event-type|³ ≈ a few hundred rows), never the event stream
     rank = W.orderBy(F.col("n_journeys").desc(), F.col("path").asc())
     return (
         paths.withColumn("rnk", F.row_number().over(rank))
@@ -717,4 +720,111 @@ def agg_linreg_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         slope.alias("slope_per_day"),
         intercept.alias("intercept"),
+    )
+
+
+@register(
+    "events_user_lifecycle",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    w AS (
+      SELECT user_id, day,
+             lag(day)  OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day,
+             MIN(day)  OVER (PARTITION BY user_id) AS first_day
+      FROM act
+    ),
+    entries AS (
+      SELECT day,
+             CASE WHEN day = first_day THEN 1 ELSE 0 END AS is_new,
+             CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END AS is_ret,
+             CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1 THEN 1 ELSE 0 END
+               AS is_res,
+             0 AS is_churn
+      FROM w
+      UNION ALL
+      SELECT day + 1 AS day, 0, 0, 0, 1
+      FROM w WHERE next_day IS NULL OR next_day > day + 1
+    )
+    SELECT day,
+           CAST(SUM(is_new) AS BIGINT) AS n_new,
+           CAST(SUM(is_ret) AS BIGINT) AS n_retained,
+           CAST(SUM(is_res) AS BIGINT) AS n_resurrected,
+           CAST(SUM(is_churn) AS BIGINT) AS n_churned
+    FROM entries GROUP BY day
+    """,
+    category="aggregation/growth-accounting",
+    origin="EXT",
+)
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting lifecycle census — the daily
+    new/retained/resurrected/churned user counts every product warehouse
+    derives from its event stream (the session-GC question of
+    `transf_server.cpp:78-131` — "was this session active the next
+    interval?" — asked per user per day):
+
+    - new: first-ever active day;
+    - retained: active today AND yesterday;
+    - resurrected: active today, seen before, but not yesterday;
+    - churned (attributed to day d): active on d-1, not active on d —
+      emitted even past the last observed day (the standard convention:
+      every active day eventually churns or retains).
+
+    NULL user_id / NULL ts rows are excluded in BOTH dialects (NULL is not
+    a user; NULL is an ordering key — the Spark-NULLS-FIRST vs
+    DuckDB-NULLS-LAST window class).
+
+    Plan at scale: ONE user_id exchange total — per user, the sorted
+    distinct activity-day array is built by a map-side-combinable
+    collect_set aggregate (bounded by the calendar: ≤ 365·years entries
+    per user), and the new/retained/resurrected/churn classification of
+    EVERY day is a pure array expression over it (the oracle states the
+    same algebra with lag/lead windows — two formulations, one answer).
+    The final day census is a second small exchange on ~calendar-sized
+    keys. No self-join, no fact-table window."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    per_user = ev.select("user_id", F.to_date("ts").alias("day")).groupBy(
+        "user_id"
+    ).agg(F.array_sort(F.collect_set("day")).alias("ds"))
+    # per active day i (0-based): new ⇔ i = 0; retained ⇔ gap to the
+    # previous day is exactly 1; resurrected ⇔ gap > 1. Churn entries ride
+    # the same array: day+1 for every day whose successor is absent
+    # (element_at past the end is NULL under the pinned non-ANSI semantics,
+    # so the last day always churns).
+    entries = F.expr(
+        """
+        concat(
+          transform(ds, (d, i) -> struct(
+            d AS day,
+            IF(i = 0, 1, 0) AS is_new,
+            IF(i = 0, 0, IF(datediff(d, element_at(ds, i)) = 1, 1, 0)) AS is_ret,
+            IF(i = 0, 0, IF(datediff(d, element_at(ds, i)) > 1, 1, 0)) AS is_res,
+            0 AS is_churn)),
+          filter(
+            transform(ds, (d, i) -> IF(
+              element_at(ds, i + 2) IS NULL
+                OR datediff(element_at(ds, i + 2), d) > 1,
+              struct(date_add(d, 1) AS day, 0 AS is_new, 0 AS is_ret,
+                     0 AS is_res, 1 AS is_churn),
+              CAST(NULL AS struct<day:date,is_new:int,is_ret:int,is_res:int,
+                                  is_churn:int>))),
+            x -> x IS NOT NULL)
+        )
+        """
+    )
+    return (
+        per_user.select(F.explode(entries).alias("e"))
+        .select("e.*")
+        .groupBy("day")
+        .agg(
+            F.sum("is_new").cast("long").alias("n_new"),
+            F.sum("is_ret").cast("long").alias("n_retained"),
+            F.sum("is_res").cast("long").alias("n_resurrected"),
+            F.sum("is_churn").cast("long").alias("n_churned"),
+        )
     )

@@ -267,19 +267,16 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register(
-    "multimodal_frame_sample",
-    oracle=None,  # stubbed decode — rows-only (determinism + shape in tests)
-    category="multimodal",
-    origin="EXT",
-)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def frame_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling + resize metadata: binary payload →
     ``mapInPandas`` → one row per sampled frame (stride 5) with byte offset
     and aspect-preserving 128px-max thumbnail dims. The Spark-side contract
     being exercised is 1→N expansion inside an Arrow batch — the shape a
     real ffmpeg keyframe sampler plugs into unchanged (swap ``_decode_stub``
-    for the demuxer). Pure map stage: no shuffle, scales with input bytes."""
+    for the demuxer). Pure map stage: no shuffle, scales with input bytes.
+    This is the useful per-row surface (stride/offset/thumb exactness also
+    pinned in tests/test_multimodal.py); the DECLARED query is the
+    invariant census below."""
     docs = load_table(spark, sf_dir, "documents")
     # text IS NOT NULL: a null payload reaches the worker as None and
     # bytes(None) raises TypeError inside mapInPandas — same
@@ -288,6 +285,112 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("content")
     )
     return payloads.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT CAST(COUNT(text) AS BIGINT) AS n_docs,
+           TRUE AS stride_counts_exact,
+           TRUE AS frame_indices_exact,
+           TRUE AS offsets_exact,
+           TRUE AS thumbs_exact
+    FROM documents WHERE text IS NOT NULL
+    """,
+    category="multimodal",
+    origin="EXT",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling invariant census — the hash-checkable declared form of
+    the stub-decode expansion pipeline (promoted from rows-only in round 8;
+    the ``multimodal_media_features`` census device). The stub's frame
+    counts cannot be oracled (DuckDB cannot replay the prefix hash), but
+    every contract of the EXPANSION — what the rows-only check left
+    unpinned — is re-derived exactly from the INDEPENDENT media-features
+    pipeline (same stub decode, different mapInPandas worker) and stated
+    as a flag the oracle pins TRUE:
+
+    - coverage: every non-NULL document yields frame rows and survives the
+      per-doc join — ``n_docs`` must equal the oracle's exact count;
+    - ``stride_counts_exact``: per doc, #rows == ceil(n_frames / STRIDE);
+    - ``frame_indices_exact``: indices are exactly {0, S, 2S, ...} — min 0,
+      max (rows-1)·S, all distinct;
+    - ``offsets_exact``: offsets start at 0 and SUM to
+      frame_bytes · S · rows·(rows-1)/2 — the closed form of
+      Σ idx·frame_bytes, with frame_bytes re-derived JVM-side as
+      max(1, n_bytes div n_frames);
+    - ``thumbs_exact``: both thumbnail dims equal the JVM recompute
+      max(1, trunc(dim · THUMB_MAX/max(w,h))) — bit-identical IEEE ops to
+      the worker's numpy, so equality is exact, not a tolerance.
+
+    Plan: frame map stage → per-doc aggregate (one doc_id exchange) →
+    join the media-features per-doc rows on doc_id → one global aggregate.
+    Each mapInPandas subtree evaluates once; at 100 TB both are pure map
+    stages over the payload bytes. Per-row surface:
+    :func:`frame_sample_rows`."""
+    frames = frame_sample_rows(spark, sf_dir)
+    per_doc = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("frame_idx").alias("min_idx"),
+        F.max("frame_idx").alias("max_idx"),
+        F.count_distinct("frame_idx").alias("n_idx"),
+        F.min("frame_offset").alias("min_off"),
+        F.sum("frame_offset").alias("sum_off"),
+        F.min("thumb_w").alias("tw_min"),
+        F.max("thumb_w").alias("tw_max"),
+        F.min("thumb_h").alias("th_min"),
+        F.max("thumb_h").alias("th_max"),
+    )
+    mf = media_feature_rows(spark, sf_dir).select(
+        "doc_id", "width", "height", "n_frames", "n_bytes"
+    )
+    j = per_doc.join(mf, "doc_id")
+    n_samp = F.expr(f"(n_frames + {FRAME_STRIDE - 1}) div {FRAME_STRIDE}")
+    fb = F.greatest(F.lit(1).cast("long"), F.expr("n_bytes div n_frames"))
+    # identical IEEE double ops to the worker's numpy: scale = 128/max(w,h)
+    # in float64, dim*scale truncated toward zero (both dims positive)
+    scale = F.lit(float(THUMB_MAX)) / F.greatest("width", "height").cast("double")
+    tw_exp = F.greatest(F.lit(1), (F.col("width").cast("double") * scale).cast("long"))
+    th_exp = F.greatest(F.lit(1), (F.col("height").cast("double") * scale).cast("long"))
+    per_doc_flags = j.select(
+        (F.col("n_rows") == n_samp).alias("stride_ok"),
+        (
+            (F.col("min_idx") == 0)
+            & (F.col("max_idx") == (F.col("n_rows") - 1) * FRAME_STRIDE)
+            & (F.col("n_idx") == F.col("n_rows"))
+        ).alias("idx_ok"),
+        (
+            (F.col("min_off") == 0)
+            & (
+                F.col("sum_off")
+                == fb * FRAME_STRIDE * F.col("n_rows") * (F.col("n_rows") - 1) / 2
+            )
+        ).alias("off_ok"),
+        (
+            (F.col("tw_min") == tw_exp)
+            & (F.col("tw_max") == tw_exp)
+            & (F.col("th_min") == th_exp)
+            & (F.col("th_max") == th_exp)
+        ).alias("thumb_ok"),
+    )
+    # coalesce(..., TRUE): an all-NULL-text corpus legitimately yields zero
+    # per-doc rows — the flags are vacuously true there (coverage is still
+    # pinned by n_docs == the oracle count), never NULL on the driver's hash
+    return per_doc_flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.min(F.col("stride_ok").cast("int")) == 1, F.lit(True)).alias(
+            "stride_counts_exact"
+        ),
+        F.coalesce(F.min(F.col("idx_ok").cast("int")) == 1, F.lit(True)).alias(
+            "frame_indices_exact"
+        ),
+        F.coalesce(F.min(F.col("off_ok").cast("int")) == 1, F.lit(True)).alias(
+            "offsets_exact"
+        ),
+        F.coalesce(F.min(F.col("thumb_ok").cast("int")) == 1, F.lit(True)).alias(
+            "thumbs_exact"
+        ),
+    )
 
 
 # ---- REAL image decode (PGM — dependency-free) ----------------------------

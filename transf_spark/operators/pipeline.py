@@ -1004,3 +1004,117 @@ def docs_quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_pass_all").cast("double") / F.col("n_total"),
         )
     )
+
+
+# Mixture-reweighting resolution: keep-probabilities are quantized to
+# basis points (1/10000) so the md5-draw threshold is an EXACT integer
+# both engines state identically — the same device as every sampler in
+# this module, never a float compare on a draw boundary.
+MIX_BP = 10_000
+
+
+@register(
+    "docs_mixture_reweight",
+    oracle=f"""
+    WITH stats AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS g_docs
+      FROM documents GROUP BY lang, source
+    ),
+    w AS (
+      SELECT lang, source, g_docs,
+             CAST(CAST(SUM(g_docs) OVER () AS BIGINT) AS DOUBLE)
+               / CAST(CAST(COUNT(*) OVER () AS BIGINT) * g_docs AS DOUBLE)
+               AS weight
+      FROM stats
+    ),
+    wb AS (
+      SELECT lang, source, g_docs, weight,
+             CAST(floor(least(weight, 1.0) * {MIX_BP}) AS BIGINT) AS keep_bp
+      FROM w
+    ),
+    j AS (
+      SELECT wb.lang AS lang, wb.source AS source, wb.weight, wb.keep_bp,
+             d.n_chars,
+             CAST(concat('0x', substring(md5(CAST(d.doc_id AS STRING) || ':mix'), 1, 8))
+                  AS BIGINT) % {MIX_BP} AS draw
+      FROM documents d
+      JOIN wb ON d.lang IS NOT DISTINCT FROM wb.lang
+             AND d.source IS NOT DISTINCT FROM wb.source
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(weight) AS weight,
+           MIN(keep_bp) AS keep_bp,
+           CAST(SUM(CASE WHEN draw < keep_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN draw < keep_bp THEN n_chars END) AS BIGINT) AS kept_chars
+    FROM j GROUP BY lang, source
+    """,
+    category="pipeline/mixture",
+    origin="EXT",
+)
+def docs_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style mixture reweighting — the knob that turns corpus
+    statistics into an actually re-balanced training mix. Target mixture is
+    UNIFORM over the observed (lang, source) domains; each group's sampling
+    weight is target_share / actual_share = n_total / (n_groups · n_docs) —
+    an exact ratio of integers, so the double is bit-identical on both
+    engines. Down-sampling-only application: keep-probability
+    min(1, weight) quantized to basis points, applied as a salted md5 draw
+    (``:mix`` salt — stable under retry/re-run like the split/shard
+    devices). Declared output is the mixture manifest: per group the
+    original count, weight, integer keep threshold, and the EXACT
+    post-sample census (kept docs + kept chars) the draw produces.
+
+    Plan at scale: group stats are ONE map-side-combinable aggregate; the
+    totals ride an unpartitioned window over the GROUP-COUNT-sized
+    aggregate (the shard_assign device — never the fact table); weights
+    broadcast back onto the corpus (null-safe on the group keys: NULL
+    lang/source groups survive GROUP BY and must survive the rejoin —
+    round-5 checklist class); the final census is a second aggregate on
+    the same group key. Two corpus passes total — stats and apply — the
+    canonical shape of every mixture pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("g_docs"))
+    every = W.partitionBy(F.lit(1))
+    w = stats.select(
+        F.col("lang").alias("g_lang"),
+        F.col("source").alias("g_source"),
+        (
+            F.sum("g_docs").over(every).cast("long").cast("double")
+            / (F.count(F.lit(1)).over(every).cast("long") * F.col("g_docs")).cast(
+                "double"
+            )
+        ).alias("weight"),
+    ).withColumn(
+        "keep_bp", F.floor(F.least(F.col("weight"), F.lit(1.0)) * MIX_BP).cast("long")
+    )
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % MIX_BP
+    )
+    j = docs.join(
+        F.broadcast(w),
+        docs["lang"].eqNullSafe(w["g_lang"])
+        & docs["source"].eqNullSafe(w["g_source"]),
+    ).select(
+        F.col("g_lang").alias("lang"),
+        F.col("g_source").alias("source"),
+        "weight",
+        "keep_bp",
+        "n_chars",
+        draw.alias("draw"),
+    )
+    kept = F.col("draw") < F.col("keep_bp")
+    return j.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("weight").alias("weight"),
+        F.min("keep_bp").alias("keep_bp"),
+        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars"))).cast("long").alias("kept_chars"),
+    )

@@ -7,9 +7,11 @@
 - ``similarity_ann_lsh``       — random-hyperplane LSH bucketed ANN (the
                                  100 TB scale path; approximate — declared
                                  as a hash-checked invariant census since
-                                 round 6, per-row surface ``ann_lsh_topk``)
+                                 round 6, per-row surface ``ann_lsh_topk``;
+                                 recall baseline sample-bounded since r8)
 - ``similarity_ann_ivf``       — IVF coarse-quantized ANN (second scale
-                                 path; approximate ⇒ rows-only, recall-gated)
+                                 path; approximate — invariant census since
+                                 round 8, per-row surface ``ann_ivf_topk``)
 
 Float parity engineering: dot products fold left-to-right in double on both
 engines (Spark ``aggregate(zip_with(...))`` vs DuckDB ``list_dot_product``),
@@ -208,21 +210,47 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _brute_topk(spark, sf_dir, kernel=False)
 
 
-def brute_topk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Bound on the recall baseline's query set (round-7 verdict item 1): the
+# census's brute-force comparison must NOT scale as O(queries × corpus) with
+# the full designated-query population — at 100 TB that term is the one
+# quadratic-ish cost left in the declared plans. The baseline therefore runs
+# on a FIXED md5-drawn sample of the designated queries (deterministic under
+# regeneration and retry — same device as every sampler in pipeline.py);
+# coverage/ordering contracts still census ALL queries (the ANN side is
+# sublinear), only the recall ratio is measured on the sample. At the test
+# fixtures (≤150 designated queries) the sample covers every query, so the
+# declared census values are unchanged.
+ANN_RECALL_SAMPLE = 256
+
+
+def brute_topk_kernel(
+    spark: SparkSession, sf_dir: str, *, sample: bool = False
+) -> DataFrame:
     """Same brute-force top-k, scored by the vectorized einsum kernel —
     the baseline the ANN census measures recall against. Not oracle-bound,
     so the kernel's different float summation order is free (it can flip a
     rank only on an exact-tie boundary, where the nn_id tie-break applies
     identically); at a 20k-vector probe the interpreted fold measured
-    2 min vs seconds for the kernel."""
-    return _brute_topk(spark, sf_dir, kernel=True)
+    2 min vs seconds for the kernel. With ``sample=True`` the query set is
+    bounded to the ``ANN_RECALL_SAMPLE`` smallest-md5 designated queries —
+    the census recall baseline, O(sample × corpus) instead of
+    O(queries × corpus)."""
+    return _brute_topk(spark, sf_dir, kernel=True, sample=sample)
 
 
-def _brute_topk(spark: SparkSession, sf_dir: str, *, kernel: bool) -> DataFrame:
+def _brute_topk(
+    spark: SparkSession, sf_dir: str, *, kernel: bool, sample: bool = False
+) -> DataFrame:
     e = _emb_double(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
+    if sample:
+        # TakeOrderedAndProject — a distributed partial top-k, never a
+        # global sort; md5 draw is stable across regeneration and retry
+        q = q.orderBy(F.md5(F.col("q_id").cast("string")), F.col("q_id")).limit(
+            ANN_RECALL_SAMPLE
+        )
     if kernel:
         cosine = _cosine_pairs_udf()(F.col("qv"), F.col("v"))
     else:
@@ -433,31 +461,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_LSH_RECALL_FLOOR = 0.15
 
 
-@register(
-    "similarity_ann_lsh",
-    oracle=f"""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
-           TRUE AS k_rows_bounded,
-           TRUE AS ranks_contiguous,
-           TRUE AS cosines_sorted,
-           TRUE AS recall_above_floor
-    FROM embeddings WHERE vec_id % 100 = 0 AND embedding IS NOT NULL
-    """,
-    category="similarity",
-    origin="EXT",
-)
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN-LSH invariant census — the hash-checkable declared form of the
+def _ann_census(
+    spark: SparkSession, sf_dir: str, ann: DataFrame, recall_floor: float
+) -> DataFrame:
+    """Shared ANN invariant census — the hash-checkable declared form of an
     approximate index (the ``text_language_id`` / ``agg_approx_distinct``
-    invariant-oracle device). The per-query top-k rows (see
-    :func:`ann_lsh_topk`) cannot be oracled value-for-value — the index is
-    approximate by construction — but the index's CONTRACTS can, each
-    stated as the exact value it must equal:
+    invariant-oracle device), used by both ``similarity_ann_lsh`` and
+    ``similarity_ann_ivf``. The per-query top-k rows cannot be oracled
+    value-for-value — the index is approximate by construction — but the
+    index's CONTRACTS can, each stated as the exact value it must equal:
 
     - coverage: every designated query vector (vec_id % 100 == 0, with a
-      vector) gets an answer — ``n_queries`` must equal the oracle's
-      exact count;
-    - completeness: every query returns 1..TOP_K rows (``k_rows_bounded``
+      vector) appears in the census — ``n_queries`` must equal the
+      oracle's exact count;
+    - completeness: every query returns 0..TOP_K rows (``k_rows_bounded``
       — NOT "exactly TOP_K": a sparse probe set can legitimately hold
       fewer than k candidates, so an exact-k contract would flake on
       regeneration; the pytest gate still pins exact k on the known
@@ -465,34 +482,58 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ordering: per-query cosines are non-increasing in rank
       (``cosines_sorted``);
     - quality: recall against the exact brute-force baseline clears
-      ANN_LSH_RECALL_FLOOR (see the floor's rationale above). The
-      brute-force comparison is fixture-affordable; at production scale
-      this invariant runs on a held-out query sample, not the corpus.
+      ``recall_floor``. The baseline is BOUNDED to the fixed
+      ``ANN_RECALL_SAMPLE`` smallest-md5 designated queries (round-7
+      verdict item 1): at production scale the brute-force term is
+      O(sample × corpus) — linear in the corpus — never
+      O(queries × corpus); coverage/ordering still census ALL queries.
 
-    Plan: the LSH top-k (broadcast probes, bucket join, candidate
-    re-rank), the exact baseline on the same query set, one join on
-    (q_id, nn_id) to count hits, and three 1-row aggregates folded into
-    the census."""
-    ann = ann_lsh_topk(spark, sf_dir)
-    # kernel-scored baseline: the recall check needs the true top-k SET,
-    # not DuckDB-parity cosines — see brute_topk_kernel
-    bf = brute_topk_kernel(spark, sf_dir)
-    # ONE linear chain — full-outer pair join, per-query aggregate, global
-    # aggregate — so the ANN and brute-force subtrees each evaluate ONCE.
-    # The earlier fan-in (per-q stats ⋈ hit count ⋈ baseline count as
-    # three branches) re-derived both expensive subtrees per branch:
-    # measured 147 s vs ~15 s of component work on a 20k-vector probe.
-    j = ann.select(
-        "q_id", "nn_id", "rnk", "cosine", F.lit(1).alias("in_ann")
-    ).join(
-        bf.select("q_id", "nn_id", F.lit(1).alias("in_bf")),
-        ["q_id", "nn_id"],
-        "full_outer",
+    Plan — ONE linear chain so each expensive subtree evaluates ONCE
+    (a per-q-stats ⋈ hit-count ⋈ baseline-count fan-in re-derived both
+    subtrees per branch: measured 147 s vs ~15 s of component work on a
+    20k-vector probe): union {designated-query sentinels, ANN rows,
+    sampled baseline rows} → pair aggregate on (q_id, nn_id) → per-query
+    aggregate → global census. The sentinel rows make coverage exact even
+    for a query outside the recall sample whose probe set is legitimately
+    empty (neither real side would emit it)."""
+    bf = brute_topk_kernel(spark, sf_dir, sample=True)
+    e = _emb_double(spark, sf_dir)
+    sentinels = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.lit(None).cast("long").alias("nn_id"),
+        F.lit(None).cast("long").alias("rnk"),
+        F.lit(None).cast("double").alias("cosine"),
+        F.lit(0).alias("in_ann"),
+        F.lit(0).alias("in_bf"),
     )
-    # NULL struct for baseline-only rows — collect_list skips them
+    a = ann.select(
+        "q_id", "nn_id", "rnk", "cosine", F.lit(1).alias("in_ann"), F.lit(0).alias("in_bf")
+    )
+    b = bf.select(
+        "q_id",
+        "nn_id",
+        F.lit(None).cast("long").alias("rnk"),
+        F.lit(None).cast("double").alias("cosine"),
+        F.lit(0).alias("in_ann"),
+        F.lit(1).alias("in_bf"),
+    )
+    # groupBy keeps the sentinel's NULL nn_id as its own group per q_id —
+    # it can never merge with a real (q_id, nn_id) pair
+    pairs = (
+        sentinels.unionByName(a)
+        .unionByName(b)
+        .groupBy("q_id", "nn_id")
+        .agg(
+            F.max("in_ann").alias("in_ann"),
+            F.max("in_bf").alias("in_bf"),
+            F.max("rnk").alias("rnk"),
+            F.max("cosine").alias("cosine"),
+        )
+    )
+    # NULL struct for sentinel/baseline-only rows — collect_list skips them
     ann_struct = F.when(F.col("in_ann") == 1, F.struct("rnk", "cosine"))
-    per_q = j.groupBy("q_id").agg(
-        F.sum(F.coalesce(F.col("in_ann"), F.lit(0))).alias("k_rows"),
+    per_q = pairs.groupBy("q_id").agg(
+        F.sum("in_ann").alias("k_rows"),
         F.min("rnk").alias("min_rnk"),
         F.max("rnk").alias("max_rnk"),
         F.count_distinct("rnk").alias("n_rnk"),
@@ -502,10 +543,8 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.array_sort(F.collect_list(ann_struct)), lambda x: x["cosine"]
         ).alias("by_rank"),
-        F.sum(
-            (F.coalesce(F.col("in_ann"), F.lit(0)) * F.coalesce(F.col("in_bf"), F.lit(0)))
-        ).alias("n_hits_q"),
-        F.sum(F.coalesce(F.col("in_bf"), F.lit(0))).alias("n_true_q"),
+        F.sum(F.col("in_ann") * F.col("in_bf")).alias("n_hits_q"),
+        F.sum("in_bf").alias("n_true_q"),
     )
     per_q = per_q.select(
         "q_id",
@@ -532,20 +571,14 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sorted_ok"),
     )
     return per_q.agg(
-        # a designated query appears in per_q through EITHER side of the
-        # full-outer join (the brute-force baseline answers every query on
-        # any corpus ≥ 2 vectors, even when a sparse probe set leaves the
-        # ANN side empty) — counting only k_rows > 0 undercounted against
-        # the oracle's designated-query census (round-6 universe sweep)
-        F.sum(
-            ((F.col("k_rows") > 0) | (F.col("n_true_q") > 0)).cast("long")
-        ).alias("n_queries"),
-        # coalesce on ranks_ok: a coverage-missing query has NULL rank
-        # stats and F.min would silently SKIP the null instead of failing
-        # the flag. sorted_ok is vacuously TRUE there (empty array equals
-        # its own reversed sort) — coverage gaps are caught by
-        # n_queries/k_rows_bounded/ranks_contiguous, never by this flag;
-        # the coalesce is kept only as belt-and-braces.
+        # every designated query appears in per_q through its sentinel row,
+        # even when a sparse probe set leaves the ANN side empty AND the
+        # query falls outside the recall sample — counting from the output
+        # sides alone undercounted there (round-6 universe sweep; the
+        # sample bound would have widened that hole)
+        F.count(F.lit(1)).alias("n_queries"),
+        # coalesce on the flags: a NULL from empty aggregation must fail
+        # loudly, never be silently skipped by F.min
         F.min(F.coalesce(F.col("k_ok"), F.lit(False)).cast("int")).alias("_kok"),
         F.min(F.coalesce(F.col("ranks_ok"), F.lit(False)).cast("int")).alias("_ranks"),
         F.min(F.coalesce(F.col("sorted_ok"), F.lit(False)).cast("int")).alias("_sorted"),
@@ -556,10 +589,40 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_kok") == 1).alias("k_rows_bounded"),
         (F.col("_ranks") == 1).alias("ranks_contiguous"),
         (F.col("_sorted") == 1).alias("cosines_sorted"),
+        # a corpus too small for any baseline answer (single-vector corner)
+        # is legitimate emptiness, not a recall failure — collapse modes
+        # still red via 0-hit ratios on any real corpus
         (
-            F.col("_hits").cast("double") / F.col("_true") >= ANN_LSH_RECALL_FLOOR
+            (F.col("_true") == 0)
+            | (F.col("_hits").cast("double") / F.col("_true") >= recall_floor)
         ).alias("recall_above_floor"),
     )
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           TRUE AS k_rows_bounded,
+           TRUE AS ranks_contiguous,
+           TRUE AS cosines_sorted,
+           TRUE AS recall_above_floor
+    FROM embeddings WHERE vec_id % 100 = 0 AND embedding IS NOT NULL
+    """,
+    category="similarity",
+    origin="EXT",
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-LSH invariant census — see :func:`_ann_census` for the declared
+    contracts (coverage / k-completeness / rank contiguity / cosine
+    ordering / recall floor). The recall baseline is SAMPLE-BOUNDED: it
+    scores only the fixed ``ANN_RECALL_SAMPLE`` smallest-md5 designated
+    queries against the corpus, so the census carries no
+    O(queries × corpus) brute-force term at scale (round-7 verdict; the
+    fixtures' query sets fit inside the sample, so declared values are
+    unchanged there). Index side: broadcast probes, bucket join,
+    vectorized candidate re-rank (:func:`ann_lsh_topk`)."""
+    return _ann_census(spark, sf_dir, ann_lsh_topk(spark, sf_dir), ANN_LSH_RECALL_FLOOR)
 
 
 IVF_K = 32  # coarse centroids — ~sqrt(n) at the probe fixture
@@ -592,14 +655,7 @@ def _ivf_cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return (app, staging_tag(sf_dir, "embeddings"))
 
 
-@register(
-    "similarity_ann_ivf",
-    oracle=None,  # approximate by construction — rows-only; recall vs brute
-    # force asserted in tests/test_ann_recall.py (same contract as LSH twin)
-    category="similarity",
-    origin="EXT",
-)
-def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) coarse-quantized ANN top-k — the second
     scale-path index beside ``similarity_ann_lsh``, same query surface as
     ``similarity_topk_cosine``.
@@ -682,6 +738,40 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Recall floor for the IVF census (pytest gate in tests/test_ann_recall.py
+# holds the same 0.4): measured 0.66 deterministic on the fixture with
+# spherical-Lloyd-trained centroids at 6/32 probes; 0.4 sits under the
+# observed band but far above the collapse modes (broken list join ≈ 0.0,
+# random lists ≈ 6/32 ≈ 0.19 of the corpus scanned).
+ANN_IVF_RECALL_FLOOR = 0.4
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           TRUE AS k_rows_bounded,
+           TRUE AS ranks_contiguous,
+           TRUE AS cosines_sorted,
+           TRUE AS recall_above_floor
+    FROM embeddings WHERE vec_id % 100 = 0 AND embedding IS NOT NULL
+    """,
+    category="similarity",
+    origin="EXT",
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF invariant census — the hash-checkable declared form of the
+    inverted-file index (promoted from rows-only in round 8; same device
+    as the LSH twin — see :func:`_ann_census` for the declared contracts).
+    The recall baseline is SAMPLE-BOUNDED to the fixed
+    ``ANN_RECALL_SAMPLE`` smallest-md5 designated queries, so the census
+    carries no O(queries × corpus) brute-force term at scale. Floor 0.4
+    vs measured 0.66 (see ``ANN_IVF_RECALL_FLOOR``). Per-query top-k
+    surface: :func:`ann_ivf_topk` (schema + recall pinned in
+    tests/test_ann_recall.py)."""
+    return _ann_census(spark, sf_dir, ann_ivf_topk(spark, sf_dir), ANN_IVF_RECALL_FLOOR)
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 3
 
@@ -700,6 +790,11 @@ def _lloyd_rounds(train: DataFrame, ids, cent, iters: int, metric: str):
             nearest = _nearest_cosine_udf(ids, cent)
             assigned = train.select("vec_id", "v", nearest("v").alias("c_id"))
         rows = _kmeans_recenter(assigned).collect()
+        if not rows:
+            # degenerate corpus (empty training split) — keep the current
+            # centroids rather than collapsing to a 0×d matrix the kernels
+            # cannot matmul against
+            break
         ids, cent = _centroid_matrix(rows, "c_id", "cv")
     return ids, cent
 
@@ -768,23 +863,98 @@ def _kmeans(spark: SparkSession, sf_dir: str, iters: int = KMEANS_ITERS):
     return assigned, cent_df
 
 
-@register(
-    "embedding_kmeans",
-    oracle=None,  # iterative algorithm — rows-only; inertia monotonicity and
-    # assignment optimality property-tested in tests/test_ann_recall.py
-    category="similarity/clustering",
-    origin="EXT",
-)
-def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic clustering of the embedding corpus — the curation step that
-    groups near-topic documents for balanced sampling / cluster-level dedup,
-    and the trained-centroid upgrade for ``similarity_ann_ivf``. Fixed
-    3-iteration Lloyd from the deterministic seed; output is the per-cluster
-    profile (size + mean squared distance to centroid)."""
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster profile (size + mean squared distance to centroid) — the
+    useful per-row surface of the k-means run; cluster count / size-sum /
+    non-negativity pinned in tests/test_ann_recall.py. The DECLARED query
+    is the invariant census below."""
     assigned, _ = _kmeans(spark, sf_dir)
     return assigned.groupBy("c_id").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg("d2"), 6).alias("avg_d2"),
+    )
+
+
+@register(
+    "embedding_kmeans",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs_total,
+           TRUE AS k_bounded,
+           TRUE AS assignment_optimal,
+           TRUE AS inertia_monotone
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
+    category="similarity/clustering",
+    origin="EXT",
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means invariant census — the hash-checkable declared form of the
+    iterative Lloyd run (promoted from rows-only in round 8; the
+    property-test invariants of tests/test_ann_recall.py lifted into the
+    declared output, per the round-7 verdict):
+
+    - coverage: every vector is assigned exactly once — ``n_vecs_total``
+      must equal the oracle's exact non-NULL-embedding count;
+    - ``k_bounded``: 1..KMEANS_K clusters survive (empty-cluster
+      degeneracy may drop some — never add any);
+    - ``assignment_optimal``: each vector's assigned d² equals the MINIMUM
+      over the final centroids, re-derived INDEPENDENTLY of the numpy
+      argmin kernel by a JVM ``aggregate(zip_with(...))`` fold over the
+      broadcast K-row centroid table (different code path, different float
+      summation order — equality within 1e-9 catches a broken kernel, not
+      fp noise);
+    - ``inertia_monotone``: total inertia after KMEANS_ITERS rounds is ≤
+      the (KMEANS_ITERS-1)-round inertia — Lloyd's defining property.
+
+    Plan: assignment is the shuffle-free vectorized map; the optimality
+    re-check fans each vector out against the K broadcast centroids (K=8
+    row blowup — the index-build audit, run once per trained index, not
+    per query) and folds per-vector, then one global aggregate; the
+    previous-round inertia attaches as a broadcast 1-row scalar. Per-
+    cluster surface: :func:`kmeans_cluster_profile`."""
+    assigned, cent_df = _kmeans(spark, sf_dir)
+    d2_jvm = F.expr(
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)),"
+        " cast(0.0 AS double), (acc, z) -> acc + z)"
+    )
+    per_vec = (
+        assigned.crossJoin(
+            F.broadcast(cent_df.select(F.col("c_id").alias("cc_id"), "cv"))
+        )
+        .select("vec_id", "c_id", "d2", d2_jvm.alias("d2c"))
+        .groupBy("vec_id")
+        .agg(
+            F.min("c_id").alias("c_id"),  # constant per vec_id
+            F.min("d2").alias("d2a"),  # constant per vec_id
+            F.min("d2c").alias("d2m"),
+        )
+    )
+    prev_assigned, _ = _kmeans(spark, sf_dir, iters=KMEANS_ITERS - 1)
+    prev = prev_assigned.agg(F.sum("d2").alias("inertia_prev"))
+    return (
+        per_vec.agg(
+            F.count(F.lit(1)).alias("n_vecs_total"),
+            F.count_distinct("c_id").alias("_k"),
+            # numpy diff-einsum vs JVM fold: same float64 terms, different
+            # summation order — slack is fp-noise-sized, far below any
+            # real misassignment's gap
+            F.min(
+                (
+                    F.col("d2a") <= F.col("d2m") + F.lit(1e-9) + F.col("d2m") * 1e-9
+                ).cast("int")
+            ).alias("_opt"),
+            F.sum("d2a").alias("_inertia"),
+        )
+        .crossJoin(F.broadcast(prev))
+        .select(
+            "n_vecs_total",
+            F.col("_k").between(1, KMEANS_K).alias("k_bounded"),
+            (F.col("_opt") == 1).alias("assignment_optimal"),
+            (
+                F.col("_inertia")
+                <= F.col("inertia_prev") * (1 + 1e-12) + 1e-12
+            ).alias("inertia_monotone"),
+        )
     )
 
 
@@ -958,26 +1128,15 @@ def _pca_fit(spark: SparkSession, sf_dir: str):
     return mean, comps, evr
 
 
-@register(
-    "embedding_pca_project",
-    oracle=None,  # eigendecomposition — rows-only; orthonormality, variance
-    # ordering and parity with an offline numpy PCA are property-tested in
-    # tests/test_ann_recall.py
-    category="similarity/decomposition",
-    origin="EXT",
-)
-def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA dimensionality reduction of the embedding corpus — the standard
-    pre-step before clustering/visualization and the whitening stage of
-    embedding-dedup pipelines. Fit is one distributed moment pass
-    (see _pca_fit); projection is a second shuffle-free Arrow-vectorized
-    map (center, matmul against the R×d closure matrix). Output: each
-    vector's R principal coordinates as SCALAR columns pc0..pc7 — the
-    driver's pandas canonicalizer cannot sort/hash array-typed columns,
-    so the single struct-returning UDF call is expanded to flat doubles
-    (one UDF evaluation either way; still map-only end to end,
-    plan-gated), both corpus passes embarrassingly parallel."""
-    mean, comps, _ = _pca_fit(spark, sf_dir)
+def _pca_project(
+    spark: SparkSession, sf_dir: str, mean: np.ndarray, comps: np.ndarray
+) -> DataFrame:
+    """Shuffle-free Arrow-vectorized projection pass (center, matmul against
+    the R×d closure matrix). Output: each vector's R principal coordinates
+    as SCALAR columns pc0..pc7 — the driver's pandas canonicalizer cannot
+    sort/hash array-typed columns, so the single struct-returning UDF call
+    is expanded to flat doubles (one UDF evaluation either way; map-only,
+    plan-gated)."""
     ct = comps.T  # d×R
     fields = ", ".join(f"pc{i} double" for i in range(PCA_COMPONENTS))
 
@@ -989,6 +1148,86 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_double(spark, sf_dir)
     return e.select("vec_id", "label", project("v").alias("p")).select(
         "vec_id", "label", "p.*"
+    )
+
+
+def pca_projection_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector principal coordinates (pc0..pc7) — the useful per-row
+    surface of the PCA run; offline-numpy parity, orthonormality and
+    variance ordering pinned in tests/test_ann_recall.py. The DECLARED
+    query is the invariant census below. Fit is one distributed moment
+    pass (see _pca_fit); projection a second shuffle-free map — both
+    corpus passes embarrassingly parallel."""
+    mean, comps, _ = _pca_fit(spark, sf_dir)
+    return _pca_project(spark, sf_dir, mean, comps)
+
+
+@register(
+    "embedding_pca_project",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS components_orthonormal,
+           TRUE AS evr_valid,
+           TRUE AS variance_ordered,
+           TRUE AS projections_centered
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
+    category="similarity/decomposition",
+    origin="EXT",
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA invariant census — the hash-checkable declared form of the
+    eigendecomposition pipeline (promoted from rows-only in round 8; the
+    tests/test_ann_recall.py invariants lifted into the declared output,
+    per the round-7 verdict):
+
+    - coverage: one projected row per vector — ``n_rows`` must equal the
+      oracle's exact non-NULL-embedding count;
+    - ``components_orthonormal`` / ``evr_valid``: the fitted R×d component
+      matrix satisfies C·Cᵀ = I and the explained-variance ratios are
+      non-increasing, in [0, 1], summing to ≤ 1 — checked driver-side on
+      the bounded R×d fit result (d² work, independent of corpus size);
+    - ``variance_ordered``: the DISTRIBUTED per-component population
+      variance of the projected coordinates is non-increasing in component
+      index (mathematically Var(pc_i) = λ_i — this re-derives the
+      eigenvalue ordering from the projection output itself, so a
+      scrambled/mis-signed projection pass reds even with a perfect fit);
+    - ``projections_centered``: every component's projected mean is 0
+      within fp noise (the centering step survived the Arrow boundary).
+
+    Plan: one moment pass (fit), one projection map pass, ONE global
+    aggregate (count + 8×(var_pop, avg)) — linear chain, no joins. Per-row
+    surface: :func:`pca_projection_rows`."""
+    mean, comps, evr = _pca_fit(spark, sf_dir)
+    ortho = bool(
+        np.allclose(comps @ comps.T, np.eye(comps.shape[0]), atol=1e-9)
+    )
+    evr_ok = bool(
+        np.all(evr >= 0.0)
+        and float(evr.sum()) <= 1.0 + 1e-12
+        and np.all(np.diff(evr) <= 1e-12)
+    )
+    proj = _pca_project(spark, sf_dir, mean, comps)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i in range(PCA_COMPONENTS):
+        aggs.append(F.var_pop(f"pc{i}").alias(f"_v{i}"))
+        aggs.append(F.avg(f"pc{i}").alias(f"_m{i}"))
+    g = proj.agg(*aggs)
+    # variance non-increasing with fp-noise slack scaled by the top variance
+    var_ordered = F.lit(True)
+    for i in range(PCA_COMPONENTS - 1):
+        var_ordered = var_ordered & (
+            F.col(f"_v{i}") >= F.col(f"_v{i + 1}") - F.col("_v0") * 1e-9 - F.lit(1e-12)
+        )
+    centered = F.lit(True)
+    for i in range(PCA_COMPONENTS):
+        centered = centered & (F.abs(F.col(f"_m{i}")) <= 1e-6)
+    return g.select(
+        "n_rows",
+        F.lit(ortho).alias("components_orthonormal"),
+        F.lit(evr_ok).alias("evr_valid"),
+        var_ordered.alias("variance_ordered"),
+        centered.alias("projections_centered"),
     )
 
 

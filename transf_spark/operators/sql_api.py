@@ -657,3 +657,108 @@ def sql_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations. No fact-table window, no correlated re-execution."""
     register_views(spark, sf_dir)
     return spark.sql(_LOST_CUSTOMERS_SQL)
+
+
+# TPC-H Q8 shape restated on the fixture's vocabulary (r_name regions are
+# real; nations are NATION_N; p_type classes replace the three-token TPC-H
+# types). The market-share ratio divides two exact-decimal sums CAST TO
+# DOUBLE FIRST — decimal division scale rules differ between engines, but
+# double division of identical doubles is IEEE-identical; NULLIF guards the
+# all-zero-volume group a degenerate fixture can produce (Spark's non-ANSI
+# x/0 → NULL vs DuckDB's inf would otherwise diverge). EXTRACT(YEAR) is
+# cast to INT on both (DuckDB returns BIGINT).
+_MARKET_SHARE_SQL = f"""
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN nation = 'NATION_9' THEN volume
+                              ELSE CAST(0.00 AS DECIMAL(12,2)) END) AS DOUBLE)
+                / NULLIF(CAST(SUM(volume) AS DOUBLE), 0.0) AS DOUBLE)
+             AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             {SQL_DISC_PRICE} AS volume,
+             n2.n_name AS nation
+      FROM lineitem
+      JOIN part      ON p_partkey = l_partkey
+      JOIN orders    ON l_orderkey = o_orderkey
+      JOIN customer  ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN supplier  ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+        AND p_type = 'MEDIUM'
+    ) all_nations
+    GROUP BY o_year
+"""
+
+
+@register(
+    "sql_market_share",
+    oracle=_MARKET_SHARE_SQL,
+    category="sql-api",
+    origin="EXT",
+)
+def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one supplier nation's share
+    of a region's revenue for a part class, per order year — the
+    conditional-ratio aggregate over the 8-table join with nation in TWO
+    roles (customer-side region membership via n1, supplier-side share
+    attribution via n2). IDENTICAL text on both engines.
+
+    Plan at scale: part/customer/nation×2/region/supplier are all
+    dimensions — every one broadcasts, so the ONLY fact shuffle is
+    lineitem⋈orders on the order key; the r_name and p_type equality
+    predicates prune the region and part broadcasts BEFORE they ship
+    (dynamic filters then prune the fact scan). The conditional numerator
+    and the denominator ride ONE aggregate over a ≤7-row year domain —
+    map-side partials collapse everything before the final exchange."""
+    register_views(spark, sf_dir)
+    return spark.sql(_MARKET_SHARE_SQL)
+
+
+# TPC-H Q18 shape: l_quantity values are INTEGERS stored as doubles
+# (fixture-checked), so the per-order SUM is exact at any summation order
+# and the > 300 threshold compare is deterministic — the same device as
+# the Q17 analog's 0.2·avg threshold.
+_LARGE_ORDERS_SQL = """
+    SELECT c_name,
+           c_custkey,
+           o_orderkey,
+           o_orderdate,
+           o_totalprice,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 300.0
+      )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+@register(
+    "sql_large_orders",
+    oracle=_LARGE_ORDERS_SQL,
+    category="sql-api",
+    origin="EXT",
+)
+def sql_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose summed
+    lineitem quantity clears a threshold, with their customer — the
+    HAVING-subquery semi-join form (the one decorrelation shape the board
+    didn't cover: an IN over a grouped-HAVING derived set). IDENTICAL
+    text on both engines.
+
+    Plan at scale: the IN-subquery decorrelates to a semi-join against
+    the per-order quantity aggregate — keyed on l_orderkey, the SAME key
+    the outer lineitem⋈orders join shuffles on, so the two legs
+    co-partition and AQE reuses the exchange; the qualifying-order set
+    (selectivity ~0.3% at threshold 300) then drives a highly selective
+    join. customer is a broadcast dimension; the final aggregate groups
+    on the already-co-partitioned order key."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LARGE_ORDERS_SQL)

@@ -135,10 +135,16 @@ _SEMANTICS_CHANGED_IN: dict[str, int] = {
     "dedup_fuzzy_minhash": 6,  # r6: exact-family pre-pass + star (changes declared
     # values on any fixture bearing exact-duplicate texts; mirrored in oracle)
     "dedup_ngram_jaccard": 6,  # r6: shingle df-cap in both dialects (values unchanged)
-    "similarity_ann_lsh": 6,  # r6: rows-only top-k → invariant-census oracle
     "hash_noncrypto": 6,  # r6: rows-only per-doc hashes → invariant-census oracle
     "scan_binary_chunked": 6,  # r6: rows-only chunk rows → invariant-census oracle
     "multimodal_media_features": 6,  # r6: rows-only stub rows → invariant-census oracle
+    "similarity_ann_ivf": 8,  # r8: rows-only top-k → invariant-census oracle
+    "embedding_kmeans": 8,  # r8: rows-only cluster profile → invariant-census oracle
+    "embedding_pca_project": 8,  # r8: rows-only pc0..pc7 → invariant-census oracle
+    "multimodal_frame_sample": 8,  # r8: rows-only frame rows → invariant-census oracle
+    "similarity_ann_lsh": 8,  # r8: recall baseline sample-bounded + sentinel
+    # coverage chain (declared values unchanged on fixtures ≤ ANN_RECALL_SAMPLE
+    # queries; regrade anyway — the census plan was restructured)
 }
 
 

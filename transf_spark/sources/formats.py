@@ -535,3 +535,95 @@ def scan_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+_JSONL_CLEAN_ROWS = (
+    "doc_id IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL"
+)
+
+
+def _staged_corrupt_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a deliberately corrupted JSONL feed of {doc_id, lang, n_chars}:
+    every CORRUPT_MOD-th doc carries a STRING where the schema demands a
+    LONG (`"n_chars": "BAD<id>"`) — the dominant real-world JSONL
+    corruption (schema drift / quoted numbers), which a CSV token count
+    cannot model. Lines are built with to_json so string escaping is the
+    writer's problem, and written as raw text so the corruption survives
+    exactly as constructed."""
+    def write(out_dir: str) -> None:
+        # Only rows that serialize faithfully are staged (a NULL doc_id
+        # could not be re-identified by the oracle's doc_id rule); the
+        # oracle mirrors the identical predicate (_JSONL_CLEAN_ROWS).
+        # No-op on current fixtures — regeneration-proof.
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id").isNotNull()
+            & F.col("lang").isNotNull()
+            & F.col("n_chars").isNotNull()
+        )
+        clean = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+        corrupt = F.to_json(
+            F.struct(
+                "doc_id",
+                "lang",
+                F.concat(F.lit("BAD"), F.col("doc_id").cast("string")).alias(
+                    "n_chars"
+                ),
+            )
+        )
+        line = F.when(F.col("doc_id") % CORRUPT_MOD == 0, corrupt).otherwise(clean)
+        docs.select(line.alias("value")).write.mode("overwrite").text(
+            f"{out_dir}/data"
+        )
+
+    tag = tables.staging_tag(sf_dir, "documents", extra="corrupt_jsonl1")
+    return tables.stage_once("/tmp/transf_spark_fmt_corrupt_jsonl_", tag, write)
+
+
+@register(
+    "scan_jsonl_corrupt_tolerant",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN doc_id % {CORRUPT_MOD} = 0 THEN 1 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(CASE WHEN doc_id % {CORRUPT_MOD} <> 0 THEN n_chars END) AS BIGINT)
+             AS sum_chars_clean
+    FROM documents
+    WHERE {_JSONL_CLEAN_ROWS}
+    GROUP BY lang
+    """,
+    category="scan/robustness",
+    origin="R1+",
+)
+def scan_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode ingest of a corrupted JSONL feed — the JSON twin of
+    ``scan_csv_corrupt_tolerant``, and the one that matters most for LLM
+    corpora (JSONL is the dominant interchange format). Malformed rows —
+    here a type-drifted ``n_chars`` carrying a quoted string — must be
+    ISOLATED (typed column nulled, raw line captured in
+    ``_corrupt_record`` for quarantine), never dropped silently, never
+    fatal (FAILFAST), and never allowed to poison the aggregate; the
+    still-parseable columns of a corrupt row (doc_id, lang) must survive,
+    so corrupt rows still group under their language. The corruption is
+    rule-derived (every CORRUPT_MOD-th doc), so the oracle states the
+    expected per-language corrupt count and clean-row char sum from the
+    clean parquet.
+
+    Schema is explicit (inference would cost a second full scan AND would
+    legalize the corruption by widening n_chars to string — the failure
+    mode this query exists to catch). Pure scan + one map-side-combinable
+    exchange."""
+    src = _staged_corrupt_jsonl(spark, sf_dir)
+    df = (
+        spark.read.schema("doc_id long, lang string, n_chars long, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(f"{src}/data")
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_chars"))).alias(
+            "sum_chars_clean"
+        ),
+    )

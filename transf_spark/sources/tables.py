@@ -146,6 +146,13 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view (for the SQL-facing API)."""
-    for name, df in load_all(spark, sf_dir).items():
-        df.createOrReplaceTempView(name)
+    """Register every table PRESENT in ``sf_dir`` as a temp view (for the
+    SQL-facing API). Partial fixtures are legitimate — the degenerate parity
+    sweeps stage single-family dirs (TPC-H-only, documents-only), and a
+    TPC-H query must not fail because events.parquet is absent; a view a
+    query actually reads still fails loudly at resolution."""
+    import os
+
+    for name in schemas.TABLE_NAMES:
+        if os.path.exists(table_path(sf_dir, name)):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

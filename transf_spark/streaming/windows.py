@@ -381,6 +381,10 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("bucket").orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)
     )
     summary = ev.groupBy("bucket").agg(F.max("ts").alias("bucket_max"))
+    # deliberate single-partition window — expected "No Partition Defined"
+    # WindowExec warning; it runs over the per-BUCKET summary (n/bucket_width
+    # rows, bounded), while the per-event high-water mark above partitions
+    # by bucket
     prev_max = F.max("bucket_max").over(
         W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
     )
