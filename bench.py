@@ -127,6 +127,16 @@ HEADLINE = [
     "docs_quality_gate_report",
     "embedding_label_centroid_cosine",
     "scan_text_lines_roundtrip",
+    # round-8 additions
+    "sql_market_share",
+    "sql_large_orders",
+    "sql_discount_brackets",
+    "docs_mixture_reweight",
+    "events_user_lifecycle",
+    "events_props_json_extract",
+    "agg_bitmap_distinct_segments",
+    "scan_jsonl_corrupt_tolerant",
+    "multimodal_frame_sample",
 ]
 
 

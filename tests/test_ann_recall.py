@@ -114,12 +114,26 @@ def test_kmeans_inertia_monotone_and_assignment_optimal(spark):
     inertias = []
     assigned = None
     for iters in (1, 2, 3):
-        assigned, _ = s._kmeans(spark, SF, iters=iters)
+        assigned, _, _ = s._kmeans(spark, SF, iters=iters)
         from pyspark.sql import functions as F
 
         inertias.append(assigned.agg(F.sum("d2")).first()[0])
     assert inertias[0] >= inertias[1] * (1 - 1e-12)
     assert inertias[1] >= inertias[2] * (1 - 1e-12)
+
+    # the penultimate centroids _kmeans exposes must be EXACTLY what an
+    # (iters-1)-round run finishes with — the census's inertia_prev trim
+    # (round 8) is only sound if the matrices are identical
+    import numpy as np
+
+    _, _, (p_ids, p_cent) = s._kmeans(spark, SF, iters=3)
+    i2_ids, i2_cent = None, None
+    _, cent2_df, _ = s._kmeans(spark, SF, iters=2)
+    rows2 = sorted(cent2_df.collect(), key=lambda r: r["c_id"])
+    i2_ids = np.array([r["c_id"] for r in rows2])
+    i2_cent = np.array([list(r["cv"]) for r in rows2])
+    assert np.array_equal(p_ids, i2_ids)
+    assert np.array_equal(p_cent, i2_cent)
 
     rows = s.kmeans_cluster_profile(spark, SF).collect()
     assert 1 <= len(rows) <= s.KMEANS_K

@@ -88,6 +88,7 @@ EDGE_EVENT_QUERIES = [
     # round-8 additions
     "events_user_lifecycle",
     "agg_bitmap_distinct_segments",
+    "events_props_json_extract",  # NULL + "{}" props in this fixture
 ]
 
 

@@ -987,3 +987,29 @@ def test_mixture_reweight_broadcasts_weights(spark):
     assert st.exchanges == 3
     assert st.broadcast_joins == 1 and st.sort_merge_joins == 0
     assert {"lang", "source"} in scan_columns(df)
+
+
+def test_discount_brackets_disjunction_pushes_to_both_scans(spark):
+    """Q19 shape: the OR-of-ANDs must not defeat pushdown — the quantity
+    envelope reaches the lineitem scan, the brand/size disjunction reaches
+    the part scan, part broadcasts, and the fact table is read once with
+    only the four needed columns."""
+    df = _q(spark, "sql_discount_brackets")
+    st = plan_stats(df)
+    assert st.exchanges == 1 and st.broadcast_joins == 1
+    assert st.sort_merge_joins == 0
+    pushed = " ".join(st.pushed_filters)
+    assert "l_quantity" in pushed and "p_brand" in pushed
+    assert {"l_partkey", "l_quantity", "l_extendedprice", "l_discount"} in scan_columns(df)
+
+
+def test_props_json_extract_pruned_map(spark):
+    """JSON path extraction is a pure map fused into a two-column scan
+    (event_type, props) — dragging more of the events table through the
+    JSON parser would be a bandwidth bug; the census is the standard
+    two-phase distinct on the tiny type domain."""
+    df = _q(spark, "events_props_json_extract")
+    st = plan_stats(df)
+    assert st.exchanges == 2
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+    assert scan_columns(df) == [{"event_type", "props"}]

@@ -828,3 +828,54 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_churn").cast("long").alias("n_churned"),
         )
     )
+
+
+@register(
+    "events_props_json_extract",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM x GROUP BY event_type
+    """,
+    category="scalar/semi-structured",
+    origin="EXT",
+)
+def events_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON path extraction over the events ``props``
+    column — the ubiquitous event-warehouse pattern (properties bags land
+    as JSON strings; queries pull typed fields out) the scalar suites
+    didn't cover. Per event type: coverage, extraction yield, and the
+    numeric profile of ``$.k``.
+
+    Dialect parity engineering: Spark's ``get_json_object`` returns NULL
+    for malformed JSON while DuckDB's ``json_extract_string`` ERRORS — the
+    oracle guards with ``json_valid`` so both dialects map malformed →
+    NULL; the string→long cast is Spark's non-ANSI cast on one side and
+    TRY_CAST on the other (both NULL on non-numeric). Plan at scale: the
+    extraction is a pure map fused into the scan reading only
+    (event_type, props); the census is ONE aggregate on the tiny
+    event-type domain (COUNT DISTINCT adds its standard two-phase
+    expand — bounded by |types| × |k-domain|)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    x = ev.select("event_type", k.alias("k"))
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.count_distinct("k").alias("n_distinct_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+    )

@@ -830,11 +830,15 @@ def _kmeans_recenter(assigned: DataFrame) -> DataFrame:
 def _kmeans(spark: SparkSession, sf_dir: str, iters: int = KMEANS_ITERS):
     """Bounded-iteration Lloyd k-means over the embedding corpus.
 
-    Returns (assigned, centroids) after ``iters`` assign/recenter rounds
-    from the deterministic md5-sampled seed (the same seed device as the
-    IVF index — k-means is exactly its 'train the centroids' upgrade).
-    Each round collects the K×dim centroid table to the driver (≤8 rows —
-    bounded) and ships it in the next assignment UDF's closure, so every
+    Returns (assigned, centroids, prev) after ``iters`` assign/recenter
+    rounds from the deterministic md5-sampled seed (the same seed device
+    as the IVF index — k-means is exactly its 'train the centroids'
+    upgrade); ``prev`` is the (ids, matrix) pair of the PENULTIMATE
+    centroids — what an (iters-1)-round run would have finished with — so
+    the census's inertia-monotonicity check costs one extra LAZY
+    assignment pass instead of a second full training run. Each round
+    collects the K×dim centroid table to the driver (≤8 rows — bounded)
+    and ships it in the next assignment UDF's closure, so every
     assignment pass is a shuffle-free vectorized map and the final plan
     references centroid LITERALS instead of a re-derivable iteration-deep
     lineage (no localCheckpoint needed). Iteration count is FIXED, not
@@ -854,13 +858,20 @@ def _kmeans(spark: SparkSession, sf_dir: str, iters: int = KMEANS_ITERS):
     seed_rows = sorted(seed_rows, key=lambda r: r["vec_id"])
     ids = np.arange(1, len(seed_rows) + 1, dtype=np.int64)
     cent = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
-    ids, cent = _lloyd_rounds(e, ids, cent, iters - 1, metric="l2")
+    # split the rounds so the penultimate centroids are observable: all but
+    # the last round, then one final round — identical matrices to the
+    # single _lloyd_rounds(iters-1) call this replaces
+    prev_ids, prev_cent = _lloyd_rounds(e, ids, cent, max(0, iters - 2), metric="l2")
+    if iters >= 2:
+        ids, cent = _lloyd_rounds(e, prev_ids, prev_cent, 1, metric="l2")
+    else:
+        ids, cent = prev_ids, prev_cent
     assigned = _kmeans_assign(e, ids, cent)
     cent_df = spark.createDataFrame(
         [(int(i), [float(x) for x in row]) for i, row in zip(ids, cent)],
         "c_id long, cv array<double>",
     )
-    return assigned, cent_df
+    return assigned, cent_df, (prev_ids, prev_cent)
 
 
 def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -868,7 +879,7 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     useful per-row surface of the k-means run; cluster count / size-sum /
     non-negativity pinned in tests/test_ann_recall.py. The DECLARED query
     is the invariant census below."""
-    assigned, _ = _kmeans(spark, sf_dir)
+    assigned, _, _ = _kmeans(spark, sf_dir)
     return assigned.groupBy("c_id").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg("d2"), 6).alias("avg_d2"),
@@ -912,7 +923,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query) and folds per-vector, then one global aggregate; the
     previous-round inertia attaches as a broadcast 1-row scalar. Per-
     cluster surface: :func:`kmeans_cluster_profile`."""
-    assigned, cent_df = _kmeans(spark, sf_dir)
+    assigned, cent_df, (prev_ids, prev_cent) = _kmeans(spark, sf_dir)
     d2_jvm = F.expr(
         "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)),"
         " cast(0.0 AS double), (acc, z) -> acc + z)"
@@ -929,8 +940,13 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("d2c").alias("d2m"),
         )
     )
-    prev_assigned, _ = _kmeans(spark, sf_dir, iters=KMEANS_ITERS - 1)
-    prev = prev_assigned.agg(F.sum("d2").alias("inertia_prev"))
+    # previous-round inertia from the penultimate centroids the training
+    # run already produced — ONE extra lazy assignment pass, not a second
+    # full training run (same matrices, same value; round-8 trim)
+    e = _emb_double(spark, sf_dir).select("vec_id", "v")
+    prev = _kmeans_assign(e, prev_ids, prev_cent).agg(
+        F.sum("d2").alias("inertia_prev")
+    )
     return (
         per_vec.agg(
             F.count(F.lit(1)).alias("n_vecs_total"),

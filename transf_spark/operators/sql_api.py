@@ -762,3 +762,46 @@ def sql_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the already-co-partitioned order key."""
     register_views(spark, sf_dir)
     return spark.sql(_LARGE_ORDERS_SQL)
+
+
+# TPC-H Q19 shape on the fixture vocabulary: three brand/quantity/size
+# arms OR'd together. Revenue is the module's decimal-exact device cast to
+# double AFTER the exact sum; l_quantity/p_size are integral so every
+# bracket compare is exact.
+_DISCOUNT_BRACKETS_SQL = f"""
+    SELECT CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#3'
+           AND l_quantity BETWEEN 1 AND 11
+           AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#14'
+           AND l_quantity BETWEEN 10 AND 20
+           AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#25'
+           AND l_quantity BETWEEN 20 AND 30
+           AND p_size BETWEEN 1 AND 15)
+"""
+
+
+@register(
+    "sql_discount_brackets",
+    oracle=_DISCOUNT_BRACKETS_SQL,
+    category="sql-api",
+    origin="EXT",
+)
+def sql_discount_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue brackets): revenue from
+    lineitems matching any of three brand × quantity-bracket ×
+    size-bracket arms — the OR-of-ANDs predicate that exercises CNF
+    conversion and partial pushdown. IDENTICAL text on both engines.
+
+    Plan at scale: Catalyst distributes the disjunction — the common
+    join key stays an equi-join with part BROADCAST, the brand∈{...}
+    union and the quantity envelope (1..30) are pushable supersets, and
+    the per-arm residual evaluates post-join in codegen. One broadcast
+    join, one 1-row aggregate: the fact table is scanned once with the
+    quantity range pushed down."""
+    register_views(spark, sf_dir)
+    return spark.sql(_DISCOUNT_BRACKETS_SQL)
