@@ -127,7 +127,6 @@ def test_kmeans_inertia_monotone_and_assignment_optimal(spark):
     import numpy as np
 
     _, _, (p_ids, p_cent) = s._kmeans(spark, SF, iters=3)
-    i2_ids, i2_cent = None, None
     _, cent2_df, _ = s._kmeans(spark, SF, iters=2)
     rows2 = sorted(cent2_df.collect(), key=lambda r: r["c_id"])
     i2_ids = np.array([r["c_id"] for r in rows2])

@@ -181,3 +181,34 @@ def test_jsonl_corrupt_rows_keep_their_language(spark):
     }
     assert {k: v for k, v in census.items() if v} == direct
     df.unpersist()
+
+
+def test_ann_census_with_zero_designated_queries(spark, tmp_path):
+    """A fixture whose vec_ids are all non-multiples of 100 has NO
+    designated query vectors — a legitimate degenerate regeneration. The
+    censuses must emit n_queries = 0 with vacuously-TRUE flags (matching
+    the oracle's literal row), never NULL flags from empty aggregates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path)
+    vecs = [[float((s * 7 + i) % 5 - 2) for i in range(8)] for s in range(3)]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0, 1, 0], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{out}/embeddings.parquet")
+    queries()
+    for name in ("similarity_ann_lsh", "similarity_ann_ivf"):
+        (row,) = REGISTRY[name].fn(spark, out).collect()
+        assert row["n_queries"] == 0, name
+        for flag in (
+            "k_rows_bounded",
+            "ranks_contiguous",
+            "cosines_sorted",
+            "recall_above_floor",
+        ):
+            assert row[flag] is True, f"{name}.{flag}"

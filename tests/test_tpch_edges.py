@@ -52,10 +52,18 @@ def _tpch_only_queries() -> list[str]:
         # discovery had silently skipped every spark.sql query, so the
         # whole sql_* family missed the degenerate sweep)
         src = inspect.getsource(spec.fn) + " " + spec.oracle
+        # exclusion matches only REAL references — a quoted load_table
+        # argument or an oracle SQL table token — never a bare substring:
+        # agg_mode_exact's docstring cross-references "events_topk_paths"
+        # and a substring match silently dropped it from this sweep
+        # (round-8 review finding)
+        other = any(
+            f'"{t}"' in src or f" {t}" in spec.oracle for t in _OTHER[:3]
+        ) or any(api in src for api in _OTHER[3:])
         if (
             any(f'"{t}"' in src for t in _TPCH)
             or any(f" {t}" in spec.oracle for t in _TPCH)
-        ) and not any(f'"{t}"' in src or t in src for t in _OTHER):
+        ) and not other:
             out.append(name)
     return out
 

@@ -830,12 +830,22 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Canonical-props gate for the JSON extractor: only integer-valued
+# single-key {"k": N} bags qualify. Simple regex features ONLY (anchors,
+# char classes, bounded whitespace) so Java regex (Spark rlike) and RE2
+# (DuckDB regexp_matches) agree byte-for-byte — the PII-redaction device.
+# The gate runs BEFORE either engine's JSON parser, which is what makes
+# the two parsers' leniency differences unreachable (see docstring).
+_PROPS_CANON_RE = r'^\{"k":[ ]*-?[0-9]+\}$'
+
+
 @register(
     "events_props_json_extract",
-    oracle="""
+    oracle=f"""
     WITH x AS (
       SELECT event_type,
-             CASE WHEN props IS NOT NULL AND json_valid(props)
+             CASE WHEN props IS NOT NULL
+                       AND regexp_matches(props, '{_PROPS_CANON_RE}')
                   THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
              END AS k
       FROM events
@@ -859,17 +869,27 @@ def events_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     didn't cover. Per event type: coverage, extraction yield, and the
     numeric profile of ``$.k``.
 
-    Dialect parity engineering: Spark's ``get_json_object`` returns NULL
-    for malformed JSON while DuckDB's ``json_extract_string`` ERRORS — the
-    oracle guards with ``json_valid`` so both dialects map malformed →
-    NULL; the string→long cast is Spark's non-ANSI cast on one side and
-    TRY_CAST on the other (both NULL on non-numeric). Plan at scale: the
-    extraction is a pure map fused into the scan reading only
-    (event_type, props); the census is ONE aggregate on the tiny
-    event-type domain (COUNT DISTINCT adds its standard two-phase
-    expand — bounded by |types| × |k-domain|)."""
+    Dialect parity engineering (round-8 review finding): the two JSON
+    parsers genuinely DISAGREE at the edges — Spark's ``get_json_object``
+    is lenient (accepts single-quoted keys and trailing garbage, returns
+    NULL only on hard failures) while DuckDB's ``json_extract_string``
+    errors on anything non-strict, and the string→long casts split on
+    fractional text (Spark truncates '1.5'→1, DuckDB TRY_CAST rounds→2).
+    No guard built FROM the parsers can reconcile that, so the declared
+    input contract is gated BEFORE either parser by one identical
+    simple-feature regex (the PII-redaction device): only canonical
+    integer-valued ``{"k": N}`` bags extract; anything else — malformed,
+    lenient-but-nonstandard, fractional, extra keys — is NULL in BOTH
+    dialects by the same test. Plan at scale: the gate+extraction is a
+    pure map fused into the scan reading only (event_type, props); the
+    census is ONE aggregate on the tiny event-type domain (COUNT DISTINCT
+    adds its standard two-phase expand — bounded by |types| ×
+    |k-domain|)."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.when(
+        F.col("props").rlike(_PROPS_CANON_RE),
+        F.get_json_object("props", "$.k").cast("long"),
+    )
     x = ev.select("event_type", k.alias("k"))
     return x.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -149,10 +149,14 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table PRESENT in ``sf_dir`` as a temp view (for the
     SQL-facing API). Partial fixtures are legitimate — the degenerate parity
     sweeps stage single-family dirs (TPC-H-only, documents-only), and a
-    TPC-H query must not fail because events.parquet is absent; a view a
-    query actually reads still fails loudly at resolution."""
-    import os
-
+    TPC-H query must not fail because events.parquet is absent. A table
+    ABSENT from ``sf_dir`` has its view DROPPED, never left behind: a
+    shared session (pytest, REPL, bench) that previously registered a full
+    fixture would otherwise silently serve the PREVIOUS fixture's data to
+    a query referencing the missing table (round-8 review finding) — the
+    drop makes such a query fail loudly at resolution instead."""
     for name in schemas.TABLE_NAMES:
         if os.path.exists(table_path(sf_dir, name)):
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        else:
+            spark.catalog.dropTempView(name)
