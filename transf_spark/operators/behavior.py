@@ -791,34 +791,8 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.select("user_id", F.to_date("ts").alias("day")).groupBy(
         "user_id"
     ).agg(F.array_sort(F.collect_set("day")).alias("ds"))
-    # per active day i (0-based): new ⇔ i = 0; retained ⇔ gap to the
-    # previous day is exactly 1; resurrected ⇔ gap > 1. Churn entries ride
-    # the same array: day+1 for every day whose successor is absent
-    # (element_at past the end is NULL under the pinned non-ANSI semantics,
-    # so the last day always churns).
-    entries = F.expr(
-        """
-        concat(
-          transform(ds, (d, i) -> struct(
-            d AS day,
-            IF(i = 0, 1, 0) AS is_new,
-            IF(i = 0, 0, IF(datediff(d, element_at(ds, i)) = 1, 1, 0)) AS is_ret,
-            IF(i = 0, 0, IF(datediff(d, element_at(ds, i)) > 1, 1, 0)) AS is_res,
-            0 AS is_churn)),
-          filter(
-            transform(ds, (d, i) -> IF(
-              element_at(ds, i + 2) IS NULL
-                OR datediff(element_at(ds, i + 2), d) > 1,
-              struct(date_add(d, 1) AS day, 0 AS is_new, 0 AS is_ret,
-                     0 AS is_res, 1 AS is_churn),
-              CAST(NULL AS struct<day:date,is_new:int,is_ret:int,is_res:int,
-                                  is_churn:int>))),
-            x -> x IS NOT NULL)
-        )
-        """
-    )
     return (
-        per_user.select(F.explode(entries).alias("e"))
+        per_user.select(F.explode(lifecycle_entries()).alias("e"))
         .select("e.*")
         .groupBy("day")
         .agg(
@@ -828,6 +802,41 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_churn").cast("long").alias("n_churned"),
         )
     )
+
+
+# Lifecycle classification kernel over a sorted distinct-day array `ds`:
+# per active day i (0-based): new ⇔ i = 0; retained ⇔ gap to the previous
+# day is exactly 1; resurrected ⇔ gap > 1. Churn entries ride the same
+# array: day+1 for every day whose successor is absent (element_at past
+# the end is NULL under the pinned non-ANSI semantics, so the last day
+# always churns). Kept as SQL text with a lazy builder — F.expr at module
+# level would demand an active SparkContext at import/collection time —
+# so the hypothesis property suite can drive the kernel on raw day arrays
+# against a Python reference without staging events.
+_LIFECYCLE_ENTRIES_SQL = """
+    concat(
+      transform(ds, (d, i) -> struct(
+        d AS day,
+        IF(i = 0, 1, 0) AS is_new,
+        IF(i = 0, 0, IF(datediff(d, element_at(ds, i)) = 1, 1, 0)) AS is_ret,
+        IF(i = 0, 0, IF(datediff(d, element_at(ds, i)) > 1, 1, 0)) AS is_res,
+        0 AS is_churn)),
+      filter(
+        transform(ds, (d, i) -> IF(
+          element_at(ds, i + 2) IS NULL
+            OR datediff(element_at(ds, i + 2), d) > 1,
+          struct(date_add(d, 1) AS day, 0 AS is_new, 0 AS is_ret,
+                 0 AS is_res, 1 AS is_churn),
+          CAST(NULL AS struct<day:date,is_new:int,is_ret:int,is_res:int,
+                              is_churn:int>))),
+        x -> x IS NOT NULL)
+    )
+    """
+
+
+def lifecycle_entries():
+    """Lazy Column builder for the lifecycle kernel (see the SQL above)."""
+    return F.expr(_LIFECYCLE_ENTRIES_SQL)
 
 
 # Canonical-props gate for the JSON extractor: only integer-valued

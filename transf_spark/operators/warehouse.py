@@ -542,24 +542,40 @@ def agg_bitmap_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary pass or roaring containers first; words here stay exact
     regardless, just less compact)."""
     ev = load_table(spark, sf_dir, "events")
+    return bitmap_distinct(ev, "event_type", "user_id").withColumnRenamed(
+        "n_distinct", "n_users"
+    )
+
+
+def bitmap_distinct(df: DataFrame, seg_col: str, id_col: str) -> DataFrame:
+    """Reusable two-level bitmap exact-distinct kernel: (seg, n_distinct)
+    for any long id column — the library form the declared query wraps
+    (and the hypothesis property suite drives on arbitrary in-memory
+    frames against a Python set reference)."""
     # integer `div`, never `/`: double division would lose exactness above
     # 2^53 and this must hold for EVERY long id
     word = F.expr(
-        f"(user_id - pmod(user_id, {BITMAP_WORD_BITS})) div {BITMAP_WORD_BITS}"
+        f"({id_col} - pmod({id_col}, {BITMAP_WORD_BITS})) div {BITMAP_WORD_BITS}"
     )
     onehot = F.expr(
         f"shiftleft(cast(1 AS bigint),"
-        f" cast(pmod(user_id, {BITMAP_WORD_BITS}) AS int))"
+        f" cast(pmod({id_col}, {BITMAP_WORD_BITS}) AS int))"
     )
     words = (
-        ev.select(
-            "event_type",
+        df.select(
+            F.col(seg_col).alias("__seg"),
             word.alias("word"),
             onehot.alias("onehot"),
         )
-        .groupBy("event_type", "word")
+        .groupBy("__seg", "word")
         .agg(F.bit_or("onehot").alias("bits"))
     )
-    return words.groupBy("event_type").agg(
-        F.coalesce(F.sum(F.bit_count("bits")), F.lit(0)).cast("long").alias("n_users")
+    return (
+        words.groupBy("__seg")
+        .agg(
+            F.coalesce(F.sum(F.bit_count("bits")), F.lit(0))
+            .cast("long")
+            .alias("n_distinct")
+        )
+        .withColumnRenamed("__seg", seg_col)
     )
