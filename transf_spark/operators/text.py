@@ -220,26 +220,42 @@ def language_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run-to-run. Summing exact integers makes the score — and therefore
     # predicted_lang — reproducible; the 1e-6-nat quantization error is
     # orders below any meaningful score gap.
-    logp_q = (F.log(F.col("n") / F.col("total")) * 1_000_000).cast("long")
+    #
+    # LAPLACE-SMOOTHED over the SHARED bigram vocabulary V (round-8
+    # unicode sweep — the bug an UNBALANCED multilingual corpus exposed):
+    # the previous floor, log(1/total_cand), is LESS negative for a
+    # candidate with a SMALLER training corpus, so a tiny-profile language
+    # out-scored every large one on unmatched-heavy docs — 'ja' (one doc)
+    # beat 'en' (three docs) on a perfectly English text, because en's
+    # MATCHED bigrams at log(1/total_en) scored below ja's all-floor
+    # log(1/total_ja). With p(bg|cand) = (n+1)/(total+V) matched and
+    # 1/(total+V) unmatched, the shared V term dominates small totals and
+    # equalizes the floors, while within a candidate matched ≥ floor
+    # always holds. Standard add-one estimation, nothing bespoke.
+    vocab = doc_bi.agg(F.count_distinct("bg").alias("v"))  # 1-row scalar
+    logp_q = (
+        F.log((F.col("n") + 1) / (F.col("total") + F.col("v"))) * 1_000_000
+    ).cast("long")
     prof_counts = doc_bi.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("n"))
     profile = (
         prof_counts.withColumn("total", F.sum("n").over(W.partitionBy("lang")))
+        .crossJoin(F.broadcast(vocab))
         .select("lang", "bg", logp_q.alias("logp_q"))
     )
-    # Unmatched-bigram floor penalty (round-6 universe sweep — the bug the
-    # first strongly-labeled corpus exposed): scoring ONLY matched bigrams
-    # lets the candidate matching LEAST win (fewer negative contributions
-    # = higher sum), systematically INVERTING the argmax. Each candidate
-    # charges every unmatched occurrence log(1/total) — the probability
-    # mass of a once-seen bigram — so missing coverage is a penalty, not
-    # a free pass. floor/profile tables are |langs|(+×bigrams) rows,
-    # broadcast; the score stays an exact integer sum.
+    # Unmatched-bigram floor penalty (round-6 universe sweep — scoring
+    # ONLY matched bigrams inverted the argmax outright); smoothed
+    # denominator per the vocabulary note above. floor/profile tables are
+    # |langs|(+×bigrams) rows, broadcast; the score stays an exact
+    # integer sum.
     lang_floor = (
         doc_bi.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("total"))
+        .crossJoin(F.broadcast(vocab))
         .select(
             F.col("lang").alias("cand_lang"),
-            (F.log(1.0 / F.col("total")) * 1_000_000).cast("long").alias("floor_q"),
+            (F.log(1.0 / (F.col("total") + F.col("v"))) * 1_000_000)
+            .cast("long")
+            .alias("floor_q"),
         )
     )
     doc_tot = doc_bi.groupBy("doc_id").agg(F.count(F.lit(1)).alias("t_doc"))
@@ -610,7 +626,8 @@ TOP_NGRAMS_K = 8  # per-language leaderboard depth
     oracle=f"""
     WITH w AS (
       SELECT lang,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             list_filter(string_split_regex(replace(lower(text), chr(775), ''),
+                                            '[^a-z0-9]+'),
                          x -> x <> '') AS ws
       FROM documents
     ),
@@ -661,8 +678,18 @@ def docs_ngram_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the regex split once per gram — measured 7× slower at sf0.1 (6.7 s vs
     # 0.9 s warm). With `ws` as an attribute, the split runs once per row
     # and the pair walk is a single zip_with pass over two slices.
+    # strip U+0307 (combining dot above) AFTER lowering, in BOTH dialects:
+    # Java's lower('İ') is 'i' + U+0307 (2 code points) while DuckDB's is
+    # plain 'i' — unmirrored, the combining mark acts as a word separator
+    # on one engine only and splits 'istanbul' into 'i' + 'stanbul'
+    # (round-8 unicode sweep). A literal U+0307 in input strips on both
+    # sides identically, so parity holds for any text.
     ws = F.filter(
-        F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+        F.split(
+            F.replace(F.lower("text"), F.lit("̇"), F.lit("")),
+            "[^a-z0-9]+",
+        ),
+        lambda x: x != F.lit(""),
     )
     wsdf = docs.select("lang", ws.alias("ws"))
     grams = F.when(F.size("ws") < 2, F.array()).otherwise(
