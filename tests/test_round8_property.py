@@ -54,13 +54,10 @@ def test_lifecycle_entries_match_reference(spark, user_day_offsets):
 
     from transf_spark.operators.behavior import lifecycle_entries
 
-    rows = [
-        ([sorted({_D0 + dt.timedelta(days=o) for o in offs})],)
-        for offs in user_day_offsets
-    ]
-    # flatten: one row per user carrying its sorted distinct day array
+    # one row per user carrying its sorted distinct day array
     df = spark.createDataFrame(
-        [(r[0][0],) for r in rows], "ds array<date>"
+        [(sorted({_D0 + dt.timedelta(days=o) for o in offs}),) for offs in user_day_offsets],
+        "ds array<date>",
     )
     got = (
         df.select(F.explode(lifecycle_entries()).alias("e"))
@@ -109,7 +106,9 @@ def test_lifecycle_entries_match_reference(spark, user_day_offsets):
             st.sampled_from(["a", "b", "c"]),
             st.one_of(
                 st.none(),
-                st.integers(min_value=-(2**62), max_value=2**62),
+                # FULL long domain including Long.MIN/MAX — the kernel's
+                # exactness contract is "every long id"
+                st.integers(min_value=-(2**63), max_value=2**63 - 1),
                 st.integers(min_value=-130, max_value=130),
             ),
         ),

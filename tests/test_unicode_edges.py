@@ -20,12 +20,11 @@ driver's own comparator, exactly like the round-6 sweeps.
 
 from __future__ import annotations
 
-import duckdb
 import pytest
 
 from tests.docfixtures import write_documents
 from tests.oracle import compare
-from tests.test_round6_edges import EDGE_QUERIES
+from tests.test_round6_edges import EDGE_QUERIES, _con
 from transf_spark.queries import REGISTRY, queries
 
 
@@ -46,14 +45,6 @@ def unicode_dir(tmp_path_factory):
         (10, "русский текст тест русский", "ru", "srcU"),  # Cyrillic
     ]
     return write_documents(out, rows)
-
-
-def _con(unicode_dir):
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{unicode_dir}/documents.parquet'"
-    )
-    return con
 
 
 @pytest.mark.parametrize("name", EDGE_QUERIES)

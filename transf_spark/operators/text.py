@@ -232,11 +232,16 @@ def language_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1/(total+V) unmatched, the shared V term dominates small totals and
     # equalizes the floors, while within a candidate matched ≥ floor
     # always holds. Standard add-one estimation, nothing bespoke.
-    vocab = doc_bi.agg(F.count_distinct("bg").alias("v"))  # 1-row scalar
+    prof_counts = doc_bi.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("n"))
+    # V from the PROFILE aggregate, not a separate distinct over the raw
+    # explode: prof_counts' (lang, bg) shuffle is the lineage both
+    # consumers below already share (ReuseExchange collapses the
+    # identical subtrees), where a raw-explode count_distinct would add
+    # its own corpus-wide distinct shuffle just to produce one scalar
+    vocab = prof_counts.agg(F.count_distinct("bg").alias("v"))  # 1-row scalar
     logp_q = (
         F.log((F.col("n") + 1) / (F.col("total") + F.col("v"))) * 1_000_000
     ).cast("long")
-    prof_counts = doc_bi.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("n"))
     profile = (
         prof_counts.withColumn("total", F.sum("n").over(W.partitionBy("lang")))
         .crossJoin(F.broadcast(vocab))
