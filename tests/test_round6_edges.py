@@ -16,7 +16,7 @@ import duckdb
 import pytest
 
 from tests.oracle import compare
-from transf_spark.queries import oracle_sql, queries
+from transf_spark.queries import REGISTRY, oracle_sql, queries
 
 
 @pytest.fixture(scope="module")
@@ -60,42 +60,39 @@ def _con(edge_dir):
 # (size(split(NULL)) = -1, NULL-text fingerprint folds, untrainable-lang
 # census, a sequence(1,-1) crash) in queries that had been green on the
 # well-formed fixtures since rounds 3-5.
-EDGE_QUERIES = [
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_fuzzy_minhash",
-    "dedup_ngram_jaccard",
-    "text_analysis_tokens",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "text_language_id",
-    "text_unigram_lm_score",
-    "text_tfidf_topk",
-    "docs_length_histogram",
-    "docs_ngram_topk_per_lang",
-    "docs_perplexity_buckets",
-    "docs_char_class_profile",
-    "docs_token_budget_sample",
-    "docs_quality_gate_report",
-    "hash_noncrypto",  # xxhash64(NULL) = seed, not NULL — guarded distinct counts
-    "docs_train_val_split",
-    "docs_shard_assign",
-    "text_repetition_filter",
-    "text_denylist_scrub",
-    "text_domain_cap",
-    "text_decontaminate",
-    "text_pii_redact",
-    "docs_pack_sequences",
-    "text_segment_dedup",
-    "sample_group_topk_hash",
-    "docs_chunk_overlap",
-    "sample_stratified",
-    "multimodal_media_features",
-    "multimodal_frame_sample",  # r8 census promotion — same stub pipeline
-    "docs_mixture_reweight",  # r8 — NULL (lang, source) groups must survive
-    "scan_jsonl_corrupt_tolerant",  # r8 — JSON twin of the CSV corrupt scan
-]
+#
+# AUTO-DISCOVERED since round 8 (the tests/test_tpch_edges.py device):
+# the hand-maintained list had silently omitted FIFTEEN documents-only
+# queries — the whole scan/* staging family, the scalar suites, the
+# transfer-pipeline pair, the CC clusterer — exactly the class of gap the
+# TPC-H sweep's discovery fix closed the same round. A query reading only
+# the documents table (quoted load_table argument or oracle SQL token,
+# no other table, no streaming source) runs here and, via the import in
+# tests/test_unicode_edges.py, against the multilingual fixture too.
+_TABLES_OTHER = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "embeddings",
+)
+
+
+def _documents_only_queries() -> list[str]:
+    import inspect
+
+    queries()  # populate the registry
+    out = []
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        src = inspect.getsource(spec.fn) + " " + spec.oracle
+        other = any(
+            f'"{t}"' in src or f" {t}" in spec.oracle for t in _TABLES_OTHER
+        ) or any(api in src for api in ("readStream", "binaryFile"))
+        if ('"documents"' in src or " documents" in spec.oracle) and not other:
+            out.append(name)
+    return out
+
+
+EDGE_QUERIES = _documents_only_queries()
 
 
 @pytest.mark.parametrize("name", EDGE_QUERIES)

@@ -47,13 +47,24 @@ def _staged_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         docs = load_table(spark, sf_dir, "documents")
         writer = docs.write.mode("overwrite")
         if fmt == "csv":
-            writer.option("header", True).csv(f"{out}/data")
+            # the WRITER trims leading/trailing whitespace by default
+            # (ignore*WhiteSpace=true on write, unlike the reader) — a
+            # whitespace-only or trailing-space text silently shrinks and
+            # the round-trip stops being lossless (round-8 widened docs
+            # sweep caught it: 4 chars vanished across two degenerate
+            # rows). Quoting stays the writer's problem; these options
+            # only stop the pre-quote trim.
+            writer.option("header", True).option(
+                "ignoreLeadingWhiteSpace", False
+            ).option("ignoreTrailingWhiteSpace", False).csv(f"{out}/data")
         elif fmt == "orc":
             writer.orc(f"{out}/data")
         else:
             writer.json(f"{out}/data")
 
-    tag = tables.staging_tag(sf_dir, "documents", extra=fmt)
+    # "2" suffix: cache-bust for the round-8 CSV whitespace-preservation
+    # options — a staged dir written by the trimming writer must not replay
+    tag = tables.staging_tag(sf_dir, "documents", extra=fmt + "2")
     return tables.stage_once(f"/tmp/transf_spark_fmt_{fmt}_", tag, write)
 
 
