@@ -79,6 +79,31 @@ EDGE_EMB_QUERIES = [
 ]
 
 
+def test_embeddings_sweep_list_is_complete():
+    """Completeness guard (round-8 lesson: the docs and TPC-H sweeps had
+    silently omitted whole families): every batch embeddings-only oracle
+    query must be in EDGE_EMB_QUERIES."""
+    import inspect
+
+    queries()
+    others = (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "events",
+    )
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None or spec.category.startswith("streaming"):
+            continue
+        src = inspect.getsource(spec.fn) + " " + spec.oracle
+        other = any(
+            f'"{t}"' in src or f" {t}" in spec.oracle for t in others
+        ) or any(api in src for api in ("readStream", "binaryFile"))
+        if ('"embeddings"' in src or " embeddings" in spec.oracle) and not other:
+            assert name in EDGE_EMB_QUERIES, (
+                f"{name} reads only the embeddings table but is missing "
+                "from the degenerate embeddings sweep"
+            )
+
+
 @pytest.mark.parametrize("name", EDGE_EMB_QUERIES)
 def test_embedding_queries_survive_degenerate_rows(spark, edge_emb_dir, name):
     queries()  # populate the registry

@@ -89,7 +89,38 @@ EDGE_EVENT_QUERIES = [
     "events_user_lifecycle",
     "agg_bitmap_distinct_segments",
     "events_props_json_extract",  # NULL + "{}" props in this fixture
+    "join_asof_latest_event",  # r8 completeness audit — was silently missing
 ]
+
+
+def test_events_sweep_list_is_complete():
+    """Completeness guard (the round-8 docs/TPC-H discovery lesson, applied
+    without converting this sweep to auto-discovery): every BATCH
+    events-only oracle query must be in EDGE_EVENT_QUERIES — a new
+    registration that reads only the events table fails here until it
+    joins the sweep. Streaming queries are exempt by design: each runs a
+    real staged stream (seconds apiece) and their degenerate/late-data
+    semantics are exercised by their own batch-twin harness in
+    tests/test_streaming.py."""
+    import inspect
+
+    queries()
+    others = (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings",
+    )
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None or spec.category.startswith("streaming"):
+            continue
+        src = inspect.getsource(spec.fn) + " " + spec.oracle
+        other = any(
+            f'"{t}"' in src or f" {t}" in spec.oracle for t in others
+        ) or any(api in src for api in ("readStream", "binaryFile"))
+        if ('"events"' in src or " events" in spec.oracle) and not other:
+            assert name in EDGE_EVENT_QUERIES, (
+                f"{name} reads only the events table but is missing from "
+                "the degenerate events sweep"
+            )
 
 
 @pytest.mark.parametrize("name", EDGE_EVENT_QUERIES)
