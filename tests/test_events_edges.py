@@ -53,6 +53,12 @@ def edge_events_dir(tmp_path_factory):
         (10, _ts(4), 3, "view", 9.0, "{}"),
         (11, _ts(4), 3, "click", 10.0, "{}"),    # duplicate (user, ts)
         (12, _ts(90), 1, "view", 11.0, "{}"),    # gap → new session
+        # leading-zero integer: MALFORMED JSON — DuckDB json_extract_string
+        # RAISES on it (even under TRY_CAST); the strict-grammar regex gate
+        # + the oracle's json_valid guard must both reject it (r9 advisory)
+        (13, _ts(91), 1, "view", 12.0, '{"k":007}'),
+        (14, _ts(92), 1, "view", 13.0, '{"k": -0}'),  # valid JSON, = 0 both
+        (15, _ts(93), 2, "view", 14.0, '{"k":1.5}'),  # fractional → gated
     ]
     tbl = pa.table(
         {
@@ -141,10 +147,11 @@ def test_events_queries_survive_degenerate_rows(spark, edge_events_dir, name):
 
 def test_sessionize_gap_still_splits_on_degenerate_fixture(spark, edge_events_dir):
     """Sanity that the filters didn't neuter the semantics: user 1's
-    90-minute-gap event still opens a second session."""
+    90-minute-gap event still opens a second session (joined by the two
+    round-9 props-edge rows at +91/+92 minutes)."""
     queries()
     rows = REGISTRY["events_sessionize"].fn(spark, edge_events_dir).collect()
     u1 = sorted(
         (r["session_idx"], r["n_events"]) for r in rows if r["user_id"] == 1
     )
-    assert u1 == [(1, 3), (2, 1)]
+    assert u1 == [(1, 3), (2, 3)]

@@ -212,3 +212,62 @@ def test_ann_census_with_zero_designated_queries(spark, tmp_path):
             "recall_above_floor",
         ):
             assert row[flag] is True, f"{name}.{flag}"
+
+
+def test_promoted_censuses_with_all_null_embeddings(spark, tmp_path):
+    """A fixture whose embeddings are ALL NULL has zero valid vectors — a
+    legitimate degenerate regeneration. Every promoted census must emit its
+    count = 0 with vacuously-TRUE flags (matching the oracle's literal
+    row), and no kernel may crash training/fitting on the empty corpus
+    (round-9 advisory: the r8 zero-designated-queries fix covered the ANN
+    twins but not the kmeans/PCA promotions)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([100, 200, 300], pa.int64()),
+            "embedding": pa.array([None, None, None], pa.list_(pa.float32())),
+            "label": pa.array([0, 1, 0], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{out}/embeddings.parquet")
+    queries()
+    expected = {
+        "similarity_ann_lsh": (
+            "n_queries",
+            ["k_rows_bounded", "ranks_contiguous", "cosines_sorted",
+             "recall_above_floor"],
+        ),
+        "similarity_ann_ivf": (
+            "n_queries",
+            ["k_rows_bounded", "ranks_contiguous", "cosines_sorted",
+             "recall_above_floor"],
+        ),
+        "embedding_kmeans": (
+            "n_vecs_total",
+            ["k_bounded", "assignment_optimal", "inertia_monotone"],
+        ),
+        "embedding_pca_project": (
+            "n_rows",
+            ["components_orthonormal", "evr_valid", "variance_ordered",
+             "projections_centered"],
+        ),
+    }
+    for name, (count_col, flags) in expected.items():
+        (row,) = REGISTRY[name].fn(spark, out).collect()
+        assert row[count_col] == 0, name
+        for flag in flags:
+            assert row[flag] is True, f"{name}.{flag}"
+    # the per-row surfaces are empty, never crashing
+    from transf_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_lsh_topk,
+        kmeans_cluster_profile,
+        pca_projection_rows,
+    )
+
+    for fn in (ann_lsh_topk, ann_ivf_topk, kmeans_cluster_profile,
+               pca_projection_rows):
+        assert fn(spark, out).count() == 0, fn.__name__

@@ -37,6 +37,38 @@ def davg(col: Column | str, alias: str) -> Column:
     return (F.sum(dec(c)).cast("double") / F.count(F.lit(1))).alias(alias)
 
 
+# Canonical-props gate shared by every query that parses the events
+# ``props`` JSON bag: only strict-grammar integer-valued single-key
+# {"k": N} bags qualify. Simple regex features ONLY (anchors, char
+# classes, bounded whitespace, one alternation) so Java regex (Spark
+# rlike) and RE2 (DuckDB regexp_matches) agree byte-for-byte. The gate
+# runs BEFORE either engine's JSON parser — that is what makes the
+# parsers' leniency differences unreachable: Spark's get_json_object
+# NULLs malformed JSON where DuckDB's json_extract_string RAISES (even
+# under TRY_CAST — e.g. leading-zero integers like {"k":007}), and the
+# string→number casts split on fractional text (Spark truncates
+# '1.5'→1, DuckDB rounds→2). The integer arm is the STRICT JSON number
+# grammar -?(0|[1-9][0-9]*). Oracles add a json_valid(props) guard as
+# defense-in-depth so no gate regression can ever reach the raising
+# parser (round-9 advisory).
+PROPS_CANON_RE = r'^\{"k":[ ]*-?(0|[1-9][0-9]*)\}$'
+
+
+def sql_props_k_gate(cast_type: str) -> str:
+    """DuckDB fragment: the gated extraction of $.k as ``cast_type``."""
+    return (
+        "CASE WHEN props IS NOT NULL"
+        f" AND regexp_matches(props, '{PROPS_CANON_RE}')"
+        " AND json_valid(props)"
+        f" THEN TRY_CAST(json_extract_string(props, '$.k') AS {cast_type}) END"
+    )
+
+
+def props_k_gate(extracted: Column) -> Column:
+    """Spark twin: ``extracted`` evaluated only when props passes the gate."""
+    return F.when(F.col("props").rlike(PROPS_CANON_RE), extracted)
+
+
 # SQL fragments for the DuckDB oracle mirroring dec/dsum/davg exactly.
 def sql_dec(expr: str) -> str:
     return f"CAST({expr} AS DECIMAL(12,2))"

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from transf_spark.functions.exprs import dec
+from transf_spark.functions.exprs import PROPS_CANON_RE, dec, sql_props_k_gate
 from transf_spark.queries import register
 from transf_spark.sources.tables import load_table
 
@@ -839,13 +839,11 @@ def lifecycle_entries():
     return F.expr(_LIFECYCLE_ENTRIES_SQL)
 
 
-# Canonical-props gate for the JSON extractor: only integer-valued
-# single-key {"k": N} bags qualify. Simple regex features ONLY (anchors,
-# char classes, bounded whitespace) so Java regex (Spark rlike) and RE2
-# (DuckDB regexp_matches) agree byte-for-byte — the PII-redaction device.
-# The gate runs BEFORE either engine's JSON parser, which is what makes
-# the two parsers' leniency differences unreachable (see docstring).
-_PROPS_CANON_RE = r'^\{"k":[ ]*-?[0-9]+\}$'
+# Canonical-props gate for the JSON extractor — shared with every other
+# props-parsing query via functions/exprs.py (the scalar suite hit the
+# same DuckDB raising-parser class in the round-9 sweep). See
+# exprs.PROPS_CANON_RE for the full dialect-parity rationale.
+_PROPS_CANON_RE = PROPS_CANON_RE
 
 
 @register(
@@ -853,10 +851,7 @@ _PROPS_CANON_RE = r'^\{"k":[ ]*-?[0-9]+\}$'
     oracle=f"""
     WITH x AS (
       SELECT event_type,
-             CASE WHEN props IS NOT NULL
-                       AND regexp_matches(props, '{_PROPS_CANON_RE}')
-                  THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-             END AS k
+             {sql_props_k_gate("BIGINT")} AS k
       FROM events
     )
     SELECT event_type,
@@ -889,7 +884,11 @@ def events_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     simple-feature regex (the PII-redaction device): only canonical
     integer-valued ``{"k": N}`` bags extract; anything else — malformed,
     lenient-but-nonstandard, fractional, extra keys — is NULL in BOTH
-    dialects by the same test. Plan at scale: the gate+extraction is a
+    dialects by the same test. The gate's integer arm is the strict JSON
+    number grammar (no leading zeros — DuckDB's parser RAISES on
+    ``{"k":007}`` even under TRY_CAST), and the oracle adds a
+    ``json_valid`` guard so no gate regression can ever reach the raising
+    parser. Plan at scale: the gate+extraction is a
     pure map fused into the scan reading only (event_type, props); the
     census is ONE aggregate on the tiny event-type domain (COUNT DISTINCT
     adds its standard two-phase expand — bounded by |types| ×

@@ -361,9 +361,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("idx_ok"),
         (
             (F.col("min_off") == 0)
+            # expected Σ offsets = fb·stride·(n·(n-1)/2) in pure LONG math:
+            # n·(n-1) is always even so `div 2` is exact, and a long-vs-long
+            # compare never hits the 2^53 double-precision cliff a / 2
+            # division would (round-9 advisory — the module's exact-integer-
+            # compare doctrine)
             & (
                 F.col("sum_off")
-                == fb * FRAME_STRIDE * F.col("n_rows") * (F.col("n_rows") - 1) / 2
+                == fb
+                * FRAME_STRIDE
+                * F.expr("n_rows * (n_rows - 1) div 2")
             )
         ).alias("off_ok"),
         (

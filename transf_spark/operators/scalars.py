@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.functions import pandas_udf
 
-from transf_spark.functions.exprs import basename
+from transf_spark.functions.exprs import basename, props_k_gate, sql_props_k_gate
 from transf_spark.queries import register
 from transf_spark.sources.tables import load_table
 
@@ -188,10 +188,10 @@ def scalar_date_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_array_map_json_suite",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
-           CAST(json_extract_string(props, '$.k') AS INT) % 7 AS prop_k_mod,
+           {sql_props_k_gate("INT")} AS prop_k,
+           {sql_props_k_gate("INT")} % 7 AS prop_k_mod,
            CAST(to_json([event_id % 5, user_id % 5, CAST(length(event_type) AS BIGINT)]) AS VARCHAR) AS triple,
            list_contains([event_id % 5, user_id % 5], 3) AS has_three,
            len(string_split(coalesce(event_type, ''), 'i')) - 1 AS n_i,
@@ -207,10 +207,16 @@ def scalar_array_map_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     then collapsed to a scalar (map values don't hash portably across
     engines). The constructed array is emitted as ``to_json`` text — raw
     array columns break the driver's canonicalizer (unhashable ndarray), and
-    both engines render int-array JSON identically (``[1,2,3]``)."""
+    both engines render int-array JSON identically (``[1,2,3]``). Both
+    extractions ride the shared canonical-props gate (exprs.PROPS_CANON_RE):
+    outside it the two JSON parsers genuinely diverge — DuckDB RAISES on
+    leading-zero integers, and fractional text splits three ways (Spark
+    get_json_object truncates, from_json NULLs, DuckDB rounds) — so
+    non-canonical bags are NULL in both dialects by the same test (the
+    round-9 events-sweep finding)."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    k2 = F.from_json("props", "k INT").getField("k")
+    k = props_k_gate(F.get_json_object("props", "$.k").cast("int"))
+    k2 = props_k_gate(F.from_json("props", "k INT").getField("k"))
     m = F.map_from_entries(F.expr("array(struct('u', user_id))"))
     return ev.select(
         "event_id",

@@ -356,7 +356,11 @@ def _corpus_dim(spark: SparkSession, sf_dir: str) -> int:
     if key not in _DIM_CACHE:
         row = _emb_double(spark, sf_dir).select(F.size("v").alias("d")).first()
         if row is None or not row["d"] or row["d"] <= 0:
-            raise ValueError(f"embeddings at {sf_dir} are empty or dimensionless")
+            # zero valid embeddings (all-NULL degenerate regeneration) — a
+            # legitimate empty corpus, not an error: callers short-circuit
+            # to empty top-k surfaces (round-9 advisory). NOT cached: a
+            # later re-stage of the same dir may carry vectors.
+            return 0
         _DIM_CACHE[key] = int(row["d"])
     return _DIM_CACHE[key]
 
@@ -408,6 +412,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (9 buckets) to hamming-2 (37) lifted recall 0.08 → 0.30 at no wall-
     clock cost (the re-rank is still candidate-sized); exact cosine
     re-ranks candidates, row_number keeps top-10 per query."""
+    if _corpus_dim(spark, sf_dir) == 0:  # zero valid embeddings — no index
+        return spark.createDataFrame(
+            [], "q_id long, nn_id long, cosine double, rnk long"
+        )
     bucketed = _bucketed(spark, sf_dir)
     h2 = ",".join(
         f"int(bucket ^ {(1 << i) | (1 << j)})"
@@ -694,6 +702,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "v")
             .collect()
         )
+        if not cent_rows:  # zero valid embeddings — nothing to train/index
+            return spark.createDataFrame(
+                [], "q_id long, nn_id long, cosine double, rnk long"
+            )
         _, cent = _centroid_matrix(cent_rows, "vec_id", "v")
         ids = np.arange(1, len(cent_rows) + 1, dtype=np.int64)
         # Lloyd-train the coarse quantizer on a deterministic half-sample
@@ -860,6 +872,20 @@ def _kmeans(spark: SparkSession, sf_dir: str, iters: int = KMEANS_ITERS):
         .select("vec_id", "v")
         .collect()
     )
+    if not seed_rows:
+        # zero valid embeddings (all-NULL degenerate regeneration): there is
+        # nothing to train on — return well-formed empty surfaces instead of
+        # letting the assign kernels matmul against a 0×d matrix (the
+        # _ann_census zero-designated-queries device, round-9 advisory)
+        empty_assigned = spark.createDataFrame(
+            [], "vec_id long, v array<double>, c_id long, d2 double"
+        )
+        empty_cent = spark.createDataFrame([], "c_id long, cv array<double>")
+        return (
+            empty_assigned,
+            empty_cent,
+            (np.zeros(0, dtype=np.int64), np.zeros((0, 0), dtype=np.float64)),
+        )
     # c_id = 1..K in vec_id order (the row_number the DataFrame seed used)
     seed_rows = sorted(seed_rows, key=lambda r: r["vec_id"])
     ids = np.arange(1, len(seed_rows) + 1, dtype=np.int64)
@@ -950,9 +976,22 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run already produced — ONE extra lazy assignment pass, not a second
     # full training run (same matrices, same value; round-8 trim)
     e = _emb_double(spark, sf_dir).select("vec_id", "v")
-    prev = _kmeans_assign(e, prev_ids, prev_cent).agg(
-        F.sum("d2").alias("inertia_prev")
-    )
+    if prev_ids.size == 0:
+        # zero valid embeddings — no penultimate centroids exist to assign
+        # against (and the assign kernel cannot matmul a 0×d matrix)
+        prev = spark.createDataFrame([(None,)], "inertia_prev double")
+    else:
+        prev = _kmeans_assign(e, prev_ids, prev_cent).agg(
+            F.sum("d2").alias("inertia_prev")
+        )
+
+    # on a fixture with NO valid embeddings the empty aggregate yields
+    # _k = 0 and NULL _opt/_inertia — the flags are vacuously TRUE there
+    # (coverage stays pinned: n_vecs_total == the oracle's exact zero
+    # count), mirroring the _ann_census device (round-9 advisory)
+    def _vac(flag):
+        return F.when(F.col("n_vecs_total") == 0, F.lit(True)).otherwise(flag)
+
     return (
         per_vec.agg(
             F.count(F.lit(1)).alias("n_vecs_total"),
@@ -970,9 +1009,9 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(prev))
         .select(
             "n_vecs_total",
-            F.col("_k").between(1, KMEANS_K).alias("k_bounded"),
-            (F.col("_opt") == 1).alias("assignment_optimal"),
-            (
+            _vac(F.col("_k").between(1, KMEANS_K)).alias("k_bounded"),
+            _vac(F.col("_opt") == 1).alias("assignment_optimal"),
+            _vac(
                 F.col("_inertia")
                 <= F.col("inertia_prev") * (1 + 1e-12) + 1e-12
             ).alias("inertia_monotone"),
@@ -1135,6 +1174,10 @@ def _pca_fit(spark: SparkSession, sf_dir: str):
             )
 
     rows = e.mapInPandas(partial, "n long, s array<double>, xx array<double>").collect()
+    if not rows:
+        # zero valid embeddings — there is no moment matrix to decompose;
+        # callers short-circuit to empty/vacuous surfaces (round-9 advisory)
+        return None, None, None
     n_total = sum(r["n"] for r in rows)
     d = len(rows[0]["s"])
     s_total = np.sum([np.array(r["s"]) for r in rows], axis=0)
@@ -1181,6 +1224,9 @@ def pca_projection_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass (see _pca_fit); projection a second shuffle-free map — both
     corpus passes embarrassingly parallel."""
     mean, comps, _ = _pca_fit(spark, sf_dir)
+    if mean is None:  # zero valid embeddings — nothing to project
+        fields = ", ".join(f"pc{i} double" for i in range(PCA_COMPONENTS))
+        return spark.createDataFrame([], f"vec_id long, label string, {fields}")
     return _pca_project(spark, sf_dir, mean, comps)
 
 
@@ -1221,6 +1267,15 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (count + 8×(var_pop, avg)) — linear chain, no joins. Per-row
     surface: :func:`pca_projection_rows`."""
     mean, comps, evr = _pca_fit(spark, sf_dir)
+    if mean is None:
+        # zero valid embeddings: coverage pinned by the exact zero count,
+        # fit flags vacuously TRUE — the _ann_census zero-designated-
+        # queries device applied to the PCA promotion (round-9 advisory)
+        return spark.sql(
+            "SELECT CAST(0 AS BIGINT) AS n_rows,"
+            " TRUE AS components_orthonormal, TRUE AS evr_valid,"
+            " TRUE AS variance_ordered, TRUE AS projections_centered"
+        )
     ortho = bool(
         np.allclose(comps @ comps.T, np.eye(comps.shape[0]), atol=1e-9)
     )
