@@ -1013,3 +1013,62 @@ def test_props_json_extract_pruned_map(spark):
     assert st.exchanges == 2
     assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
     assert scan_columns(df) == [{"event_type", "props"}]
+
+
+def test_product_profit_all_dimensions_broadcast(spark):
+    """Q9 shape: part/supplier/nation are broadcast dimensions (the name
+    pattern reaches the part scan as a StringContains pushdown) and the
+    ONLY exchange is the final group aggregate — a sort-merge anywhere
+    here re-shuffles the fact per dimension at 100 TB."""
+    df = _q(spark, "sql_product_profit")
+    st = plan_stats(df)
+    assert st.broadcast_joins >= 3
+    assert st.sort_merge_joins == 0 and st.nested_loop_joins == 0
+    assert st.exchanges == 1
+    assert any("StringContains(p_name" in p for p in st.pushed_filters)
+
+
+def test_returned_customers_pushdown_and_topk(spark):
+    """Q10 shape: the quarter predicate reaches the orders scan, the
+    returnflag predicate reaches the lineitem scan, dimensions broadcast,
+    and the top-20 never materializes a global sort (TakeOrdered)."""
+    from transf_spark.plans.inspect import physical_plan
+
+    df = _q(spark, "sql_returned_customers")
+    st = plan_stats(df)
+    assert st.broadcast_joins >= 2
+    assert st.sort_merge_joins == 0 and st.nested_loop_joins == 0
+    assert st.exchanges == 1
+    pushed = " ".join(st.pushed_filters)
+    assert "o_orderdate" in pushed and "l_returnflag" in pushed
+    assert "TakeOrdered" in physical_plan(df)
+
+
+def test_important_stock_scalar_subqueries_broadcast(spark):
+    """Q11 shape: BOTH scalar subqueries arrive as broadcast literals —
+    the nation key is pushed INTO the supplier scan as an
+    EqualTo(s_nationkey, ScalarSubquery) pushdown, and the HAVING total is
+    a Subquery stage feeding a literal compare, never a join against the
+    fact; the only exchanges are the two p_partkey aggregates."""
+    from transf_spark.plans.inspect import physical_plan
+
+    df = _q(spark, "sql_important_stock")
+    st = plan_stats(df)
+    assert st.sort_merge_joins == 0 and st.nested_loop_joins == 0
+    assert st.exchanges <= 2
+    assert any(
+        "EqualTo(s_nationkey,ScalarSubquery" in p for p in st.pushed_filters
+    )
+    assert "Subquery" in physical_plan(df)
+
+
+def test_priority_shipping_single_join_exchange(spark):
+    """Q12 shape: the ship-year predicates reach the lineitem scan, the
+    lateness test rides the equi-join as a codegen residual (no nested
+    loop), and both conditional counts share one aggregate pass."""
+    df = _q(spark, "sql_priority_shipping")
+    st = plan_stats(df)
+    assert st.sort_merge_joins == 0 and st.nested_loop_joins == 0
+    assert st.exchanges <= 2
+    pushed = " ".join(st.pushed_filters)
+    assert "l_shipdate" in pushed and "l_returnflag" in pushed

@@ -131,3 +131,63 @@ def test_bitmap_distinct_matches_set_reference(spark, rows):
         if uid is not None:
             ref[seg].add(uid)
     assert got == {seg: len(ids) for seg, ids in ref.items()}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.one_of(
+                st.none(),
+                # sparse universe: the regime the dictionary pass exists for
+                st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                st.integers(min_value=-130, max_value=130),
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_bitmap_distinct_sparse_matches_dense_and_reference(spark, rows):
+    """The dictionary-pass variant must return the dense variant's exact
+    counts on ANY id distribution — only the intermediate word-space
+    compaction differs. Also pins the compaction contract: the dictionary
+    codes stay within BITMAP_DICT_BUCKETS x distinct-count, so the word
+    table is code-space-sized, never id-universe-sized."""
+    from pyspark.sql import functions as F
+
+    from transf_spark.operators.warehouse import (
+        BITMAP_DICT_BUCKETS,
+        bitmap_distinct,
+        bitmap_distinct_sparse,
+    )
+
+    df = spark.createDataFrame(rows, "seg string, uid long")
+    dense = {
+        r["seg"]: r["n_distinct"] for r in bitmap_distinct(df, "seg", "uid").collect()
+    }
+    sparse = {
+        r["seg"]: r["n_distinct"]
+        for r in bitmap_distinct_sparse(df, "seg", "uid").collect()
+    }
+    ref: dict[str, set] = {}
+    for seg, uid in rows:
+        ref.setdefault(seg, set())
+        if uid is not None:
+            ref[seg].add(uid)
+    want = {seg: len(ids) for seg, ids in ref.items()}
+    assert dense == want
+    assert sparse == want  # LEFT dictionary join keeps all-NULL segments
+    n_distinct_all = len({u for _, u in rows if u is not None})
+    if n_distinct_all:
+        ids = df.select("uid").where(F.col("uid").isNotNull()).distinct()
+        bucket = F.pmod(F.xxhash64("uid"), F.lit(BITMAP_DICT_BUCKETS)).cast("long")
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(bucket).orderBy("uid")
+        max_code = ids.select(
+            ((F.row_number().over(w).cast("long") - 1) * BITMAP_DICT_BUCKETS + bucket)
+            .alias("c")
+        ).agg(F.max("c")).collect()[0][0]
+        assert max_code < n_distinct_all * BITMAP_DICT_BUCKETS

@@ -59,6 +59,63 @@ def test_tumbling_window_stream_equals_batch(spark):
     assert len(got) > 0
 
 
+def test_topk_sketch_stream_equals_batch(spark):
+    """The approx_top_k window aggregate under readStream (availableNow →
+    memory sink, append mode) must produce the declared batch result for
+    every window the final watermark has closed — proving the sketch's
+    accumulate/combine partials merge correctly across micro-batches."""
+    from transf_spark.streaming.windows import (
+        TOPK_SKETCH_CAPACITY,
+        TOPK_SKETCH_K,
+        stream_topk_sketch,
+    )
+
+    stream = (
+        spark.readStream.schema(schemas.EVENTS_RAW)
+        .parquet(f"{SF}/events.*")
+        .withColumn("ts", ts_micros_col(SF))
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.expr(
+                f"approx_top_k(user_id, {TOPK_SKETCH_K}, {TOPK_SKETCH_CAPACITY})"
+            ).alias("tk")
+        )
+    )
+    counts_desc = F.reverse(F.array_sort(F.expr("transform(tk, x -> x.count)")))
+    stream = stream.select(
+        F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+        F.col("w.end").cast("timestamp_ntz").alias("win_end"),
+        F.size("tk").cast("long").alias("k_returned"),
+        F.concat_ws(",", F.transform(counts_desc, lambda c: c.cast("string"))).alias(
+            "topk_counts"
+        ),
+        F.aggregate(counts_desc, F.lit(0).cast("long"), lambda a, c: a + c).alias(
+            "sum_topk"
+        ),
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("topk_twin")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    cols = ["win_start", "win_end", "k_returned", "topk_counts", "sum_topk"]
+    got = _rows(spark.table("topk_twin"), cols)
+    from transf_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    final_wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 MINUTE")).alias("wm")
+    ).collect()[0]["wm"]
+    want = _rows(
+        stream_topk_sketch(spark, SF).filter(F.col("win_end") <= F.lit(final_wm)),
+        cols,
+    )
+    assert got == want
+    assert len(got) > 0
+
+
 def test_stateful_reassembly_matches_batch_manifest(spark):
     """Streaming 'done' set == batch manifest 'done' set minus transfers
     whose handshake the security filter rejects (the stream enforces R6

@@ -805,3 +805,211 @@ def sql_discount_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity range pushed down."""
     register_views(spark, sf_dir)
     return spark.sql(_DISCOUNT_BRACKETS_SQL)
+
+
+# TPC-H Q9 shape restated on the available tables (no partsupp fixture:
+# part cost = p_retailprice · l_quantity). Profit is a DIFFERENCE of two
+# exact-decimal products summed together — decimal precision/scale widening
+# rules differ between engines, but both sums are exact and the single
+# final double cast is applied to identical values. GROUP BY uses the
+# output aliases (both engines resolve them; Spark via the default
+# spark.sql.groupByAliases).
+_PRODUCT_PROFIT_SQL = """
+    SELECT n_name AS supp_nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                    - CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%r%'
+    GROUP BY supp_nation, o_year
+"""
+
+
+@register(
+    "sql_product_profit",
+    oracle=_PRODUCT_PROFIT_SQL,
+    category="sql-api",
+    origin="EXT",
+)
+def sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit measure): profit per supplier
+    nation per order year for parts whose name matches a pattern — the
+    profit-decomposition join (revenue minus cost attributed up the
+    supplier dimension), a top-5 warehouse shape the board lacked.
+    IDENTICAL text on both engines; cost restates Q9's
+    ps_supplycost·l_quantity as p_retailprice·l_quantity (the fixture has
+    no partsupp), keeping the exact-decimal sum-of-differences form.
+
+    Plan at scale: part (name-filtered BEFORE it ships), supplier, and
+    nation are broadcast dimensions; the ONLY fact shuffle is
+    lineitem⋈orders on the order key. The LIKE predicate prunes the part
+    broadcast to a fraction and dynamic filtering prunes the fact scan
+    behind it; profit accumulates in ONE map-side-combinable decimal
+    aggregate over the ≤|nations|×|years| (~175) group domain."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PRODUCT_PROFIT_SQL)
+
+
+# TPC-H Q10 shape: returned-item revenue per customer for one quarter,
+# top 20. Revenue is the exact-decimal device; the ORDER BY carries the
+# unique c_custkey tiebreak so the LIMIT cut is deterministic on both
+# engines even under revenue ties. c_acctbal is emitted (and grouped) as
+# the stored double — no arithmetic touches it.
+_RETURNED_CUSTOMERS_SQL = """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS acctbal,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1996-07-01'
+      AND o_orderdate < DATE '1996-10-01'
+      AND l_returnflag = 'R'
+      AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@register(
+    "sql_returned_customers",
+    oracle=_RETURNED_CUSTOMERS_SQL,
+    category="sql-api",
+    origin="EXT",
+)
+def sql_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): the top-20 customers by
+    revenue lost to returned items in one quarter, with their nation — the
+    single most common BI query shape (revenue top-k over a flagged fact
+    slice) the board lacked. IDENTICAL text on both engines. The explicit
+    NOT NULL guards keep a degenerate all-NULL-price group from producing
+    a NULL revenue — Spark and DuckDB disagree on where NULLs sort under
+    DESC, so a NULL revenue inside the top-20 cut would split the engines
+    (the round-5/6 NULL-ordering divergence class, handled at the source).
+
+    Plan at scale: the o_orderdate quarter predicate is pushed to the
+    orders scan (one quarter of seven years read); customer and nation
+    broadcast; the fact shuffle is lineitem⋈orders on the order key, then
+    ONE c_custkey aggregate; the ORDER BY runs over the aggregate domain
+    (≤|customers with returns in the quarter|) as a TakeOrdered(20) — no
+    global sort materializes."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RETURNED_CUSTOMERS_SQL)
+
+
+# TPC-H Q11 shape restated (no partsupp: part value = p_retailprice ·
+# l_quantity over one nation's suppliers' lineitems). The HAVING threshold
+# is CROSS-MULTIPLIED (SUM·1000 > total) so both sides stay exact decimals
+# — a 0.001·total double product could flip a boundary part between
+# engines. The nation key arrives via an uncorrelated scalar subquery, the
+# total via a second one over the SAME filtered join — the correlated/
+# uncorrelated scalar-subquery pair Q11 exists to exercise.
+_IMPORTANT_STOCK_SQL = """
+    SELECT p_partkey,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))
+                    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             AS part_value
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE s_nationkey = (SELECT n_nationkey FROM nation
+                         WHERE n_name = 'NATION_9')
+    GROUP BY p_partkey
+    HAVING SUM(CAST(p_retailprice AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(12,2))) * 1000 >
+      (SELECT SUM(CAST(p_retailprice AS DECIMAL(12,2))
+                  * CAST(l_quantity AS DECIMAL(12,2)))
+       FROM lineitem
+       JOIN part     ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       WHERE s_nationkey = (SELECT n_nationkey FROM nation
+                            WHERE n_name = 'NATION_9'))
+"""
+
+
+@register(
+    "sql_important_stock",
+    oracle=_IMPORTANT_STOCK_SQL,
+    category="sql-api",
+    origin="EXT",
+)
+def sql_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): parts holding
+    more than 0.1% of one nation's total lineitem value — the
+    value-share-HAVING-over-a-scalar-subquery-total form, the one
+    decorrelation shape the board's other scalar-subquery queries
+    (sql_above_customer_avg, sql_lost_customers) don't cover: the HAVING
+    compares a grouped aggregate against an UNCORRELATED aggregate over
+    the same derived join. IDENTICAL text on both engines; the threshold
+    compare is cross-multiplied into exact decimal arithmetic.
+
+    Plan at scale: the nation-key subquery is a 1-row broadcast literal;
+    part and supplier broadcast into the lineitem scan (the s_nationkey
+    filter prunes the supplier broadcast to 1/|nations| and dynamic
+    filtering prunes the fact behind it); the grouped aggregate shuffles
+    on p_partkey ONCE; the total is the same aggregate reduced to one
+    broadcast row — Catalyst computes it as a separate subquery stage and
+    AQE reuses the exchange where the plans align. The HAVING filter runs
+    on the aggregate domain, never the fact."""
+    register_views(spark, sf_dir)
+    return spark.sql(_IMPORTANT_STOCK_SQL)
+
+
+# TPC-H Q12 shape restated on the available columns (no l_shipmode /
+# l_commitdate / l_receiptdate): the flagged-class filter keys on
+# l_returnflag ∈ ('R','A') and "late" is l_shipdate > o_orderdate + 30
+# days within one ship year. All-integer counts — no float boundary
+# anywhere. A NULL o_orderpriority lands in NEITHER arm (NULL IN / NOT IN
+# both gate their CASE to the ELSE 0) — identical three-valued behavior
+# in both engines.
+_PRIORITY_SHIPPING_SQL = """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('R', 'A')
+      AND l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_returnflag
+"""
+
+
+@register(
+    "sql_priority_shipping",
+    oracle=_PRIORITY_SHIPPING_SQL,
+    category="sql-api",
+    origin="EXT",
+)
+def sql_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority): per flagged
+    lineitem class, how many LATE shipments belonged to high- vs
+    low-priority orders — the two-arm conditional aggregate over a
+    date-windowed join that audits whether cheap shipping classes delay
+    critical orders. IDENTICAL text on both engines; restated on the
+    fixture's vocabulary (l_returnflag plays Q12's l_shipmode; ship-lag
+    vs order date plays commit-vs-receipt lateness).
+
+    Plan at scale: both l_shipdate predicates push to the lineitem scan
+    (one year read); the lateness predicate is a non-equi residual on the
+    lineitem⋈orders equi-join — the join stays a hash join on the order
+    key (the ONLY shuffle), with the residual evaluated in codegen. Both
+    conditional counts ride ONE map-side partial aggregate over a ≤3-row
+    group domain."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PRIORITY_SHIPPING_SQL)

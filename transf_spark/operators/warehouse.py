@@ -538,9 +538,10 @@ def agg_bitmap_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-divided (pmod bit + compensated word) so every long maps to a
     unique (word, bit). At 100 TB: two exchanges, both map-side combined;
     the level-1 key space is |segments| × |id-space|/64 — dense-id
-    friendly (the production caveat: sparse 64-bit id spaces want a
-    dictionary pass or roaring containers first; words here stay exact
-    regardless, just less compact)."""
+    friendly. For sparse 64-bit id universes use
+    :func:`bitmap_distinct_sparse` (the dictionary-pass variant below,
+    landed round 9): same exact counts, one extra id exchange, word table
+    bounded by the DISTINCT count instead of the id universe."""
     ev = load_table(spark, sf_dir, "events")
     return bitmap_distinct(ev, "event_type", "user_id").withColumnRenamed(
         "n_distinct", "n_users"
@@ -578,4 +579,59 @@ def bitmap_distinct(df: DataFrame, seg_col: str, id_col: str) -> DataFrame:
             .alias("n_distinct")
         )
         .withColumnRenamed("__seg", seg_col)
+    )
+
+
+# Bucket fan-out for the sparse-id dictionary pass: codes interleave as
+# local_rank × P + bucket, so the code space is ≤ P × max-bucket-size —
+# within a hash-skew factor of the true distinct count, NEVER the raw
+# 64-bit id universe.
+BITMAP_DICT_BUCKETS = 1 << 10
+
+
+def bitmap_distinct_sparse(df: DataFrame, seg_col: str, id_col: str) -> DataFrame:
+    """Dictionary-pass twin of :func:`bitmap_distinct` for SPARSE 64-bit id
+    universes — the production caveat in the declared query's docstring,
+    made concrete (M8 item 7, landed early as a library helper).
+
+    The dense variant's level-1 key space is |segments| × |id-space|/64:
+    exact for any ids, but a sparse universe (random 64-bit hashes, snowflake
+    ids) explodes the word count to one word per ~1 id, destroying the
+    compaction that makes bitmap partials cheap to merge. The fix is the
+    classic dictionary pass: densify ids BEFORE the word pipeline.
+
+    Dense codes come from a bucketed rank — ids hash into
+    ``BITMAP_DICT_BUCKETS`` buckets, rank within each bucket (a
+    high-cardinality window, ~n/P ids per bucket — bounded, never the
+    global single-partition window the module's anti-pattern rules ban),
+    code = rank × P + bucket. Codes are unique across buckets by
+    construction and the code space is ≤ P × max-bucket-size ≈ distinct
+    count × hash-skew — so the downstream word table is ~n/64 words
+    regardless of how sparse the raw universe is. Cost: one extra id-keyed
+    exchange (the distinct) — the explicit trade the docstring caveat
+    promised. Counts are EXACT either way; property-tested against the
+    dense variant and a Python set reference on ±2^62 ids."""
+    ids = (
+        df.select(F.col(id_col).alias("__id"))
+        .where(F.col("__id").isNotNull())
+        .distinct()
+    )
+    bucket = F.pmod(F.xxhash64("__id"), F.lit(BITMAP_DICT_BUCKETS)).cast("long")
+    w = W.partitionBy(bucket).orderBy("__id")
+    dic = ids.select(
+        "__id",
+        (
+            (F.row_number().over(w).cast("long") - 1) * BITMAP_DICT_BUCKETS
+            + bucket
+        ).alias("__code"),
+    )
+    # LEFT join: rows with NULL ids keep a NULL code, so an all-NULL
+    # segment still emits its n_distinct = 0 row — exact parity with the
+    # dense variant's COUNT(DISTINCT) semantics
+    coded = df.join(dic, df[id_col] == dic["__id"], "left").select(
+        F.col(seg_col).alias("__seg0"), "__code"
+    )
+    return (
+        bitmap_distinct(coded, "__seg0", "__code")
+        .withColumnRenamed("__seg0", seg_col)
     )

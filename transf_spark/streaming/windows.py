@@ -485,6 +485,89 @@ def stream_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sketch capacity for the windowed top-k: exact while a window's distinct
+# user count stays under it (the sketch tracks every item it has room for),
+# which every grading scale satisfies by orders of magnitude — the same
+# exact-at-fixture / approximate-at-scale contract as the HLL queries.
+TOPK_SKETCH_K = 10
+TOPK_SKETCH_CAPACITY = 100_000
+
+
+@register(
+    "stream_topk_sketch",
+    oracle=f"""
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS win_start, user_id,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT win_start, cnt,
+             row_number() OVER (PARTITION BY win_start
+                                ORDER BY cnt DESC, user_id) AS rn
+      FROM c
+    )
+    SELECT win_start,
+           win_start + INTERVAL 1 HOUR AS win_end,
+           CAST(COUNT(*) AS BIGINT) AS k_returned,
+           string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY cnt DESC, rn)
+             AS topk_counts,
+           CAST(SUM(cnt) AS BIGINT) AS sum_topk
+    FROM r WHERE rn <= {TOPK_SKETCH_K}
+    GROUP BY win_start
+    """,
+    category="streaming/sketch",
+    origin="EXT",
+)
+def stream_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed approximate top-k heavy hitters (M7 item 6 — landed, not
+    dropped: Spark 4's ``approx_top_k`` family IS a public probe surface,
+    with ``_accumulate``/``_combine``/``_estimate`` giving the mergeable
+    partial-sketch forms a streaming state store needs — the same
+    re-evaluation that rescued ``agg_bitmap_distinct_segments``). Per
+    hourly window: the top-``TOPK_SKETCH_K`` users by event count, via the
+    sketch aggregate. Declared batch-evaluated form (module pattern); the
+    streaming twin in tests/test_streaming.py runs the same plan under
+    readStream with a watermark.
+
+    The declared output is TIE-SAFE by construction: under count ties the
+    top-k ITEM SET is permutation-unstable (the sketch's tie order is
+    arbitrary), but the top-k COUNT MULTISET is unique — so the census
+    emits k_returned, the counts joined in descending order, and their
+    sum, all deterministic and exactly DuckDB-checkable while the window's
+    distinct-user count stays under ``TOPK_SKETCH_CAPACITY`` (every
+    grading scale, by orders of magnitude).
+
+    Plan at scale: ONE window-keyed exchange with map-side sketch
+    partials (accumulate/combine — constant state per window, vs the
+    exact form's per-user state the HLL query's docstring warns about);
+    the flatten is a pure array expression over ≤k elements."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    g = ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.expr(
+            f"approx_top_k(user_id, {TOPK_SKETCH_K}, {TOPK_SKETCH_CAPACITY})"
+        ).alias("tk")
+    )
+    # sort the counts numerically DESC before stringifying (a string sort
+    # would order '10' before '2'); reverse(array_sort(...)) is exact
+    counts_desc = F.reverse(F.array_sort(F.expr("transform(tk, x -> x.count)")))
+    return g.select(
+        F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+        F.col("w.end").cast("timestamp_ntz").alias("win_end"),
+        F.size("tk").cast("long").alias("k_returned"),
+        F.concat_ws(
+            ",", F.transform(counts_desc, lambda c: c.cast("string"))
+        ).alias("topk_counts"),
+        F.aggregate(
+            counts_desc, F.lit(0).cast("long"), lambda acc, c: acc + c
+        ).alias("sum_topk"),
+    )
+
+
 
 @register(
     "stream_checkpoint_incremental",
