@@ -143,6 +143,7 @@ HEADLINE = [
     "sql_important_stock",
     "sql_priority_shipping",
     "stream_topk_sketch",
+    "sql_forecast_revenue",
     # round-9 serving surfaces (see SERVING below — timed so a serving
     # regression can't hide behind the promoted censuses' audit cost)
     "serving:ann_ivf_topk",

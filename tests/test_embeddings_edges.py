@@ -22,7 +22,7 @@ import pytest
 
 from tests.docfixtures import write_documents
 from tests.oracle import compare
-from transf_spark.queries import REGISTRY, queries
+from transf_spark.queries import all_specs, queries
 
 _D = 8
 
@@ -90,7 +90,7 @@ def test_embeddings_sweep_list_is_complete():
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "events",
     )
-    for name, spec in REGISTRY.items():
+    for name, spec in all_specs().items():
         if spec.oracle is None or spec.category.startswith("streaming"):
             continue
         src = inspect.getsource(spec.fn) + " " + spec.oracle
@@ -106,8 +106,7 @@ def test_embeddings_sweep_list_is_complete():
 
 @pytest.mark.parametrize("name", EDGE_EMB_QUERIES)
 def test_embedding_queries_survive_degenerate_rows(spark, edge_emb_dir, name):
-    queries()  # populate the registry
-    spec = REGISTRY[name]
+    spec = all_specs()[name]
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW embeddings AS SELECT * FROM "
@@ -131,7 +130,7 @@ def test_null_embedding_excluded_duplicate_pair_found(spark, edge_emb_dir):
     queries()
     pairs = {
         (r["vec_id_a"], r["vec_id_b"]): r["cosine"]
-        for r in REGISTRY["dedup_embedding_cosine"].fn(spark, edge_emb_dir).collect()
+        for r in all_specs()["dedup_embedding_cosine"].fn(spark, edge_emb_dir).collect()
     }
     assert (0, 6) in pairs and abs(pairs[(0, 6)] - 1.0) < 1e-9
     assert not any(5 in p for p in pairs), "NULL-embedding row must not pair"

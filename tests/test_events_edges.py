@@ -24,7 +24,7 @@ import duckdb
 import pytest
 
 from tests.oracle import compare
-from transf_spark.queries import REGISTRY, queries
+from transf_spark.queries import all_specs, queries
 
 _T0 = dt.datetime(2024, 1, 1)
 
@@ -96,6 +96,8 @@ EDGE_EVENT_QUERIES = [
     "agg_bitmap_distinct_segments",
     "events_props_json_extract",  # NULL + "{}" props in this fixture
     "join_asof_latest_event",  # r8 completeness audit — was silently missing
+    # round-9 pre-staged (M8) additions — gated before promotion
+    "agg_theta_sketch_setops",
 ]
 
 
@@ -115,7 +117,7 @@ def test_events_sweep_list_is_complete():
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings",
     )
-    for name, spec in REGISTRY.items():
+    for name, spec in all_specs().items():
         if spec.oracle is None or spec.category.startswith("streaming"):
             continue
         src = inspect.getsource(spec.fn) + " " + spec.oracle
@@ -131,8 +133,7 @@ def test_events_sweep_list_is_complete():
 
 @pytest.mark.parametrize("name", EDGE_EVENT_QUERIES)
 def test_events_queries_survive_degenerate_rows(spark, edge_events_dir, name):
-    queries()  # populate the registry
-    spec = REGISTRY[name]
+    spec = all_specs()[name]
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW events AS SELECT * FROM "
@@ -150,7 +151,7 @@ def test_sessionize_gap_still_splits_on_degenerate_fixture(spark, edge_events_di
     90-minute-gap event still opens a second session (joined by the two
     round-9 props-edge rows at +91/+92 minutes)."""
     queries()
-    rows = REGISTRY["events_sessionize"].fn(spark, edge_events_dir).collect()
+    rows = all_specs()["events_sessionize"].fn(spark, edge_events_dir).collect()
     u1 = sorted(
         (r["session_idx"], r["n_events"]) for r in rows if r["user_id"] == 1
     )

@@ -108,3 +108,87 @@ def test_pgm_decoder_rejects_bad_dimensions():
         decode_pgm(b"P5 x 2 255\n" + bytes(6))
     with pytest.raises(ValueError, match="not an 8-bit PGM"):
         decode_pgm(b"P5 0 0 255\n")
+
+
+def test_wav_decoder_is_a_real_decoder():
+    """decode_wav must behave like any decoder: parse valid RIFF/WAVE PCM
+    (including a chunk it doesn't know, skipped by the generic walk) and
+    raise on malformed envelopes, wrong formats, and truncated data."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from transf_spark.operators.multimodal import decode_wav
+
+    def wav(samples: bytes, *, rate=8000, fmt=1, ch=1, bits=16, extra=b""):
+        blk = ch * bits // 8
+        body = (
+            b"fmt " + struct.pack("<IHHIIHH", 16, fmt, ch, rate, rate * blk, blk, bits)
+            + extra
+            + b"data" + struct.pack("<I", len(samples)) + samples
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    s = struct.pack("<4h", 100, -200, 32767, -32768)
+    rate, vec = decode_wav(wav(s))
+    assert rate == 8000
+    assert vec.tolist() == [100, -200, 32767, -32768]
+    assert vec.dtype == np.dtype("<i2")
+
+    # unknown chunk between fmt and data is skipped (word-aligned walk)
+    rate, vec = decode_wav(wav(s, extra=b"LIST" + struct.pack("<I", 3) + b"abc\x00"))
+    assert vec.size == 4
+
+    with pytest.raises(ValueError):  # not RIFF
+        decode_wav(b"RIFX" + wav(s)[4:])
+    with pytest.raises(ValueError):  # RIFF size lies
+        buf = bytearray(wav(s)); buf[4] ^= 0xFF
+        decode_wav(bytes(buf))
+    with pytest.raises(ValueError):  # float PCM
+        decode_wav(wav(s, fmt=3))
+    with pytest.raises(ValueError):  # stereo
+        decode_wav(wav(s, ch=2))
+    with pytest.raises(ValueError):  # 8-bit
+        decode_wav(wav(s, bits=8))
+    with pytest.raises(ValueError):  # truncated data chunk
+        good = wav(s)
+        decode_wav(good[:-2] + struct.pack("<H", 0)[:0])  # drop 2 tail bytes
+    with pytest.raises(ValueError):  # data before fmt
+        body = b"data" + struct.pack("<I", len(s)) + s
+        decode_wav(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+
+
+def test_audio_decode_edge_and_unicode_fixtures(spark):
+    """The audio twin of the image decoder is excluded from the docs
+    sweeps' auto-discovery (its docstring's binaryFile mention trips the
+    API-usage exclusion, same as multimodal_image_decode) — so run the
+    SAME degenerate + multilingual gates explicitly: empty texts, unicode
+    texts, and NULL text must neither error nor diverge from the md5
+    oracle."""
+    import duckdb
+
+    from tests.docfixtures import write_documents
+    from tests.oracle import compare
+    from transf_spark.queries import all_specs
+
+    spec = all_specs()["multimodal_audio_decode"]
+    rows = [
+        (1, "", "en", "s"),  # empty text — md5("") still decodes
+        (2, None, "en", "s"),  # NULL text — filtered in both dialects
+        (3, "héllo wörld 日本語 🎉", "xx", "s"),  # multilingual
+        (4, "plain ascii", "en", "s"),
+        (5, "İstanbul ısı STRASSE ß", "tr", "s"),  # case hazards
+    ]
+    import tempfile
+
+    d = write_documents(tempfile.mkdtemp(prefix="audio_edge_"), rows)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    try:
+        problems = compare(spec.fn(spark, d), con, spec.oracle)
+    finally:
+        con.close()
+    assert not problems, "; ".join(problems)

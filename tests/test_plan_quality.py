@@ -1072,3 +1072,99 @@ def test_priority_shipping_single_join_exchange(spark):
     assert st.exchanges <= 2
     pushed = " ".join(st.pushed_filters)
     assert "l_shipdate" in pushed and "l_returnflag" in pushed
+
+
+def _qp(spark, name):
+    """Pending (M8 pre-staged) queries — gated before promotion."""
+    from transf_spark.queries import all_specs
+
+    return all_specs()[name].fn(spark, SF)
+
+
+def test_forecast_revenue_single_pass_scan(spark):
+    """Q6 shape: the entire query is one pruned scan + one 1-row
+    aggregate — all three predicates reach the parquet scan, exactly the
+    four referenced columns are read, and the only exchange is the 1-row
+    partial→final hop. This is the scan-path benchmark query; ANY join
+    or extra exchange here is a regression."""
+    df = _q(spark, "sql_forecast_revenue")
+    st = plan_stats(df)
+    assert st.exchanges == 1
+    assert st.broadcast_joins == 0 and st.sort_merge_joins == 0
+    assert st.nested_loop_joins == 0
+    pushed = " ".join(st.pushed_filters)
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    assert scan_columns(df) == [
+        {"l_shipdate", "l_discount", "l_extendedprice", "l_quantity"}
+    ]
+
+
+def test_min_cost_supplier_broadcasts_and_reaggregates(spark):
+    """Q2 shape: the correlated MIN-equality subquery decorrelates into a
+    p_partkey re-aggregate joined back (never a per-row subquery loop),
+    part and supplier broadcast, and the size filter reaches the part
+    scan. Exchanges: the (part,supplier) unit-cost aggregate, its
+    p_partkey re-aggregate, and the final hop — 3, never fact×dimension
+    sort-merges."""
+    df = _qp(spark, "sql_min_cost_supplier")
+    st = plan_stats(df)
+    assert st.broadcast_joins >= 2
+    assert st.sort_merge_joins == 0 and st.nested_loop_joins == 0
+    assert st.exchanges <= 3
+    assert any("LessThanOrEqual(p_size,10)" in p for p in st.pushed_filters)
+
+
+def test_promotable_parts_semi_join_shape(spark):
+    """Q20 shape: the name filter reaches the part scan as a
+    StringContains pushdown, part broadcasts into the fact, and the IN
+    becomes a semi join against the l_suppkey aggregate domain — at most
+    one merge join of two supplier-cardinality relations (AQE converts
+    it to broadcast at runtime when the aggregate domain is small), and
+    the fact shuffles exactly once."""
+    df = _qp(spark, "sql_promotable_parts")
+    st = plan_stats(df)
+    assert st.broadcast_joins >= 1
+    assert st.nested_loop_joins == 0
+    assert st.sort_merge_joins <= 1  # supplier ⋈ supplier-domain aggregate
+    assert st.exchanges <= 2
+    assert any("StringContains(p_name,r)" in p for p in st.pushed_filters)
+
+
+def test_theta_setops_bounded_pair_plan(spark):
+    """Theta set-ops: the only full-data exchanges are the segment-keyed
+    sketch aggregate and the (segment,user) distinct — everything after
+    runs on the ≤|segments| domain. The seg_a < seg_b pair enumeration is
+    the ONE permitted nested-loop join (a broadcast of a ≤|segments|-row
+    side — bounded by design, like the scalar crossJoins elsewhere), and
+    the events scan reads exactly two columns."""
+    df = _qp(spark, "agg_theta_sketch_setops")
+    st = plan_stats(df)
+    assert st.sort_merge_joins == 0
+    assert st.nested_loop_joins <= 1
+    assert scan_columns(df) == [{"event_type", "user_id"}] * len(scan_columns(df))
+
+
+def test_kll_quantile_two_exchange_broadcast(spark):
+    """KLL windowed quantiles: sketch + exact median + count build in ONE
+    window-keyed exchange; the rank check re-joins events by BROADCAST on
+    the hour key (never a shuffle of the fact against the window table)
+    and reduces in one more bounded aggregate. Scan reads (ts, value)
+    only."""
+    df = _qp(spark, "stream_kll_quantile_sketch")
+    st = plan_stats(df)
+    assert st.exchanges == 2
+    assert st.broadcast_joins == 1
+    assert st.sort_merge_joins == 0 and st.nested_loop_joins == 0
+    assert scan_columns(df) == [{"ts", "value"}, {"ts", "value"}]
+
+
+def test_audio_decode_is_pure_map(spark):
+    """WAV decode: synthesis + decode are map stages — ZERO exchanges,
+    scan pruned to (doc_id, text), NULL-text filter pushed. The
+    multimodal_image_decode gate, applied to its audio twin."""
+    df = _qp(spark, "multimodal_audio_decode")
+    st = plan_stats(df)
+    assert st.exchanges == 0
+    assert st.broadcast_joins + st.sort_merge_joins + st.nested_loop_joins == 0
+    assert any("IsNotNull(text)" in p for p in st.pushed_filters)
+    assert scan_columns(df) == [{"doc_id", "text"}]

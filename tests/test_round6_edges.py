@@ -16,7 +16,7 @@ import duckdb
 import pytest
 
 from tests.oracle import compare
-from transf_spark.queries import REGISTRY, oracle_sql, queries
+from transf_spark.queries import REGISTRY, all_specs, oracle_sql, queries
 
 
 @pytest.fixture(scope="module")
@@ -78,9 +78,8 @@ _TABLES_OTHER = (
 def _documents_only_queries() -> list[str]:
     import inspect
 
-    queries()  # populate the registry
     out = []
-    for name, spec in REGISTRY.items():
+    for name, spec in all_specs().items():
         if spec.oracle is None:
             continue
         src = inspect.getsource(spec.fn) + " " + spec.oracle
@@ -100,8 +99,9 @@ def test_round6_docs_queries_survive_degenerate_rows(spark, edge_dir, name):
     """Empty/NULL/one-word texts must neither error nor diverge from the
     oracle — the 0-denominator guards and the size<2 gram gate are load-
     bearing here, not decorative."""
-    df = queries()[name](spark, edge_dir)
-    assert not compare(df, _con(edge_dir), oracle_sql()[name])
+    spec = all_specs()[name]
+    df = spec.fn(spark, edge_dir)
+    assert not compare(df, _con(edge_dir), spec.oracle)
 
 
 def test_ngram_degenerate_docs_contribute_no_grams(spark, edge_dir):

@@ -341,3 +341,56 @@ def test_window_distinct_users_stream_equals_batch(spark):
     }
     for win_start, _end, n_approx in got:
         assert abs(n_approx - exact[win_start]) <= 0.05 * exact[win_start]
+
+
+def test_kll_quantile_stream_equals_batch(spark):
+    """The KLL sketch window aggregate under readStream (availableNow →
+    memory sink, append mode) must produce the same per-window quantile
+    estimates as the batch plan for every window the final watermark has
+    closed — proving the sketch partials merge identically across
+    micro-batches (the combine path a streaming state store exercises)."""
+    from transf_spark.streaming.windows import KLL_K
+
+    def quantiles(gdf):
+        return gdf.agg(
+            F.expr(
+                f"kll_sketch_get_quantile_double("
+                f"kll_sketch_agg_double(value, {KLL_K}), array(0.25D, 0.5D, 0.75D))"
+            ).alias("aq"),
+            F.count(F.lit(1)).alias("n_events"),
+        ).select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("win_end"),
+            F.concat_ws(",", F.transform("aq", lambda v: v.cast("string"))).alias("qs"),
+            "n_events",
+        )
+
+    stream = quantiles(
+        spark.readStream.schema(schemas.EVENTS_RAW)
+        .parquet(f"{SF}/events.*")
+        .withColumn("ts", ts_micros_col(SF))
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("kll_twin")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    cols = ["win_start", "win_end", "qs", "n_events"]
+    got = _rows(spark.table("kll_twin"), cols)
+
+    from transf_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    final_wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 MINUTE")).alias("wm")
+    ).collect()[0]["wm"]
+    batch = quantiles(
+        ev.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+    ).filter(F.col("win_end") <= F.lit(final_wm))
+    want = _rows(batch, cols)
+    assert got == want
+    assert len(got) > 0

@@ -28,7 +28,7 @@ import duckdb
 import pytest
 
 from tests.oracle import compare
-from transf_spark.queries import REGISTRY, queries
+from transf_spark.queries import all_specs, queries
 
 _TPCH = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
 _OTHER = ("documents", "embeddings", "events", "binaryFile", "readStream")
@@ -41,9 +41,8 @@ def _d(days: int) -> dt.datetime:
 
 
 def _tpch_only_queries() -> list[str]:
-    queries()  # populate the registry
     out = []
-    for name, spec in REGISTRY.items():
+    for name, spec in all_specs().items():
         if spec.oracle is None:
             continue
         # function source for load_table("<t>") callers; the ORACLE SQL for
@@ -122,7 +121,7 @@ def edge_tpch_dir(tmp_path_factory):
 
 @pytest.mark.parametrize("name", _tpch_only_queries())
 def test_tpch_queries_survive_degenerate_rows(spark, edge_tpch_dir, name):
-    spec = REGISTRY[name]
+    spec = all_specs()[name]
     con = duckdb.connect()
     for t in _TPCH:
         con.execute(

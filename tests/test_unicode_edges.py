@@ -25,7 +25,7 @@ import pytest
 from tests.docfixtures import write_documents
 from tests.oracle import compare
 from tests.test_round6_edges import EDGE_QUERIES, _con
-from transf_spark.queries import REGISTRY, queries
+from transf_spark.queries import all_specs, queries
 
 
 @pytest.fixture(scope="module")
@@ -51,8 +51,7 @@ def unicode_dir(tmp_path_factory):
 def test_docs_queries_survive_unicode(spark, unicode_dir, name):
     """Same harness as the round-6 degenerate sweep: every documents-only
     oracle query must hash-match DuckDB on the multilingual fixture."""
-    queries()
-    spec = REGISTRY[name]
+    spec = all_specs()[name]
     con = _con(unicode_dir)
     try:
         problems = compare(spec.fn(spark, unicode_dir), con, spec.oracle)

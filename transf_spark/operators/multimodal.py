@@ -529,3 +529,184 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("image"),
     )
     return img.mapInPandas(_image_batches, schema=IMAGE_SCHEMA)
+
+
+# ---- REAL audio decode (RIFF/WAV PCM — dependency-free) --------------------
+
+WAV_RATE = 8000  # Hz, mono
+WAV_TILES = 32  # data = md5 digest (16 bytes) tiled 32× = 512 bytes
+WAV_DATA_BYTES = 16 * WAV_TILES
+WAV_N_SAMPLES = WAV_DATA_BYTES // 2  # 16-bit samples
+
+# Canonical 44-byte PCM WAV header: RIFF size, "WAVE", fmt chunk
+# (PCM=1, mono, rate, byte rate, block align 2, 16 bits), data size.
+# Constant across documents because every payload is the same length —
+# at 100 TB the synthesis select is replaced by a binaryFile scan and the
+# header varies per file; the decoder below walks chunks generically.
+import struct as _struct  # noqa: E402 (module-tail section, image-decoder precedent)
+
+_WAV_HEADER = (
+    b"RIFF"
+    + _struct.pack("<I", 36 + WAV_DATA_BYTES)
+    + b"WAVE"
+    + b"fmt "
+    + _struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+    + b"data"
+    + _struct.pack("<I", WAV_DATA_BYTES)
+)
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
+    """REAL audio decoder — RIFF/WAVE PCM, parsed with struct/numpy and
+    nothing else (the decode path `decode_real` could not provide for
+    ffmpeg-class formats in this container; canonical PCM WAV needs no
+    library). Walks the chunk list generically: validates the RIFF
+    envelope, requires an fmt chunk declaring 16-bit mono PCM before the
+    data chunk, and returns (sample_rate, int16 sample vector). Malformed
+    input raises, like any decoder."""
+    if len(buf) < 12 or buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE file: {buf[:12]!r}")
+    if _struct.unpack("<I", buf[4:8])[0] != len(buf) - 8:
+        raise ValueError("RIFF size does not match payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = _struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        body = buf[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = _struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, rate, _byte_rate, block_align, bits = fmt
+    if (audio_format, channels, bits, block_align) != (1, 1, 16, 2):
+        raise ValueError(f"not 16-bit mono PCM: {fmt}")
+    if len(data) % 2:
+        raise ValueError("odd data size for 16-bit samples")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: per-row Python is the decode call ONLY (module
+    boundary rule); the statistics are segmented numpy over the
+    concatenated sample buffer. Integer sums first, then ONE float64
+    division each (by a power of two, so exact) and ONE correctly-rounded
+    sqrt — the exact op order of the DuckDB oracle, so the doubles hash
+    identically. Zero crossings: sign-boundary changes over the
+    concatenated buffer with the inter-document positions masked out."""
+    cols = ("doc_id", "n_samples", "sample_rate", "duration_s",
+            "rms", "zero_crossings", "peak")
+    for pdf in batches:
+        decoded = [decode_wav(bytes(p)) for p in pdf["audio"]]
+        if not decoded:
+            yield pd.DataFrame({k: [] for k in cols})
+            continue
+        rates = np.fromiter((d[0] for d in decoded), dtype=np.int64, count=len(decoded))
+        n = np.fromiter((d[1].size for d in decoded), dtype=np.int64, count=len(decoded))
+        if (n == 0).any():
+            raise ValueError("empty sample vector")  # reduceat needs n > 0
+        s = np.concatenate([d[1] for d in decoded]).astype(np.int64)
+        starts = np.cumsum(n) - n
+        sq = np.add.reduceat(s * s, starts)
+        sign = (s >= 0).astype(np.int8)
+        chg = np.append((sign[1:] != sign[:-1]).astype(np.int64), 0)
+        chg[starts[1:] - 1] = 0  # mask crossings that span documents
+        zc = np.add.reduceat(chg, starts)
+        peak = np.maximum(
+            np.maximum.reduceat(s, starts), -np.minimum.reduceat(s, starts)
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_samples": n,
+                "sample_rate": rates,
+                "duration_s": n.astype(np.float64) / rates,
+                "rms": np.sqrt(sq.astype(np.float64) / n),
+                "zero_crossings": zc,
+                "peak": peak,
+            }
+        )
+
+
+@register(
+    "multimodal_audio_decode",
+    oracle=f"""
+    WITH b16 AS (
+      SELECT doc_id,
+             list_transform(range(1, 17), i ->
+               CAST(concat('0x', substring(md5(text), CAST((i-1)*2+1 AS BIGINT), 2))
+                    AS BIGINT)) AS b
+      FROM documents WHERE text IS NOT NULL
+    ),
+    smp AS (
+      SELECT doc_id,
+             list_transform(range(1, 9), j ->
+               b[CAST(2*j-1 AS BIGINT)] + 256 * b[CAST(2*j AS BIGINT)]
+               - CASE WHEN b[CAST(2*j-1 AS BIGINT)] + 256 * b[CAST(2*j AS BIGINT)] >= 32768
+                      THEN 65536 ELSE 0 END) AS s
+      FROM b16
+    )
+    SELECT doc_id,
+           CAST({WAV_N_SAMPLES} AS BIGINT) AS n_samples,
+           CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+           CAST({WAV_N_SAMPLES} AS DOUBLE) / {WAV_RATE} AS duration_s,
+           sqrt(CAST({WAV_TILES} * list_sum(list_transform(s, x -> x * x)) AS DOUBLE)
+                / {WAV_N_SAMPLES}) AS rms,
+           CAST({WAV_TILES} * list_sum(list_transform(range(1, 8), j ->
+                  CASE WHEN (s[CAST(j AS BIGINT)] >= 0) != (s[CAST(j+1 AS BIGINT)] >= 0)
+                       THEN 1 ELSE 0 END))
+                + {WAV_TILES - 1} * (CASE WHEN (s[8] >= 0) != (s[1] >= 0)
+                                          THEN 1 ELSE 0 END)
+                AS BIGINT) AS zero_crossings,
+           CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak
+    FROM smp
+    """,
+    category="multimodal/decode",
+    origin="EXT",
+    pending=True,  # M8 item 6 — window slot opens in round 10
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over a binary column — the WAV/PCM twin of
+    `multimodal_image_decode` (M8 item 6): each document carries an actual
+    RIFF/WAVE file (44-byte PCM header + 16-bit mono samples) whose sample
+    bytes are the document's md5 digest tiled WAV_TILES (32)×, built JVM-side.
+    The mapInPandas stage runs a genuine decoder — RIFF chunk walk, fmt
+    validation, `np.frombuffer('<i2')` sample plane — and emits real audio
+    statistics (duration, RMS, zero-crossing count, peak). Because the
+    samples tile the 8 digest-derived int16s, the oracle states every
+    output arithmetically from `md5(text)`: the decoder's float output is
+    hash-checked, proving the decode read every byte it claimed to (the
+    tiled zero-crossing identity 32·within + 31·boundary pins sample ORDER,
+    not just sample content).
+
+    Scale: synthesis and decode are both pure map stages (zero shuffle);
+    at 100 TB the synthesis select is replaced by a `binaryFile` scan and
+    `decode_wav` by the soundfile/ffmpeg hook — same Arrow batch shape,
+    same schema."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    wav = docs.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit(_WAV_HEADER.hex())),
+            F.unhex(F.repeat(F.md5(F.col("text")), WAV_TILES)),
+        ).alias("audio"),
+    )
+    return wav.mapInPandas(_audio_batches, schema=AUDIO_SCHEMA)

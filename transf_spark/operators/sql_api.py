@@ -1013,3 +1013,150 @@ def sql_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     group domain."""
     register_views(spark, sf_dir)
     return spark.sql(_PRIORITY_SHIPPING_SQL)
+
+
+# TPC-H Q6 shape: single-scan range-filter revenue aggregate. All three
+# predicates push to the parquet scan; the whole query is one map-side
+# partial + one 1-row final aggregate — the cheapest possible TPC-H
+# shape, included because it completes the sweep of fixture-expressible
+# TPC-H queries (every remaining one needs partsupp/comment/phone
+# columns the fixtures lack). The 0.05/0.07 literals are decimal on both
+# engines and promote to double against the stored double l_discount —
+# the same nearest-double on both sides, so the same rows qualify.
+_FORECAST_REVENUE_SQL = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+             AS revenue_effect
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@register(
+    "sql_forecast_revenue",
+    oracle=_FORECAST_REVENUE_SQL,
+    category="sql-api",
+    origin="EXT",
+)
+def sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the revenue a year of
+    small-quantity, mid-discount lineitems would have contributed had the
+    discounts been eliminated — the canonical single-table scan-heavy
+    aggregate (no join at all), which is exactly why it matters: it
+    measures the scan path alone. IDENTICAL text on both engines;
+    the discount·price product is the exact-decimal device.
+
+    Plan at scale: all three predicates (ship-year range, discount band,
+    quantity cap) push into the parquet scan as PushedFilters with the
+    read schema pruned to four columns; what survives flows into ONE
+    map-side-combinable aggregate producing a single row — no shuffle of
+    data, only the 1-row partial exchange. Fixture check: 1,251 matching
+    lineitems at sf0.01."""
+    register_views(spark, sf_dir)
+    return spark.sql(_FORECAST_REVENUE_SQL)
+
+
+# TPC-H Q2 shape restated (no partsupp: a supplier's unit cost for a part
+# = MIN(l_extendedprice / l_quantity) over its lineitem history). The
+# division runs in IEEE double on BOTH engines — bit-identical per row
+# (one correctly-rounded op on identical parquet inputs), and MIN is
+# order-insensitive, so the min-equality compare is exact without the
+# decimal-scale divergence a DECIMAL division would invite (engines
+# disagree on result scale rules). The l_quantity > 0 guard keeps the
+# division total (fixture min is 1; a zero would diverge: Spark NULLs,
+# DuckDB rejects).
+_MIN_COST_SUPPLIER_SQL = """
+    WITH unit_costs AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DOUBLE)
+                 / CAST(l_quantity AS DOUBLE)) AS unit_cost
+      FROM lineitem
+      WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_partkey, p_name, s_name, unit_cost AS min_unit_cost
+    FROM part
+    JOIN unit_costs ON p_partkey = l_partkey
+    JOIN supplier   ON s_suppkey = l_suppkey
+    WHERE p_size <= 10
+      AND unit_cost = (SELECT MIN(u2.unit_cost) FROM unit_costs u2
+                       WHERE u2.l_partkey = p_partkey)
+"""
+
+
+@register(
+    "sql_min_cost_supplier",
+    oracle=_MIN_COST_SUPPLIER_SQL,
+    category="sql-api",
+    origin="EXT",
+    pending=True,  # M8 item 1 — window slot opens in round 10
+)
+def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum cost supplier): for every small part, the
+    supplier(s) whose historical unit cost achieves the part's minimum —
+    the correlated MIN-equality scalar subquery, the one Q2 decorrelation
+    form the board's other subquery shapes don't cover (Catalyst rewrites
+    it to an aggregate + join on the correlation key). IDENTICAL text on
+    both engines; unit cost restates ps_supplycost as the lineitem-history
+    price-per-unit minimum (the fixture has no partsupp).
+
+    Plan at scale: unit_costs is ONE (part,supplier)-keyed aggregate over
+    the fact; the correlated subquery becomes a p_partkey-keyed
+    re-aggregate of the SAME relation joined back (AQE reuses the
+    exchange where plans align); part (size-filtered before it ships) and
+    supplier broadcast. The equality filter runs on the aggregate domain,
+    never the fact. Fixture check: 394 qualifying rows at sf0.01."""
+    register_views(spark, sf_dir)
+    return spark.sql(_MIN_COST_SUPPLIER_SQL)
+
+
+# TPC-H Q20 shape restated (no partsupp: "excess stock" becomes a shipped-
+# quantity share): suppliers whose 1996 shipments of name-matched parts
+# exceed 1/6 of their all-time shipped quantity of those parts. The
+# threshold is CROSS-MULTIPLIED (·6) so the compare stays in exact
+# arithmetic — l_quantity is integral (1..50), so the double sums are
+# exact integers and order-insensitive; no 1/6 rounding anywhere.
+_PROMOTABLE_PARTS_SQL = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%r%'
+      GROUP BY l_suppkey
+      HAVING SUM(CASE WHEN l_shipdate >= DATE '1996-01-01'
+                       AND l_shipdate < DATE '1997-01-01'
+                      THEN l_quantity ELSE 0 END) * 6
+             > SUM(l_quantity)
+    )
+"""
+
+
+@register(
+    "sql_promotable_parts",
+    oracle=_PROMOTABLE_PARTS_SQL,
+    category="sql-api",
+    origin="EXT",
+    pending=True,  # M8 item 2 — window slot opens in round 10
+)
+def sql_promotable_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who
+    concentrated more than a sixth of their all-time shipped quantity of
+    name-matched parts into one year — the nested IN/semi-join chain over
+    a HAVING-filtered aggregate subquery (Catalyst plans the IN as a left
+    semi join against the aggregate, the Q20 decorrelation form).
+    IDENTICAL text on both engines; all-integer quantity sums make the
+    cross-multiplied threshold exact.
+
+    Plan at scale: part (name-filtered) broadcasts into the fact scan;
+    the subquery is ONE l_suppkey-keyed conditional aggregate (both arms
+    ride the same map-side partial); the semi join against supplier is a
+    broadcast of the ≤|suppliers| aggregate domain. One fact exchange
+    total. Fixture check: 21 qualifying suppliers at sf0.01."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PROMOTABLE_PARTS_SQL)

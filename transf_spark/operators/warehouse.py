@@ -635,3 +635,109 @@ def bitmap_distinct_sparse(df: DataFrame, seg_col: str, id_col: str) -> DataFram
         bitmap_distinct(coded, "__seg0", "__code")
         .withColumnRenamed("__seg0", seg_col)
     )
+
+
+THETA_BOUND = 0.05  # |estimate − exact| ≤ 5%·exact + 1 (lgK=12 ⇒ ~1.6% rse)
+
+
+@register(
+    "agg_theta_sketch_setops",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT event_type AS t, user_id AS u FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    ),
+    nd AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY t),
+    inter AS (
+      SELECT x.t AS ta, y.t AS tb, CAST(COUNT(*) AS BIGINT) AS ni
+      FROM ut x JOIN ut y ON x.u = y.u AND x.t < y.t
+      GROUP BY x.t, y.t
+    )
+    SELECT a.t AS seg_a, b.t AS seg_b,
+           CAST(a.n + b.n - COALESCE(i.ni, 0) AS BIGINT) AS n_union_exact,
+           CAST(COALESCE(i.ni, 0) AS BIGINT) AS n_intersect_exact,
+           CAST(a.n - COALESCE(i.ni, 0) AS BIGINT) AS n_diff_exact,
+           TRUE AS union_ok, TRUE AS intersect_ok, TRUE AS diff_ok
+    FROM nd a JOIN nd b ON a.t < b.t
+    LEFT JOIN inter i ON i.ta = a.t AND i.tb = b.t
+    """,
+    category="aggregation/sketch",
+    origin="EXT",
+    pending=True,  # M8 item 5 — window slot opens in round 10
+)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-overlap distinct counting via Theta sketches — the set
+    operation HLL cannot do: HLL unions losslessly but has NO
+    intersection/difference, so 'users in segment A ∩ B' at 100 TB is
+    either a full re-scan per pair or a Theta sketch per segment
+    (Datasketches `theta_sketch_agg` + scalar `theta_union` /
+    `theta_intersection` / `theta_difference` — all public Spark 4
+    functions). One sketch per segment, every pairwise union /
+    intersection / difference estimated sketch-vs-sketch with NO second
+    pass over the data.
+
+    Declared output is the invariant (agg_hll_shard_merge precedent):
+    exact pairwise distinct counts, hash-checked, plus per-set-op
+    booleans asserting the sketch estimate lands within
+    ``THETA_BOUND``·exact + 1 (the +1 absorbs zero-cardinality ops; the
+    default lgK=12 sketch is EXACT below 4096 distinct items and ~1.6%
+    rse above, deterministic for fixed input). The oracle emits literal
+    TRUE; a broken sketch set-op hash-mismatches.
+
+    Plan: sketches build in ONE segment-keyed aggregate (map-side
+    combinable); the exact side is one distinct + one user-keyed
+    self-join — the very cost the sketches exist to replace, kept here
+    because it IS the grading oracle (HLL-query precedent). The 10-row
+    pair frame assembles via broadcast joins; every set-op estimate is a
+    scalar expression over two ≤4 KB sketch blobs."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    ut = ev.select(F.col("event_type").alias("t"), F.col("user_id").alias("u")).distinct()
+
+    # sketch agg and exact distinct agg kept SEPARATE (the 37× Expand
+    # lesson on agg_approx_distinct): sketches from raw rows, exact from ut
+    sk = ev.groupBy(F.col("event_type").alias("t")).agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk")
+    )
+    nd = ut.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+
+    inter = (
+        ut.alias("x")
+        .join(ut.alias("y"), (F.col("x.u") == F.col("y.u")) & (F.col("x.t") < F.col("y.t")))
+        .groupBy(F.col("x.t").alias("ta"), F.col("y.t").alias("tb"))
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+
+    a = nd.join(sk, "t").select(
+        F.col("t").alias("seg_a"), F.col("n").alias("n_a"), F.col("sk").alias("sk_a")
+    )
+    b = nd.join(sk, "t").select(
+        F.col("t").alias("seg_b"), F.col("n").alias("n_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("seg_a") < F.col("seg_b"))
+        .join(
+            F.broadcast(inter),
+            (F.col("ta") == F.col("seg_a")) & (F.col("tb") == F.col("seg_b")),
+            "left",
+        )
+        .withColumn("ni0", F.coalesce(F.col("ni"), F.lit(0)))
+    )
+
+    u_est = F.expr("theta_sketch_estimate(theta_union(sk_a, sk_b))")
+    i_est = F.expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))")
+    d_est = F.expr("theta_sketch_estimate(theta_difference(sk_a, sk_b))")
+    n_union = (F.col("n_a") + F.col("n_b") - F.col("ni0")).cast("long")
+    n_inter = F.col("ni0").cast("long")
+    n_diff = (F.col("n_a") - F.col("ni0")).cast("long")
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        n_union.alias("n_union_exact"),
+        n_inter.alias("n_intersect_exact"),
+        n_diff.alias("n_diff_exact"),
+        (F.abs(u_est - n_union) <= THETA_BOUND * n_union + F.lit(1)).alias("union_ok"),
+        (F.abs(i_est - n_inter) <= THETA_BOUND * n_inter + F.lit(1)).alias("intersect_ok"),
+        (F.abs(d_est - n_diff) <= THETA_BOUND * n_diff + F.lit(1)).alias("diff_ok"),
+    )

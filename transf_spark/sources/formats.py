@@ -38,6 +38,14 @@ _ROUNDTRIP_ORACLE = """
 # against Spark's LongType even when values are identical (round-4 verdict).
 
 
+# XML 1.0 invalid character class (C0 controls minus \t \n \r), as LITERAL
+# characters so the Java-regex (Spark) and RE2 (DuckDB oracle, spelled with
+# \xNN escapes) char classes are identical by construction.
+XML_INVALID_CHARS = (
+    "[" + "".join(chr(c) for c in range(0x20) if c not in (0x09, 0x0A, 0x0D)) + "]"
+)
+
+
 def _staged_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     # content-fingerprinted tag (source parquet mtime+size): regenerating the
     # fixture in place invalidates the staged copy (round-2 ADVICE); the
@@ -59,12 +67,26 @@ def _staged_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             ).option("ignoreTrailingWhiteSpace", False).csv(f"{out}/data")
         elif fmt == "orc":
             writer.orc(f"{out}/data")
+        elif fmt == "xml":
+            # rowTag is mandatory for the XML source (Spark 4 built-in).
+            # XML 1.0 CANNOT represent C0 control characters (the Woodstox
+            # writer rightly throws on \x0B in the degenerate sweep), so
+            # the XML round-trip is DECLARED over the XML-representable
+            # subset — the same predicate filters the oracle
+            # (_XML_ROUNDTRIP_ORACLE); NULL text is kept (no chars at all).
+            docs.filter(
+                F.col("text").isNull() | ~F.col("text").rlike(XML_INVALID_CHARS)
+            ).write.mode("overwrite").format("xml").option("rowTag", "doc").save(
+                f"{out}/data"
+            )
         else:
             writer.json(f"{out}/data")
 
     # "2" suffix: cache-bust for the round-8 CSV whitespace-preservation
-    # options — a staged dir written by the trimming writer must not replay
-    tag = tables.staging_tag(sf_dir, "documents", extra=fmt + "2")
+    # options — a staged dir written by the trimming writer must not replay.
+    # xml rev "3": cache-bust for the XML-representable-subset filter.
+    rev = "3" if fmt == "xml" else "2"
+    tag = tables.staging_tag(sf_dir, "documents", extra=fmt + rev)
     return tables.stage_once(f"/tmp/transf_spark_fmt_{fmt}_", tag, write)
 
 
@@ -638,3 +660,52 @@ def scan_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_chars_clean"
         ),
     )
+
+
+_XML_ROUNDTRIP_ORACLE = r"""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_doc_id
+    FROM documents
+    WHERE text IS NULL
+       OR NOT regexp_matches(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')
+    GROUP BY lang, source
+"""
+# ^ the XML-representable-subset predicate (see XML_INVALID_CHARS)
+
+
+@register(
+    "scan_xml_roundtrip",
+    oracle=_XML_ROUNDTRIP_ORACLE,
+    category="scan/source",
+    origin="R1+",
+    pending=True,  # M9 pre-stage — window slot opens with the round-10 batch
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scan (Spark 4's built-in XML source — the spark-xml package
+    folded into core): documents staged as <doc> row elements, read back
+    schema-pinned with the SAME census/oracle as the CSV/JSON/ORC twins.
+    Losslessness risks under test are XML's classics: entity escaping
+    (&lt; &amp; quotes), empty-element vs missing-element (empty string
+    and NULL must round-trip DISTINCT — probed: the writer emits
+    <text></text> for '' and omits the element for NULL, and the
+    schema-pinned reader preserves the distinction), and the reader's
+    default surrounding-whitespace trim — disabled explicitly
+    (`ignoreSurroundingSpaces=false`), the same class as the CSV writer's
+    trim the round-8 sweep caught.
+
+    Scale: XML cannot split inside a rowTag, so parallelism is per-file —
+    one more reason this query's family says 'land the interchange
+    format, convert to parquet once'. The read is a full-element parse
+    (no pruning/pushdown) — the honest format tax, like CSV."""
+    src = _staged_dir(spark, sf_dir, "xml")
+    df = (
+        spark.read.schema(schemas.SCHEMAS["documents"])
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .format("xml")
+        .load(f"{src}/data")
+    )
+    return _roundtrip_agg(df)

@@ -699,3 +699,94 @@ def stream_checkpoint_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         ],
         "phase string, n_events long, sum_value double",
     )
+
+
+KLL_K = 200  # sketch size parameter; normalized rank error ≈ 1.65%
+KLL_EPS = 0.0165
+
+
+@register(
+    "stream_kll_quantile_sketch",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           quantile_cont(value, 0.5) AS median_exact,
+           TRUE AS q25_rank_ok, TRUE AS q50_rank_ok, TRUE AS q75_rank_ok
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    category="streaming/sketch",
+    origin="EXT",
+    pending=True,  # M8 item 4 — window slot opens in round 10
+)
+def stream_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed streaming quantiles via the KLL sketch (M8 item 4):
+    per-hour value quantiles from `kll_sketch_agg_double` +
+    `kll_sketch_get_quantile_double` — the Datasketches family whose
+    mergeable partials are exactly what a streaming state store needs
+    (`kll_merge_agg_double` is the combine form), and the scale path for
+    per-window percentiles: constant ~3 KB state per window versus the
+    exact form's per-value state. Declared batch-evaluated (module
+    pattern); the readStream twin in tests/test_streaming.py runs the
+    same sketch aggregate under a watermark and proves the partials
+    merge identically across micro-batches.
+
+    Value-equality is the WRONG invariant for a sketch quantile (it
+    returns a data value, not an interpolation) — the KLL contract is a
+    RANK guarantee (the agg_approx_percentile device): the returned
+    value v satisfies count(x < v) ≤ (p+ε)·n and count(x ≤ v) ≥ (p−ε)·n
+    with ε ≈ 0.0165 for k=200 (KLL_EPS/KLL_K). The declared output emits that
+    check per quantile as a boolean (2ε + 1-row slack), alongside the
+    exact median and per-window count, all DuckDB-hash-checked; the
+    oracle emits literal TRUE.
+
+    Plan: ONE window-keyed exchange builds sketch + exact median + count
+    together; the rank check re-joins events against the ≤|windows|-row
+    aggregate by BROADCAST on the hour key (window.start ≡
+    date_trunc('hour') for epoch-aligned tumbling windows), then ONE
+    more bounded aggregate. No sort anywhere."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select("ts", "value")
+    )
+    sk = ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.expr(
+            f"kll_sketch_get_quantile_double("
+            f"kll_sketch_agg_double(value, {KLL_K}), array(0.25D, 0.5D, 0.75D))"
+        ).alias("aq"),
+        F.expr("percentile(value, 0.5D)").alias("median_exact"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    skr = sk.select(
+        F.col("w.start").alias("ws"),
+        F.col("w.end").alias("we"),
+        "aq",
+        "median_exact",
+        "n_events",
+    )
+    j = ev.withColumn("ws", F.date_trunc("hour", "ts")).join(F.broadcast(skr), "ws")
+    aggs = [
+        F.first("we").alias("we"),
+        F.first("median_exact").alias("median_exact"),
+        F.first("n_events").alias("n_events"),
+    ]
+    for i in range(3):
+        v = F.col("aq").getItem(i)
+        aggs.append(F.sum(F.when(F.col("value") < v, 1).otherwise(0)).alias(f"_lt{i}"))
+        aggs.append(F.sum(F.when(F.col("value") <= v, 1).otherwise(0)).alias(f"_le{i}"))
+    g = j.groupBy("ws").agg(*aggs)
+    cols = [
+        F.col("ws").cast("timestamp_ntz").alias("win_start"),
+        F.col("we").cast("timestamp_ntz").alias("win_end"),
+        F.col("n_events"),
+        F.col("median_exact"),
+    ]
+    for i, (p, name) in enumerate(((0.25, "q25"), (0.5, "q50"), (0.75, "q75"))):
+        ok = (
+            F.col(f"_lt{i}") <= (p + 2 * KLL_EPS) * F.col("n_events") + F.lit(1)
+        ) & (F.col(f"_le{i}") >= (p - 2 * KLL_EPS) * F.col("n_events") - F.lit(1))
+        cols.append(ok.alias(f"{name}_rank_ok"))
+    return g.select(*cols)
