@@ -98,6 +98,7 @@ EDGE_EVENT_QUERIES = [
     "join_asof_latest_event",  # r8 completeness audit — was silently missing
     # round-9 pre-staged (M8) additions — gated before promotion
     "agg_theta_sketch_setops",
+    "agg_bitmap_distinct_sparse",
 ]
 
 

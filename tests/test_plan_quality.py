@@ -1168,3 +1168,16 @@ def test_audio_decode_is_pure_map(spark):
     assert st.broadcast_joins + st.sort_merge_joins + st.nested_loop_joins == 0
     assert any("IsNotNull(text)" in p for p in st.pushed_filters)
     assert scan_columns(df) == [{"doc_id", "text"}]
+
+
+def test_bitmap_sparse_dictionary_pass_plan(spark):
+    """Sparse-bitmap dictionary pass: the id-keyed distinct + bucketed
+    rank window + dictionary join + two word aggregates — 4 exchanges on
+    id/segment keys, never a global window or a nested loop; the events
+    scan reads exactly (event_type, user_id)."""
+    df = _qp(spark, "agg_bitmap_distinct_sparse")
+    st = plan_stats(df)
+    assert st.exchanges <= 4
+    assert st.sort_merge_joins == 0 and st.nested_loop_joins == 0
+    cols = scan_columns(df)
+    assert all(c <= {"event_type", "user_id"} for c in cols)

@@ -741,3 +741,48 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(i_est - n_inter) <= THETA_BOUND * n_inter + F.lit(1)).alias("intersect_ok"),
         (F.abs(d_est - n_diff) <= THETA_BOUND * n_diff + F.lit(1)).alias("diff_ok"),
     )
+
+
+@register(
+    "agg_bitmap_distinct_sparse",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    category="aggregation/bitmap",
+    origin="EXT",
+    pending=True,  # M8 item 7 promoted from helper to declared — round 10
+)
+def agg_bitmap_distinct_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-pass bitmap distinct over a SPARSE 64-bit id universe —
+    the declared form of :func:`bitmap_distinct_sparse` (round-8 verdict
+    carry-over: the dense query's docstring caveat, now a graded
+    capability). To exercise sparsity on the dense fixture ids, each
+    user_id is spread across the full 64-bit space via xxhash64 FIRST
+    (NULLs preserved explicitly — xxhash64 itself never returns NULL) —
+    the sparsification DEVICE for grading; production feeds snowflake ids
+    or content hashes directly. The dictionary pass then densifies via
+    bucketed rank and runs the same two-level bit_or/bit_count pipeline,
+    so the word table is bounded by the DISTINCT count, not the id range.
+
+    The oracle counts DISTINCT raw user_ids: equality proves the hash
+    spread, the bucketed-rank dictionary, the NULL-preserving LEFT join,
+    and the word pipeline all composed losslessly (injective on the
+    observed ids; a 64-bit collision would shrink the count and
+    hash-mismatch — probability ~n²/2⁶⁴, zero at any grading scale, and
+    the docstring's production form has no hash step at all).
+
+    At 100 TB: one id-keyed distinct exchange + bounded per-bucket rank
+    windows (never a global window), then the dictionary join and the
+    same map-side-combinable word aggregates as the dense twin."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("user_id").isNotNull(), F.xxhash64("user_id")).alias(
+            "uid_sparse"
+        ),
+    )
+    return bitmap_distinct_sparse(ev, "event_type", "uid_sparse").withColumnRenamed(
+        "n_distinct", "n_users"
+    )
