@@ -150,6 +150,16 @@ HEADLINE = [
     "serving:kmeans_cluster_profile",
     "serving:pca_projection_rows",
     "serving:frame_sample_rows",
+    # round-10 pre-staged batch: names not in the live registry are
+    # skipped (the `in registry` filter below), so these are inert until
+    # their pending=True markers are deleted — then benched automatically
+    "sql_min_cost_supplier",
+    "sql_promotable_parts",
+    "agg_theta_sketch_setops",
+    "stream_kll_quantile_sketch",
+    "multimodal_audio_decode",
+    "agg_bitmap_distinct_sparse",
+    "scan_xml_roundtrip",
 ]
 
 

@@ -192,3 +192,44 @@ def test_audio_decode_edge_and_unicode_fixtures(spark):
     finally:
         con.close()
     assert not problems, "; ".join(problems)
+
+
+def test_wav_roundtrip_property():
+    """Property: encode(int16 samples) → decode_wav is the identity on
+    samples and rate, for arbitrary sample content (including extremes)
+    and odd chunk paddings — pure Python, no Spark session."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from transf_spark.operators.multimodal import decode_wav
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        samples=st.lists(
+            st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=64
+        ),
+        rate=st.sampled_from([8000, 16000, 44100, 48000]),
+        junk=st.binary(min_size=0, max_size=9),
+    )
+    def check(samples, rate, junk):
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        # optional unknown chunk before data, word-aligned per the RIFF spec
+        extra = b""
+        if junk:
+            extra = b"JUNK" + struct.pack("<I", len(junk)) + junk
+            if len(junk) % 2:
+                extra += b"\x00"
+        body = (
+            b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + extra
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        buf = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        got_rate, got = decode_wav(buf)
+        assert got_rate == rate
+        assert got.tolist() == samples
+        assert got.dtype == np.dtype("<i2")
+
+    check()

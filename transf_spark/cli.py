@@ -38,24 +38,28 @@ def _spark(cpus: int | None = None):
 
 
 def cmd_list(_args) -> int:
-    from transf_spark.queries import REGISTRY, queries
+    from transf_spark.queries import PENDING_REGISTRY, all_specs
 
-    queries()  # force registration
-    width = max(len(n) for n in REGISTRY)
-    for name, spec in sorted(REGISTRY.items()):
+    specs = all_specs()
+    width = max(len(n) for n in specs)
+    for name, spec in sorted(specs.items()):
         check = "oracle" if spec.oracle else "rows-only"
-        print(f"{name:<{width}}  {spec.category:<22} {spec.origin:<10} {check}")
+        tag = "  [pending]" if name in PENDING_REGISTRY else ""
+        print(f"{name:<{width}}  {spec.category:<22} {spec.origin:<10} {check}{tag}")
     return 0
 
 
 def _resolve(name: str):
-    from transf_spark.queries import queries
+    # all_specs = live + pre-staged: a user may drive a pending query by
+    # name before its grading-window slot opens (the driver surfaces in
+    # __spark_entry__.py still expose only the live registry)
+    from transf_spark.queries import all_specs
 
-    qs = queries()
-    if name not in qs:
+    specs = all_specs()
+    if name not in specs:
         print(f"error: unknown query {name!r}; `list` shows the inventory", file=sys.stderr)
         return None
-    return qs[name]
+    return specs[name].fn
 
 
 def cmd_run(args) -> int:
