@@ -22,7 +22,7 @@ import pytest
 
 from tests.docfixtures import write_documents
 from tests.oracle import compare
-from transf_spark.queries import all_specs, queries
+from transf_spark.queries import all_specs
 
 _D = 8
 
@@ -85,7 +85,6 @@ def test_embeddings_sweep_list_is_complete():
     query must be in EDGE_EMB_QUERIES."""
     import inspect
 
-    queries()
     others = (
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "events",
@@ -127,7 +126,6 @@ def test_null_embedding_excluded_duplicate_pair_found(spark, edge_emb_dir):
     """Semantics sanity: the NULL-embedding row is excluded by the input
     contract (not crashed on), and the engineered exact-duplicate vector
     pair (0, 6) is still found at cosine ≈ 1."""
-    queries()
     pairs = {
         (r["vec_id_a"], r["vec_id_b"]): r["cosine"]
         for r in all_specs()["dedup_embedding_cosine"].fn(spark, edge_emb_dir).collect()

@@ -24,7 +24,7 @@ import duckdb
 import pytest
 
 from tests.oracle import compare
-from transf_spark.queries import all_specs, queries
+from transf_spark.queries import all_specs
 
 _T0 = dt.datetime(2024, 1, 1)
 
@@ -113,7 +113,6 @@ def test_events_sweep_list_is_complete():
     tests/test_streaming.py."""
     import inspect
 
-    queries()
     others = (
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings",
@@ -151,7 +150,6 @@ def test_sessionize_gap_still_splits_on_degenerate_fixture(spark, edge_events_di
     """Sanity that the filters didn't neuter the semantics: user 1's
     90-minute-gap event still opens a second session (joined by the two
     round-9 props-edge rows at +91/+92 minutes)."""
-    queries()
     rows = all_specs()["events_sessionize"].fn(spark, edge_events_dir).collect()
     u1 = sorted(
         (r["session_idx"], r["n_events"]) for r in rows if r["user_id"] == 1

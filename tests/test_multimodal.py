@@ -159,7 +159,7 @@ def test_wav_decoder_is_a_real_decoder():
         decode_wav(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
 
 
-def test_audio_decode_edge_and_unicode_fixtures(spark):
+def test_audio_decode_edge_and_unicode_fixtures(spark, tmp_path):
     """The audio twin of the image decoder is excluded from the docs
     sweeps' auto-discovery (its docstring's binaryFile mention trips the
     API-usage exclusion, same as multimodal_image_decode) — so run the
@@ -180,9 +180,7 @@ def test_audio_decode_edge_and_unicode_fixtures(spark):
         (4, "plain ascii", "en", "s"),
         (5, "İstanbul ısı STRASSE ß", "tr", "s"),  # case hazards
     ]
-    import tempfile
-
-    d = write_documents(tempfile.mkdtemp(prefix="audio_edge_"), rows)
+    d = write_documents(str(tmp_path), rows)
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"

@@ -16,7 +16,7 @@ import duckdb
 import pytest
 
 from tests.oracle import compare
-from transf_spark.queries import REGISTRY, all_specs, oracle_sql, queries
+from transf_spark.queries import all_specs, queries
 
 
 @pytest.fixture(scope="module")
@@ -152,3 +152,28 @@ def test_hash_noncrypto_values_deterministic_and_census_consistent(spark):
     row = census[0]
     assert row["n_distinct_xxh64"] == len(texts)
     assert row["small_hash_collisions_bounded"] is True
+
+
+def test_xml_roundtrip_subset_predicate_covers_noncharacters(spark, tmp_path):
+    """The XML-representable-subset predicate must exclude BMP
+    noncharacters (U+FFFE/U+FFFF) exactly like C0 controls — in BOTH
+    dialects — or the Woodstox writer crashes on one side while the
+    oracle keeps the row (the \\x0B class, round-9 review finding #2).
+    The shared-codepoint-list construction is exercised end-to-end on a
+    fixture carrying both hazard classes plus keepable rows."""
+    from tests.docfixtures import write_documents
+
+    rows = [
+        (1, "clean row", "en", "s"),
+        (2, "vertical\x0btab", "en", "s"),      # C0 control — excluded
+        (3, "noncharacter￿tail", "en", "s"),  # U+FFFF — excluded
+        (4, "almost￾", "en", "s"),            # U+FFFE — excluded
+        (5, None, "en", "s"),                      # NULL — kept (no chars)
+        (6, "tab\tand\nnewline ok", "en", "s"),    # XML-legal controls kept
+    ]
+    d = write_documents(str(tmp_path), rows)
+    spec = all_specs()["scan_xml_roundtrip"]
+    df = spec.fn(spark, d)
+    got = {(r["lang"], r["source"]): r["n_docs"] for r in df.collect()}
+    assert got == {("en", "s"): 3}  # rows 1, 5, 6 survive the subset
+    assert not compare(df, _con(d), spec.oracle)

@@ -25,7 +25,7 @@ import pytest
 from tests.docfixtures import write_documents
 from tests.oracle import compare
 from tests.test_round6_edges import EDGE_QUERIES, _con
-from transf_spark.queries import all_specs, queries
+from transf_spark.queries import all_specs
 
 
 @pytest.fixture(scope="module")

@@ -88,12 +88,19 @@ def cmd_explain(args) -> int:
 
 
 def cmd_oracle(args) -> int:
-    from transf_spark.queries import oracle_sql
+    # all_specs: a pending query's oracle must be comparable too — the
+    # live-only oracle_sql() here silently reported every pre-staged
+    # query as rows-only and exited 0 (round-9 review finding)
+    from transf_spark.queries import all_specs
 
-    osql = oracle_sql()
-    if args.name not in osql:
+    specs = all_specs()
+    if args.name in specs and specs[args.name].oracle is None:
         print(f"{args.name}: rows-only query (no SQL oracle declared)")
         return 0
+    osql = {n: sp.oracle for n, sp in specs.items() if sp.oracle is not None}
+    if args.name not in osql:
+        print(f"error: unknown query {args.name!r}; `list` shows the inventory", file=sys.stderr)
+        return 2
     fn = _resolve(args.name)
     if fn is None:
         return 2
@@ -126,9 +133,9 @@ def cmd_ping(args) -> int:
 
 
 def cmd_repl(args) -> int:
-    from transf_spark.queries import queries
+    from transf_spark.queries import all_specs
 
-    qs = queries()
+    qs = {n: sp.fn for n, sp in all_specs().items()}
     spark = _spark(args.cpus)
     print(f"{len(qs)} queries loaded; type a query name, `@list`, or `@exit`.")
     while True:

@@ -588,6 +588,10 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
         if len(body) != size:
             raise ValueError(f"truncated {cid!r} chunk")
         if cid == b"fmt ":
+            if len(body) < 16:
+                # struct.error is not a ValueError — keep the decoder's
+                # malformed-input contract uniform (round-9 review finding)
+                raise ValueError(f"fmt chunk too short: {len(body)} bytes")
             fmt = _struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             if fmt is None:

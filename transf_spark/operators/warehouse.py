@@ -709,10 +709,11 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("ni"))
     )
 
-    a = nd.join(sk, "t").select(
+    nds = nd.join(sk, "t")  # ONE subtree, selected twice — never built twice
+    a = nds.select(
         F.col("t").alias("seg_a"), F.col("n").alias("n_a"), F.col("sk").alias("sk_a")
     )
-    b = nd.join(sk, "t").select(
+    b = nds.select(
         F.col("t").alias("seg_b"), F.col("n").alias("n_b"), F.col("sk").alias("sk_b")
     )
     pairs = (

@@ -38,11 +38,18 @@ _ROUNDTRIP_ORACLE = """
 # against Spark's LongType even when values are identical (round-4 verdict).
 
 
-# XML 1.0 invalid character class (C0 controls minus \t \n \r), as LITERAL
-# characters so the Java-regex (Spark) and RE2 (DuckDB oracle, spelled with
-# \xNN escapes) char classes are identical by construction.
-XML_INVALID_CHARS = (
-    "[" + "".join(chr(c) for c in range(0x20) if c not in (0x09, 0x0A, 0x0D)) + "]"
+# XML 1.0 invalid characters: the C0 controls minus \t \n \r, plus the
+# BMP noncharacters U+FFFE/U+FFFF (also outside the XML 1.0 Char
+# production — the round-9 review's half-closed-predicate finding; lone
+# surrogates cannot occur in the UTF-8 strings parquet carries). BOTH
+# dialects' char classes derive from this ONE codepoint list: Spark gets
+# literal characters (Java regex), the oracle gets RE2 \x{NN} escapes.
+_XML_INVALID_CODEPOINTS = tuple(
+    c for c in range(0x20) if c not in (0x09, 0x0A, 0x0D)
+) + (0xFFFE, 0xFFFF)
+XML_INVALID_CHARS = "[" + "".join(map(chr, _XML_INVALID_CODEPOINTS)) + "]"
+XML_INVALID_CHARS_RE2 = (
+    "[" + "".join(f"\\x{{{c:X}}}" for c in _XML_INVALID_CODEPOINTS) + "]"
 )
 
 
@@ -84,8 +91,10 @@ def _staged_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
 
     # "2" suffix: cache-bust for the round-8 CSV whitespace-preservation
     # options — a staged dir written by the trimming writer must not replay.
-    # xml rev "3": cache-bust for the XML-representable-subset filter.
-    rev = "3" if fmt == "xml" else "2"
+    # xml rev "4": cache-bust for the XML-representable-subset filter
+    # (rev 3) and its noncharacter widening (rev 4) — a staged dir
+    # written by an older filter must not replay.
+    rev = "4" if fmt == "xml" else "2"
     tag = tables.staging_tag(sf_dir, "documents", extra=fmt + rev)
     return tables.stage_once(f"/tmp/transf_spark_fmt_{fmt}_", tag, write)
 
@@ -662,7 +671,7 @@ def scan_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_XML_ROUNDTRIP_ORACLE = r"""
+_XML_ROUNDTRIP_ORACLE = f"""
     SELECT lang, source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -670,10 +679,12 @@ _XML_ROUNDTRIP_ORACLE = r"""
            MIN(doc_id) AS min_doc_id
     FROM documents
     WHERE text IS NULL
-       OR NOT regexp_matches(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')
+       OR NOT regexp_matches(text, '{XML_INVALID_CHARS_RE2}')
     GROUP BY lang, source
 """
-# ^ the XML-representable-subset predicate (see XML_INVALID_CHARS)
+# ^ the XML-representable-subset predicate, generated from
+# _XML_INVALID_CODEPOINTS — the same list that builds the Spark-side
+# staging filter, so the two dialects cannot drift
 
 
 @register(
