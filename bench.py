@@ -160,6 +160,7 @@ HEADLINE = [
     "multimodal_audio_decode",
     "agg_bitmap_distinct_sparse",
     "scan_xml_roundtrip",
+    "scalar_variant_shred",
 ]
 
 

@@ -1183,3 +1183,19 @@ def test_bitmap_sparse_dictionary_pass_plan(spark):
     assert st.sort_merge_joins == 0 and st.nested_loop_joins == 0
     cols = scan_columns(df)
     assert all(c <= {"event_type", "user_id"} for c in cols)
+
+
+def test_variant_shred_fused_map_single_aggregate(spark):
+    """VARIANT shred: to_json → parse_json → variant_get all fuse into
+    the scan stage as map expressions — ONE exchange (the census
+    aggregate over the ≤|statuses| domain), no joins, scan pruned to the
+    six referenced order columns."""
+    df = _qp(spark, "scalar_variant_shred")
+    st = plan_stats(df)
+    assert st.exchanges == 1
+    assert st.broadcast_joins + st.sort_merge_joins + st.nested_loop_joins == 0
+    cols = scan_columns(df)
+    assert cols == [
+        {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"}
+    ]

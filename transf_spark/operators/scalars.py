@@ -477,3 +477,85 @@ def udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("o_totalprice").cast("long").alias("size_bytes"),
         fmt_size_udf(F.floor("o_totalprice").cast("long")).alias("size_h"),
     )
+
+
+@register(
+    "scalar_variant_shred",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)) AS BIGINT)
+             AS sum_year,
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS n_null_price,
+           TRUE AS paths_consistent
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    category="scalar/semi-structured",
+    origin="EXT",
+    pending=True,  # M9 item 2 — window slot opens with the round-10 batch
+)
+def scalar_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT shredding — the open-ended semi-structured type the
+    `events_props_json_extract` path can't demonstrate on its single-key
+    props bag (the SURVEY §7 M9 deferral, resolved with the module
+    family's synthesis device instead of a new fixture): each order is
+    rendered to a nested JSON document JVM-side (`to_json` over a struct
+    with a nested object and an array), parsed to VARIANT (`parse_json`),
+    and shredded back through typed paths — `variant_get('$.price',
+    'double')`, nested `'$.meta.year'`, array index `'$.keys[1]'`, and a
+    group key read FROM the variant (`'$.status'`).
+
+    The oracle computes the same census from the RAW columns — a genuine
+    cross-derivation: equality proves to_json ∘ parse_json ∘ variant_get
+    is a lossless typed round-trip, including NULL semantics (to_json
+    OMITS null fields, variant_get returns NULL for missing paths — so
+    a NULL price/date/status survives the round trip as NULL; Spark's
+    shortest-repr double rendering re-parses to the identical double).
+    paths_consistent folds a per-row null-safe check that the id
+    extracted from '$.id' AND the array element '$.keys[1]' both equal
+    the order key carried OUTSIDE the variant.
+
+    Scale: synthesis, parse, and extraction are all map-side expressions
+    fused into the scan stage; the census is ONE map-side-combinable
+    aggregate over the ≤|statuses| domain. At 100 TB the to_json select
+    is replaced by the real semi-structured ingest (JSONL/Kafka) and the
+    VARIANT column is stored shredded in parquet — same extraction
+    expressions, same plan shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_totalprice").alias("price"),
+            F.struct(
+                F.year("o_orderdate").alias("year"),
+                F.col("o_orderpriority").alias("prio"),
+            ).alias("meta"),
+            F.array(F.col("o_custkey"), F.col("o_orderkey")).alias("keys"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    v = orders.select("o_orderkey", doc.alias("doc")).select(
+        "o_orderkey", F.expr("parse_json(doc)").alias("v")
+    )
+    shred = v.select(
+        F.expr("variant_get(v, '$.status', 'string')").alias("status"),
+        F.expr("variant_get(v, '$.price', 'double')").alias("price"),
+        F.expr("variant_get(v, '$.meta.year', 'long')").alias("yr"),
+        # null-safe: a NULL order key must compare TRUE against the NULL
+        # the variant round-trips (to_json omits the field)
+        F.expr(
+            "variant_get(v, '$.id', 'long') <=> o_orderkey"
+            " AND variant_get(v, '$.keys[1]', 'long') <=> o_orderkey"
+        ).alias("row_ok"),
+    )
+    return shred.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("price").cast("decimal(12,2)")).cast("double").alias("sum_price"),
+        F.sum("yr").alias("sum_year"),
+        F.sum(F.when(F.col("price").isNull(), 1).otherwise(0)).alias("n_null_price"),
+        F.coalesce(F.min(F.col("row_ok").cast("int")) == 1, F.lit(True)).alias(
+            "paths_consistent"
+        ),
+    )
