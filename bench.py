@@ -161,6 +161,7 @@ HEADLINE = [
     "agg_bitmap_distinct_sparse",
     "scan_xml_roundtrip",
     "scalar_variant_shred",
+    "scan_python_datasource",
 ]
 
 

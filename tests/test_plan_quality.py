@@ -1199,3 +1199,12 @@ def test_variant_shred_fused_map_single_aggregate(spark):
         {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
          "o_orderdate", "o_orderpriority"}
     ]
+
+
+def test_python_datasource_single_aggregate(spark):
+    """Custom Python source: partition-parallel generation feeding ONE
+    census exchange — no joins, no extra shuffles around the Python scan."""
+    df = _qp(spark, "scan_python_datasource")
+    st = plan_stats(df)
+    assert st.exchanges == 1
+    assert st.broadcast_joins + st.sort_merge_joins + st.nested_loop_joins == 0

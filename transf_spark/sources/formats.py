@@ -720,3 +720,107 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(f"{src}/data")
     )
     return _roundtrip_agg(df)
+
+
+# ---- Custom Python data source (Spark 4 DataSource API) --------------------
+
+PYSRC_N = 4096  # rows the synthetic source emits
+PYSRC_PARTS = 8  # reader partitions (round-robin id stride)
+
+
+class _SynthDocsReader:
+    """Partition-parallel reader: partition p emits ids p, p+P, p+2P, …
+    with md5-derived payload values — the module family's deterministic
+    synthesis device, so the oracle can restate every emitted byte
+    arithmetically. (Plain class body; the DataSourceReader ABC is
+    imported lazily inside the query so module import never requires
+    the pyspark.sql.datasource surface.)"""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", PYSRC_N))
+        self.parts = int(options.get("parts", PYSRC_PARTS))
+
+    def partitions(self):
+        from pyspark.sql.datasource import InputPartition
+
+        return [InputPartition(i) for i in range(self.parts)]
+
+    def read(self, partition):
+        import hashlib
+
+        for i in range(partition.value, self.n, self.parts):
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            yield (i, partition.value, int(h[:8], 16))
+
+
+@register(
+    "scan_python_datasource",
+    oracle=f"""
+    WITH r AS (SELECT unnest(range(0, {PYSRC_N})) AS id)
+    SELECT CAST(id % {PYSRC_PARTS} AS BIGINT) AS gen_part,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id,
+           CAST(SUM(CAST(concat('0x', substring(md5(CAST(id AS VARCHAR)), 1, 8))
+                         AS BIGINT)) AS BIGINT) AS sum_val
+    FROM r GROUP BY 1
+    """,
+    category="scan/source",
+    origin="R1+",
+    pending=True,  # M9 item 3 — window slot opens with the round-10 batch
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON data source (Spark 4's `pyspark.sql.datasource` API —
+    the public extension point for sources Spark has no built-in for:
+    internal APIs, bespoke wire formats, the reference's own custom file
+    protocol R1 restated as a pluggable source). A DataSource subclass
+    registers per session; its reader declares ``PYSRC_PARTS`` input
+    partitions that generate rows INDEPENDENTLY (partition p emits ids
+    ≡ p mod P), so generation parallelizes exactly like a file scan
+    splits.
+
+    The declared census groups by the EMITTING partition and checks
+    coverage (row count, id sum/min/max per partition) and payload
+    exactness (sum of md5-derived values) against a DuckDB oracle that
+    restates the generator arithmetically from range() + md5 — proving
+    the source produced every row it claimed, on the partition it
+    claimed, with the bytes it claimed. sf_dir-independent by design
+    (the source IS the data); fixed PYSRC_N (4096) rows at every scale.
+
+    Scale: the DataSource API ships the reader to executors (one Python
+    worker per partition, Arrow-batched results); a 100 TB variant sets
+    partitions to match the remote system's natural shards. This is the
+    slow path relative to JVM sources — the honest price of a Python
+    connector, which is why it carries a census, not a fact-table
+    workload."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader
+
+    class _Reader(_SynthDocsReader, DataSourceReader):
+        pass
+
+    class SynthDocsSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "transf_synth_docs"
+
+        def schema(self):
+            return "id long, gen_part int, val long"
+
+        def reader(self, schema):
+            return _Reader(self.options)
+
+    spark.dataSource.register(SynthDocsSource)
+    df = (
+        spark.read.format("transf_synth_docs")
+        .option("n", PYSRC_N)
+        .option("parts", PYSRC_PARTS)
+        .load()
+    )
+    return df.groupBy(F.col("gen_part").cast("long").alias("gen_part")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("id").alias("sum_id"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        F.sum("val").alias("sum_val"),
+    )
