@@ -99,6 +99,11 @@ EDGE_EVENT_QUERIES = [
     # round-9 pre-staged (M8) additions — gated before promotion
     "agg_theta_sketch_setops",
     "agg_bitmap_distinct_sparse",
+    # batch-evaluated sketch-window queries: category streaming/* exempts
+    # them from the completeness guard (real-stream cost rationale), but
+    # their DECLARED forms are cheap batch plans — so they run here too
+    "stream_topk_sketch",
+    "stream_kll_quantile_sketch",
 ]
 
 
