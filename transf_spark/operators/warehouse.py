@@ -679,10 +679,17 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Declared output is the invariant (agg_hll_shard_merge precedent):
     exact pairwise distinct counts, hash-checked, plus per-set-op
     booleans asserting the sketch estimate lands within
-    ``THETA_BOUND``·exact + 1 (the +1 absorbs zero-cardinality ops; the
-    default lgK=12 sketch is EXACT below 4096 distinct items and ~1.6%
-    rse above, deterministic for fixed input). The oracle emits literal
-    TRUE; a broken sketch set-op hash-mismatches.
+    ``THETA_BOUND``·n_union + 1. The bound is stated against the UNION
+    cardinality for ALL three ops — the honest Datasketches error
+    model: past exact mode a set-op estimate's absolute error scales
+    with the surviving-sample population (the input sketches' theta ≈
+    union scale), NOT with the result size, so a 173-row difference of
+    two 10k-user segments legitimately carries union-scale noise (the
+    beyond-exact-mode fixture in tests/test_sketch_bounds.py caught a
+    result-relative bound failing exactly there). Below 4096 distinct
+    the sketches are exact and the bound is trivially met; the +1
+    absorbs zero-cardinality ops. The oracle emits literal TRUE; a
+    broken sketch set-op hash-mismatches.
 
     Plan: sketches build in ONE segment-keyed aggregate (map-side
     combinable); the exact side is one distinct + one user-keyed
@@ -739,8 +746,8 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_inter.alias("n_intersect_exact"),
         n_diff.alias("n_diff_exact"),
         (F.abs(u_est - n_union) <= THETA_BOUND * n_union + F.lit(1)).alias("union_ok"),
-        (F.abs(i_est - n_inter) <= THETA_BOUND * n_inter + F.lit(1)).alias("intersect_ok"),
-        (F.abs(d_est - n_diff) <= THETA_BOUND * n_diff + F.lit(1)).alias("diff_ok"),
+        (F.abs(i_est - n_inter) <= THETA_BOUND * n_union + F.lit(1)).alias("intersect_ok"),
+        (F.abs(d_est - n_diff) <= THETA_BOUND * n_union + F.lit(1)).alias("diff_ok"),
     )
 
 
