@@ -150,9 +150,8 @@ HEADLINE = [
     "serving:kmeans_cluster_profile",
     "serving:pca_projection_rows",
     "serving:frame_sample_rows",
-    # round-10 pre-staged batch: names not in the live registry are
-    # skipped (the `in registry` filter below), so these are inert until
-    # their pending=True markers are deleted — then benched automatically
+    # round-10 promotions (pre-staged in round 9, live since the round-10
+    # pending=True deletion)
     "sql_min_cost_supplier",
     "sql_promotable_parts",
     "agg_theta_sketch_setops",

@@ -685,7 +685,6 @@ def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """,
     category="multimodal/decode",
     origin="EXT",
-    pending=True,  # M8 item 6 — window slot opens in round 10
 )
 def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode over a binary column — the WAV/PCM twin of

@@ -494,7 +494,6 @@ def udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     category="scalar/semi-structured",
     origin="EXT",
-    pending=True,  # M9 item 2 — window slot opens with the round-10 batch
 )
 def scalar_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT shredding — the open-ended semi-structured type the

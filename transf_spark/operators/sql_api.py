@@ -1093,7 +1093,6 @@ _MIN_COST_SUPPLIER_SQL = """
     oracle=_MIN_COST_SUPPLIER_SQL,
     category="sql-api",
     origin="EXT",
-    pending=True,  # M8 item 1 — window slot opens in round 10
 )
 def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (minimum cost supplier): for every small part, the
@@ -1142,7 +1141,6 @@ _PROMOTABLE_PARTS_SQL = """
     oracle=_PROMOTABLE_PARTS_SQL,
     category="sql-api",
     origin="EXT",
-    pending=True,  # M8 item 2 — window slot opens in round 10
 )
 def sql_promotable_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (potential part promotion): suppliers who

@@ -663,7 +663,6 @@ THETA_BOUND = 0.05  # |estimate − exact| ≤ 5%·exact + 1 (lgK=12 ⇒ ~1.6% r
     """,
     category="aggregation/sketch",
     origin="EXT",
-    pending=True,  # M8 item 5 — window slot opens in round 10
 )
 def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-overlap distinct counting via Theta sketches — the set
@@ -761,7 +760,6 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     category="aggregation/bitmap",
     origin="EXT",
-    pending=True,  # M8 item 7 promoted from helper to declared — round 10
 )
 def agg_bitmap_distinct_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary-pass bitmap distinct over a SPARSE 64-bit id universe —

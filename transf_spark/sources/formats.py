@@ -692,7 +692,6 @@ _XML_ROUNDTRIP_ORACLE = f"""
     oracle=_XML_ROUNDTRIP_ORACLE,
     category="scan/source",
     origin="R1+",
-    pending=True,  # M9 pre-stage — window slot opens with the round-10 batch
 )
 def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML scan (Spark 4's built-in XML source — the spark-xml package
@@ -768,7 +767,6 @@ class _SynthDocsReader:
     """,
     category="scan/source",
     origin="R1+",
-    pending=True,  # M9 item 3 — window slot opens with the round-10 batch
 )
 def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom PYTHON data source (Spark 4's `pyspark.sql.datasource` API —

@@ -719,7 +719,6 @@ KLL_EPS = 0.0165
     """,
     category="streaming/sketch",
     origin="EXT",
-    pending=True,  # M8 item 4 — window slot opens in round 10
 )
 def stream_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed streaming quantiles via the KLL sketch (M8 item 4):
