@@ -151,9 +151,29 @@ def test_wav_decoder_is_a_real_decoder():
         decode_wav(wav(s, ch=2))
     with pytest.raises(ValueError):  # 8-bit
         decode_wav(wav(s, bits=8))
-    with pytest.raises(ValueError):  # truncated data chunk
-        good = wav(s)
-        decode_wav(good[:-2] + struct.pack("<H", 0)[:0])  # drop 2 tail bytes
+    with pytest.raises(ValueError):  # truncated file (RIFF-size check)
+        decode_wav(wav(s)[:-2])
+    with pytest.raises(ValueError):  # truncated data chunk: size field
+        # claims 2 more bytes than the buffer holds while the RIFF size
+        # still matches, so the chunk walk itself must catch it
+        buf = bytearray(wav(s))
+        data_size_at = 12 + 24 + 4  # RIFF hdr + fmt chunk + b"data"
+        assert buf[data_size_at - 4 : data_size_at] == b"data"
+        buf[data_size_at : data_size_at + 4] = struct.pack("<I", len(s) + 2)
+        buf[4:8] = struct.pack("<I", len(buf) - 8)
+        decode_wav(bytes(buf))
+    with pytest.raises(ValueError):  # duplicate data chunk
+        dup = b"data" + struct.pack("<I", len(s)) + s
+        body = wav(s, extra=b"")[12:] + dup
+        decode_wav(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+    with pytest.raises(ValueError):  # duplicate fmt chunk
+        fmt2 = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        decode_wav(wav(s, extra=fmt2))
+    with pytest.raises(ValueError):  # 1-7 byte trailing fragment
+        good = wav(s) + b"\x00\x00\x00"
+        buf = bytearray(good)
+        buf[4:8] = struct.pack("<I", len(buf) - 8)
+        decode_wav(bytes(buf))
     with pytest.raises(ValueError):  # data before fmt
         body = b"data" + struct.pack("<I", len(s)) + s
         decode_wav(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)

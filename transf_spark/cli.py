@@ -93,20 +93,16 @@ def cmd_oracle(args) -> int:
     # query as rows-only and exited 0 (round-9 review finding)
     from transf_spark.queries import all_specs
 
-    specs = all_specs()
-    if args.name in specs and specs[args.name].oracle is None:
-        print(f"{args.name}: rows-only query (no SQL oracle declared)")
-        return 0
-    osql = {n: sp.oracle for n, sp in specs.items() if sp.oracle is not None}
-    if args.name not in osql:
+    spec = all_specs().get(args.name)
+    if spec is None:
         print(f"error: unknown query {args.name!r}; `list` shows the inventory", file=sys.stderr)
         return 2
-    fn = _resolve(args.name)
-    if fn is None:
-        return 2
+    if spec.oracle is None:
+        print(f"{args.name}: rows-only query (no SQL oracle declared)")
+        return 0
     from tests.oracle import compare, duckdb_con
 
-    diff = compare(fn(_spark(args.cpus), args.sf_dir), duckdb_con(args.sf_dir), osql[args.name])
+    diff = compare(spec.fn(_spark(args.cpus), args.sf_dir), duckdb_con(args.sf_dir), spec.oracle)
     if diff:
         print(f"{args.name}: MISMATCH")
         for line in diff[:10]:

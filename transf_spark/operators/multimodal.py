@@ -588,6 +588,8 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
         if len(body) != size:
             raise ValueError(f"truncated {cid!r} chunk")
         if cid == b"fmt ":
+            if fmt is not None:
+                raise ValueError("duplicate fmt chunk")
             if len(body) < 16:
                 # struct.error is not a ValueError — keep the decoder's
                 # malformed-input contract uniform (round-9 review finding)
@@ -596,8 +598,14 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
         elif cid == b"data":
             if fmt is None:
                 raise ValueError("data chunk before fmt chunk")
+            if data is not None:
+                raise ValueError("duplicate data chunk")
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if pos != len(buf):
+        # covers both a 1-7 byte trailing fragment (pos < len) and a final
+        # odd-size chunk whose word-alignment pad byte is missing (pos > len)
+        raise ValueError(f"chunk walk ended at {pos}, file is {len(buf)} bytes")
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
     audio_format, channels, rate, _byte_rate, block_align, bits = fmt
