@@ -75,7 +75,30 @@ def get_spark(app_name: str = "transf_spark", cpus: int | None = None) -> SparkS
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _quiet_window_exec(spark)
     return spark
+
+
+def _quiet_window_exec(spark: SparkSession) -> None:
+    """Demote the WindowExec logger to ERROR on the JVM side.
+
+    Several declared queries use partitionless rank windows over
+    AGGREGATE-SIZED inputs (top-k over ≤|types|³ rows, bucket-summary
+    prefix maxes) — safe at any scale by construction, but each emits
+    `WARN WindowExec: No Partition Defined`, and a full bench run prints
+    hundreds of them, burying real executor warnings in the tail
+    (round-9 verdict nit 1). Scoped to the one logger; every other WARN
+    still surfaces.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        # log4j2 core absent or shaded differently — cosmetic only
+        pass
 
 
 def ensure_conf(spark: SparkSession) -> SparkSession:
@@ -106,6 +129,7 @@ def ensure_conf(spark: SparkSession) -> SparkSession:
             # Non-settable in this deployment — proceed; readers that depend
             # on it will raise a clear error of their own.
             pass
+    _quiet_window_exec(spark)
     return spark
 
 
