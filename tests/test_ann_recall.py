@@ -253,3 +253,78 @@ def test_cosine_kernel_sinks_corrupt_vectors(spark):
         "id", _cosine_pairs_udf()(F.col("a"), F.col("b")).alias("c"))
         .orderBy(F.col("c").desc()).collect()]
     assert set(ordered[-2:]) == {2, 3}
+
+
+def test_ann_indexes_find_planted_structure(spark, tmp_path_factory):
+    """Near-capacity structured corpus (round-9 verdict item 3 applied to
+    the ANN gates): the sf fixtures are near-random (max cosine ~0.5), so
+    their recall floors only catch a BROKEN index, not a geometrically
+    misrouted one. Here 8000 vectors sit in 40 tight clusters (center +
+    small deterministic perturbation), so each vector's true top-10 lives
+    in its own cluster and a correctly-routing index must recover most of
+    it — IVF because nearest-centroid assignment converges onto the
+    planted centers, LSH because co-cluster vectors share sign patterns.
+    Floors are set from the deterministic measured values (1.00 for BOTH
+    on this fixture) minus headroom; a routing bug (wrong distance,
+    probe set, or normalization) craters both."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from transf_spark.operators.similarity import ann_ivf_topk, ann_lsh_topk
+    from transf_spark.queries import queries
+
+    out = str(tmp_path_factory.mktemp("planted_embeddings"))
+    n, dim, k_clusters = 8000, 64, 40
+    # deterministic pseudo-randomness: md5 over (tag, index) — the repo's
+    # standard device (Date-free, seed-free, regeneration-proof)
+    def _mat(tag, rows, cols):
+        out_m = np.empty((rows, cols), dtype=np.float64)
+        for r in range(rows):
+            h = hashlib.md5(f"{tag}:{r}".encode()).digest()
+            # expand 16 bytes -> cols floats via counter-mode md5
+            buf = b"".join(
+                hashlib.md5(h + bytes([c])).digest() for c in range((cols * 4 + 15) // 16)
+            )
+            out_m[r] = (
+                np.frombuffer(buf[: cols * 4], dtype="<u4").astype(np.float64)
+                / 2**32
+                - 0.5
+            )
+        return out_m
+
+    centers = _mat("ctr", k_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    noise = _mat("nz", n, dim) * 0.05  # tight: noise << inter-center distance
+    assign = np.arange(n) % k_clusters
+    vecs = centers[assign] + noise
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(
+                    [row.astype(np.float32) for row in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(assign.astype(np.int32)),
+            }
+        ),
+        f"{out}/embeddings.parquet",
+    )
+
+    bf = queries()["similarity_topk_cosine"](spark, out).collect()
+    bf_set = {(r["q_id"], r["nn_id"]) for r in bf}
+    assert bf_set, "brute-force baseline must produce pairs"
+
+    for fn, floor, name in (
+        (ann_ivf_topk, 0.9, "ivf"),
+        (ann_lsh_topk, 0.8, "lsh"),
+    ):
+        ann = fn(spark, out).collect()
+        ann_set = {(r["q_id"], r["nn_id"]) for r in ann}
+        # same 256-query sample surface as the brute-force baseline
+        assert {q for q, _ in ann_set} == {q for q, _ in bf_set}
+        recall = len(ann_set & bf_set) / len(bf_set)
+        assert recall >= floor, f"{name} recall {recall:.3f} < {floor} on planted clusters"

@@ -118,6 +118,145 @@ def test_kll_rank_bounds_hold_on_dense_windows(spark, big_events_dir):
     assert all(r["n_events"] > 10_000 for r in rows)
 
 
+@pytest.fixture(scope="module")
+def big_tpch_dir(tmp_path_factory):
+    """~200k orders with ~110k distinct custkeys (27x the HLL lgK=12
+    register budget — deep estimation regime, nowhere near the sparse
+    mode the grading fixtures stay in) over 3 skewed statuses, plus a
+    200k-row lineitem whose l_quantity sits on 50 tied integer levels —
+    the adversarial shape for a rank-guarantee quantile sketch: ~4k-row
+    tie runs make value-equality meaningless and the declared 2ε+1 rank
+    slack load-bearing. Same md5 determinism device as big_events_dir."""
+    import datetime as dt
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("big_tpch"))
+    n = 200_000
+    i = np.arange(n, dtype=np.int64)
+
+    def _h(tag):
+        return np.fromiter(
+            (int(hashlib.md5(f"{tag}:{k}".encode()).hexdigest()[:8], 16)
+             for k in range(n)),
+            dtype=np.int64, count=n,
+        )
+
+    hc, hs, hq = _h("cust"), _h("status"), _h("qty")
+    custkey = hc % 150_000  # ~110k distinct across 200k draws
+    status = np.array(["O", "F", "P"])[
+        np.where(hs % 10 < 6, 0, np.where(hs % 10 < 9, 1, 2)).astype(int)
+    ]
+    t0 = dt.datetime(2024, 1, 1)
+    odate = [t0 + dt.timedelta(days=int(d)) for d in (i % 365)]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(i),
+                "o_custkey": pa.array(custkey),
+                "o_orderstatus": pa.array(status.tolist()),
+                "o_totalprice": pa.array((hc % 100_000) / 100.0),
+                "o_orderdate": pa.array(odate, pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * n),
+            }
+        ),
+        os.path.join(out, "orders.parquet"),
+    )
+    qty = (1 + hq % 50).astype(np.float64)  # 50 tie levels, ~4k rows each
+    rflag = np.array(["A", "N", "R"])[
+        np.where(hs % 7 < 3, 0, np.where(hs % 7 < 6, 1, 2)).astype(int)
+    ]
+    sdate = [t0 + dt.timedelta(days=int(d)) for d in (i % 365)]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(i),
+                "l_partkey": pa.array(hc % 2000),
+                "l_suppkey": pa.array(hc % 100),
+                "l_linenumber": pa.array((i % 7).astype(np.int32)),
+                "l_quantity": pa.array(qty),
+                "l_extendedprice": pa.array(qty * 1000.0),
+                "l_discount": pa.array((hq % 10) / 100.0),
+                "l_tax": pa.array((hq % 8) / 100.0),
+                "l_returnflag": pa.array(rflag.tolist()),
+                "l_linestatus": pa.array(["O"] * n),
+                "l_shipdate": pa.array(sdate, pa.timestamp("us")),
+            }
+        ),
+        os.path.join(out, "lineitem.parquet"),
+    )
+    return out
+
+
+def _tpch_con(d):
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    return con
+
+
+def test_hll_merge_bound_holds_beyond_sparse_mode(spark, big_tpch_dir):
+    """Per-status distincts of 20k-70k put every shard sketch AND the
+    cross-shard union deep in HLL estimation mode (lgK=12 → 4096
+    registers) — the 5% within_bound boolean and the exact counts it
+    rides beside must still hash-match the oracle's literal TRUE."""
+    spec = all_specs()["agg_hll_shard_merge"]
+    df = spec.fn(spark, big_tpch_dir)
+    con = _tpch_con(big_tpch_dir)
+    try:
+        problems = compare(df, con, spec.oracle)
+    finally:
+        con.close()
+    assert not problems, "; ".join(problems)
+    rows = df.collect()
+    assert len(rows) == 3
+    assert all(r["n_exact"] > 4096 for r in rows), \
+        "every status must exceed the register budget"
+
+
+def test_gk_rank_bounds_hold_on_tied_dense_quantities(spark, big_tpch_dir):
+    """n ≈ 28-86k per returnflag >> the GK accuracy parameter (10000),
+    with ~4k-row tie runs at every quantity level: the sketch is
+    genuinely compacting and any off-by-a-level answer moves measured
+    rank by ~2% — far outside the declared 2ε+1 slack, so the rank-check
+    booleans are doing real work here."""
+    spec = all_specs()["agg_approx_percentile"]
+    df = spec.fn(spark, big_tpch_dir)
+    con = _tpch_con(big_tpch_dir)
+    try:
+        problems = compare(df, con, spec.oracle)
+    finally:
+        con.close()
+    assert not problems, "; ".join(problems)
+    rows = df.collect()
+    assert len(rows) == 3
+    assert all(r["n_rows"] > 25_000 for r in rows)  # R gets ~1/7 of 200k
+
+
+def test_window_distinct_bound_holds_at_dense_cardinality(spark, big_events_dir):
+    """~7.6k distinct users per hourly window (the 12k-user pool sampled
+    12k times) is far past approx_count_distinct's sparse-exact regime at
+    rsd=0.01 — the 5% within_bound boolean must hold while the estimate
+    is genuinely approximate, on a fixture 80x denser than the grading
+    one."""
+    spec = all_specs()["stream_window_distinct_users"]
+    df = spec.fn(spark, big_events_dir)
+    con = _con(big_events_dir)
+    try:
+        problems = compare(df, con, spec.oracle)
+    finally:
+        con.close()
+    assert not problems, "; ".join(problems)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(r["n_users"] > 5_000 for r in rows)
+
+
 def test_topk_multiset_exact_below_capacity_on_dense_fixture(spark, big_events_dir):
     """stream_topk_sketch's declared count multiset stays exact while
     window cardinality (~12k users) is far below the 100k sketch
