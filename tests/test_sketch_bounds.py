@@ -269,3 +269,27 @@ def test_topk_multiset_exact_below_capacity_on_dense_fixture(spark, big_events_d
     finally:
         con.close()
     assert not problems, "; ".join(problems)
+
+
+@pytest.mark.parametrize(
+    "qname", ["agg_bitmap_distinct_sparse", "agg_bitmap_distinct_segments"]
+)
+def test_bitmap_distinct_exact_at_dense_cardinality(spark, big_events_dir, qname):
+    """The two bitmap pipelines are EXACT by contract at any cardinality —
+    unlike the sketches there is no bound to degrade into, so the dense
+    fixture (~12k distinct users, 80x the grading density; the sparse
+    variant additionally spreads them across the full 64-bit space before
+    its dictionary pass) must keep hash-matching COUNT(DISTINCT) outright.
+    This is the composition-losslessness claim (hash spread → bucketed-rank
+    densification → word pipeline) under real dictionary pressure."""
+    spec = all_specs()[qname]
+    df = spec.fn(spark, big_events_dir)
+    con = _con(big_events_dir)
+    try:
+        problems = compare(df, con, spec.oracle)
+    finally:
+        con.close()
+    assert not problems, "; ".join(problems)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert sum(r["n_users"] for r in rows) > 30_000  # dictionary did real work
