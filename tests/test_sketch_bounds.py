@@ -293,3 +293,23 @@ def test_bitmap_distinct_exact_at_dense_cardinality(spark, big_events_dir, qname
     rows = df.collect()
     assert len(rows) == 5
     assert sum(r["n_users"] for r in rows) > 30_000  # dictionary did real work
+
+
+def test_approx_distinct_bound_holds_beyond_sparse_mode(spark, big_tpch_dir):
+    """28-86k distinct orderkeys per returnflag put the rsd=0.01 HLL++
+    sketch deep past its sparse-exact regime (the grading fixtures never
+    leave it) — the declared 5% bound booleans must hold while the
+    estimate is genuinely approximate, alongside the exact counts that
+    hash-check as usual. The partkey side stays low-cardinality (2000),
+    checking both regimes in one declared output."""
+    spec = all_specs()["agg_approx_distinct"]
+    df = spec.fn(spark, big_tpch_dir)
+    con = _tpch_con(big_tpch_dir)
+    try:
+        problems = compare(df, con, spec.oracle)
+    finally:
+        con.close()
+    assert not problems, "; ".join(problems)
+    rows = df.collect()
+    assert len(rows) == 3
+    assert all(r["n_orders"] > 25_000 for r in rows)

@@ -394,3 +394,85 @@ def test_kll_quantile_stream_equals_batch(spark):
     want = _rows(batch, cols)
     assert got == want
     assert len(got) > 0
+
+
+def test_checkpoint_recovery_after_midstream_kill(spark, tmp_path):
+    """Exactly-once under FAILURE, not just under planned re-invocation
+    (stream_checkpoint_incremental proves the latter): kill a file-source
+    → file-sink stream partway through its backlog, restart it on the
+    SAME checkpoint, and the final sink must equal the batch ground truth
+    — no lost files, no double-processed files. This is the file-sink
+    commit-log + source-checkpoint pairing that makes a 1000-executor
+    ingest restartable after an executor-loss storm; maxFilesPerTrigger=1
+    makes 'partway' deterministic-enough (>=1 committed batch, backlog
+    remaining) without timing games."""
+    import os
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src)
+
+    # 12 single-row files — a backlog of 12 micro-batches at 1 file/trigger
+    for k in range(12):
+        spark.range(k, k + 1).selectExpr(
+            "id AS event_id", "CAST(id * 1.5 AS DOUBLE) AS value"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def start(max_files):
+        return (
+            spark.readStream.schema("event_id long, value double")
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            # non-zero trigger so the kill below reliably lands with
+            # backlog remaining (at 0s a fast host could drain all 12
+            # files between the progress poll and q.stop())
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+
+    # Phase 1: drain one micro-batch at a time, kill after a few commits.
+    q = start(max_files=1)
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        progress = q.recentProgress
+        committed = sum(p["numInputRows"] for p in progress)
+        if committed >= 3:
+            break
+        time.sleep(0.2)
+    else:
+        q.stop()
+        raise TimeoutError("stream never committed 3 batches")
+    q.stop()  # the "kill": no graceful drain of the remaining backlog
+    q.awaitTermination(60)
+
+    mid = spark.read.schema("event_id long, value double").parquet(sink).count()
+    assert 1 <= mid < 12, f"kill must land mid-backlog, sink has {mid} rows"
+
+    # Phase 2: restart on the same checkpoint, drain everything remaining.
+    q2 = (
+        spark.readStream.schema("event_id long, value double")
+        .option("maxFilesPerTrigger", 100)
+        .parquet(src)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(120), "recovery drain did not terminate"
+
+    got = sorted(
+        (r["event_id"], r["value"])
+        for r in spark.read.schema("event_id long, value double")
+        .parquet(sink)
+        .collect()
+    )
+    assert got == [(k, k * 1.5) for k in range(12)], got
