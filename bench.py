@@ -246,15 +246,25 @@ def main() -> None:
     # persist for the entire run to contaminate its minimum.)
     REPS = 5
 
+    # Per-pass wall totals, recorded beside the min-aggregated detail: a
+    # host contention burst shows up as one or two inflated passes while
+    # the mins stay sane, whereas a real regression inflates every pass —
+    # the diagnostic the round-10 like-for-like triage had to reconstruct
+    # from ad-hoc reruns (three full runs of an unchanged suite measured
+    # 1.03-1.22x each other on this shared host).
+    pass_totals: list[float] = []
+
     def run_set(d: str) -> dict[str, float]:
         t: dict[str, float] = {}
         for _ in range(REPS):
+            p0 = time.perf_counter()
             for name in names:
                 t0 = time.perf_counter()
                 materialize(registry[name](spark, d))
                 dt = time.perf_counter() - t0
                 if dt < t.get(name, float("inf")):
                     t[name] = dt
+            pass_totals.append(round(time.perf_counter() - p0, 3))
         return {name: round(v, 4) for name, v in t.items()}
 
     timings = run_set(sf_dir)
@@ -301,6 +311,11 @@ def main() -> None:
         "sf": sf,
         "reps": REPS,
         "agg": "min",
+        # detail-file only (stdout line budget): per-pass wall totals for
+        # noise diagnosis — bursty host ⇒ uneven passes, regression ⇒ all up
+        # (copy: the optional scaling run below appends ITS passes to the
+        # same list, which would silently mix the two fixtures' totals)
+        "pass_totals": list(pass_totals),
     }
     # Optional second point for the scaling table (README §Scaling): set
     # SPARK_GRAFT_SCALING_DIR=/root/testdata/sf0.01 to record how each
