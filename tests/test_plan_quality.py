@@ -1208,3 +1208,15 @@ def test_python_datasource_single_aggregate(spark):
     st = plan_stats(df)
     assert st.exchanges == 1
     assert st.broadcast_joins + st.sort_merge_joins + st.nested_loop_joins == 0
+
+
+def test_xml_roundtrip_single_census_exchange(spark):
+    """XML scan (the one promoted query without a plan gate): the read is
+    a full-element parse — no pruning/pushdown exists for rowTag XML, the
+    documented format tax — so the gate pins what IS controllable: the
+    staged scan feeds exactly ONE census exchange and no join of any
+    kind appears around the format conversion."""
+    df = _qp(spark, "scan_xml_roundtrip")
+    st = plan_stats(df)
+    assert st.exchanges == 1
+    assert st.broadcast_joins + st.sort_merge_joins + st.nested_loop_joins == 0
