@@ -808,7 +808,15 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         def reader(self, schema):
             return _Reader(self.options)
 
-    spark.dataSource.register(SynthDocsSource)
+    # Register once per session: each register() re-ships the pickled
+    # DataSource class to the JVM and logs a DataSourceManager 'replaced'
+    # WARN per call — churn a bench pass pays 5x and a shared production
+    # session pays per query. The marker conf is session-scoped, so a new
+    # session (or a stopped/recreated one) re-registers as it must.
+    _marker = "spark.transf_spark.synthDocsRegistered"
+    if spark.conf.get(_marker, None) is None:
+        spark.dataSource.register(SynthDocsSource)
+        spark.conf.set(_marker, "true")
     df = (
         spark.read.format("transf_synth_docs")
         .option("n", PYSRC_N)
