@@ -55,3 +55,19 @@ def test_cc_matches_union_find(spark, edges):
     got = {r["node"]: r["label"] for r in _connected_components(df).collect()}
     want = _union_find(edges)
     assert got == want
+
+
+def test_cc_long_chain_converges_in_log_rounds(spark):
+    """Deterministic 301-node path — the pointer-jumping WORST case: the
+    25-node random graphs above converge in ~5 doubling rounds, a 300-edge
+    chain needs ~9, so this is the depth regime where a broken fixpoint
+    test (e.g. comparing labels instead of the monotone label SUM) would
+    loop forever or exit early with a split component. Every node must
+    fold to label 0 in one component."""
+    schema = T.StructType(
+        [T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())]
+    )
+    df = spark.createDataFrame([(i, i + 1) for i in range(300)], schema)
+    got = {r["node"]: r["label"] for r in _connected_components(df).collect()}
+    assert set(got) == set(range(301))
+    assert set(got.values()) == {0}
