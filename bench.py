@@ -161,6 +161,8 @@ HEADLINE = [
     "scan_xml_roundtrip",
     "scalar_variant_shred",
     "scan_python_datasource",
+    # round-10 addition (Avro via the pure-Python OCF DataSource)
+    "scan_avro_roundtrip",
 ]
 
 

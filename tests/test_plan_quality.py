@@ -1220,3 +1220,14 @@ def test_xml_roundtrip_single_census_exchange(spark):
     st = plan_stats(df)
     assert st.exchanges == 1
     assert st.broadcast_joins + st.sort_merge_joins + st.nested_loop_joins == 0
+
+
+def test_avro_roundtrip_single_census_exchange(spark):
+    """Avro via the pure-Python OCF source: file-parallel Python scan
+    feeding exactly ONE census exchange, no joins — same controllable
+    shape as the XML and Python-DataSource gates (the scan itself has no
+    pruning, the documented connector tax)."""
+    df = _qp(spark, "scan_avro_roundtrip")
+    st = plan_stats(df)
+    assert st.exchanges == 1
+    assert st.broadcast_joins + st.sort_merge_joins + st.nested_loop_joins == 0

@@ -1,0 +1,266 @@
+"""Pure-Python Avro Object Container File codec (spec subset).
+
+The container has no ``spark-avro`` module (``spark.read.format("avro")``
+raises FAILED_FIND_DATA_SOURCE — probed and recorded in SURVEY M9 every
+round), so the Avro interchange capability is delivered the same way the
+reference's custom file protocol is restated (`/root/reference/transf_client.cpp:102-168`
+— length-prefixed binary records over a framed container): a from-spec
+encoder/decoder for the Avro 1.x Object Container File format
+(https://avro.apache.org/docs/current/specification/ — public), carried
+into Spark by the Python DataSource API that `scan_python_datasource`
+already proved out.
+
+Spec subset, declared honestly: records of primitive fields — ``long``,
+``int``, ``string``, ``double``, ``boolean``, ``bytes`` — each optionally
+nullable as the 2-branch union ``["null", T]``; ``null`` codec only. That
+covers the documents/TPC-H staging shapes this engine round-trips; enums,
+nested records, maps, arrays and deflate are out of scope and REJECTED at
+schema parse, never mis-decoded.
+
+Binary format essentials implemented here:
+- varint: little-endian 7-bit groups, high bit = continuation;
+- long/int: zigzag then varint;
+- string/bytes: long length + payload bytes;
+- union: long branch index + encoded branch;
+- file: magic ``Obj\\x01``, metadata map (avro.schema/avro.codec),
+  16-byte sync marker, then blocks of (count, byte-size, records, sync).
+
+Malformed input raises ValueError — the same decoder contract as
+decode_pgm/decode_wav (fuzz-gated in tests/test_decoder_fuzz.py's family).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+MAGIC = b"Obj\x01"
+
+_PRIMITIVES = ("long", "int", "string", "double", "boolean", "bytes")
+
+
+def _parse_field_type(t) -> tuple[str, bool]:
+    """-> (primitive, nullable). Rejects everything outside the subset."""
+    if isinstance(t, list):
+        if len(t) == 2 and t[0] == "null" and t[1] in _PRIMITIVES:
+            return t[1], True
+        raise ValueError(f"unsupported union {t!r} (subset: ['null', primitive])")
+    if t in _PRIMITIVES:
+        return t, False
+    raise ValueError(f"unsupported type {t!r} (subset: {_PRIMITIVES})")
+
+
+def parse_schema(schema: dict) -> list[tuple[str, str, bool]]:
+    """-> [(name, primitive, nullable)] for a flat record schema."""
+    if not isinstance(schema, dict) or schema.get("type") != "record":
+        raise ValueError("schema must be a record")
+    fields = schema.get("fields")
+    if not isinstance(fields, list) or not fields:
+        raise ValueError("record schema needs a non-empty fields list")
+    out = []
+    for f in fields:
+        if not isinstance(f, dict) or "name" not in f or "type" not in f:
+            raise ValueError(f"malformed field entry {f!r}")
+        prim, nullable = _parse_field_type(f["type"])
+        out.append((str(f["name"]), prim, nullable))
+    return out
+
+
+# ---- primitive encoders ----------------------------------------------------
+
+def encode_long(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)  # arbitrary-precision ints: sign-propagating >>
+    z &= 2**64 - 1
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode_value(prim: str, v) -> bytes:
+    if prim in ("long", "int"):
+        return encode_long(int(v))
+    if prim == "string":
+        b = str(v).encode("utf-8")
+        return encode_long(len(b)) + b
+    if prim == "bytes":
+        b = bytes(v)
+        return encode_long(len(b)) + b
+    if prim == "double":
+        return struct.pack("<d", float(v))
+    if prim == "boolean":
+        return b"\x01" if v else b"\x00"
+    raise ValueError(f"unsupported primitive {prim!r}")
+
+
+def encode_record(fields: list[tuple[str, str, bool]], row) -> bytes:
+    out = bytearray()
+    for (name, prim, nullable), v in zip(fields, row):
+        if nullable:
+            if v is None:
+                out += encode_long(0)
+                continue
+            out += encode_long(1)
+        elif v is None:
+            raise ValueError(f"NULL in non-nullable field {name!r}")
+        out += _encode_value(prim, v)
+    return bytes(out)
+
+
+# ---- primitive decoders ----------------------------------------------------
+
+def read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    z, shift = 0, 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint longer than 64 bits")
+    return (z >> 1) ^ -(z & 1), pos
+
+
+def _read_value(prim: str, buf: bytes, pos: int):
+    if prim in ("long", "int"):
+        return read_long(buf, pos)
+    if prim in ("string", "bytes"):
+        n, pos = read_long(buf, pos)
+        if n < 0 or pos + n > len(buf):
+            raise ValueError(f"bad {prim} length {n}")
+        raw = buf[pos : pos + n]
+        return (raw.decode("utf-8") if prim == "string" else raw), pos + n
+    if prim == "double":
+        if pos + 8 > len(buf):
+            raise ValueError("truncated double")
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if prim == "boolean":
+        if pos >= len(buf):
+            raise ValueError("truncated boolean")
+        if buf[pos] not in (0, 1):
+            raise ValueError(f"bad boolean byte {buf[pos]}")
+        return buf[pos] == 1, pos + 1
+    raise ValueError(f"unsupported primitive {prim!r}")
+
+
+def decode_records(
+    fields: list[tuple[str, str, bool]], buf: bytes, count: int
+) -> list[tuple]:
+    rows, pos = [], 0
+    for _ in range(count):
+        row = []
+        for name, prim, nullable in fields:
+            if nullable:
+                idx, pos = read_long(buf, pos)
+                if idx == 0:
+                    row.append(None)
+                    continue
+                if idx != 1:
+                    raise ValueError(f"bad union branch {idx} in {name!r}")
+            v, pos = _read_value(prim, buf, pos)
+            row.append(v)
+        rows.append(tuple(row))
+    if pos != len(buf):
+        raise ValueError(f"{len(buf) - pos} trailing bytes in record block")
+    return rows
+
+
+# ---- container --------------------------------------------------------------
+
+def write_ocf(path: str, schema: dict, rows, sync: bytes, block_rows: int = 1024) -> None:
+    """Write one Avro Object Container File (null codec)."""
+    if len(sync) != 16:
+        raise ValueError("sync marker must be 16 bytes")
+    fields = parse_schema(schema)
+    meta = {
+        "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
+        "avro.codec": b"null",
+    }
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(encode_long(len(meta)))
+        for k, v in sorted(meta.items()):
+            kb = k.encode()
+            f.write(encode_long(len(kb)) + kb + encode_long(len(v)) + v)
+        f.write(encode_long(0))  # end of metadata map
+        f.write(sync)
+        buf, n = bytearray(), 0
+
+        def flush():
+            nonlocal buf, n
+            if n:
+                f.write(encode_long(n) + encode_long(len(buf)) + buf + sync)
+                buf, n = bytearray(), 0
+
+        for row in rows:
+            buf += encode_record(fields, row)
+            n += 1
+            if n >= block_rows:
+                flush()
+        flush()
+
+
+def read_ocf(data: bytes):
+    """Parse one container file -> (fields, iterator of row tuples).
+
+    Walks header + every block, verifying magic, codec, sync markers and
+    exact block/record byte accounting — malformed input raises ValueError.
+    """
+    if data[:4] != MAGIC:
+        raise ValueError(f"not an Avro OCF: magic {data[:4]!r}")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        count, pos = read_long(data, pos)
+        if count == 0:
+            break
+        if count < 0:  # negative count = block with byte-size prefix
+            count = -count
+            _, pos = read_long(data, pos)
+        for _ in range(count):
+            klen, pos = read_long(data, pos)
+            if klen < 0 or pos + klen > len(data):
+                raise ValueError(f"bad metadata key length {klen}")
+            key = data[pos : pos + klen].decode("utf-8")
+            pos += klen
+            vlen, pos = read_long(data, pos)
+            if vlen < 0 or pos + vlen > len(data):
+                raise ValueError("truncated metadata value")
+            meta[key] = data[pos : pos + vlen]
+            pos += vlen
+    codec = meta.get("avro.codec", b"null")
+    if codec != b"null":
+        raise ValueError(f"unsupported codec {codec!r} (subset: null)")
+    if "avro.schema" not in meta:
+        raise ValueError("missing avro.schema metadata")
+    fields = parse_schema(json.loads(meta["avro.schema"]))
+    sync = data[pos : pos + 16]
+    if len(sync) != 16:
+        raise ValueError("truncated sync marker")
+    pos += 16
+
+    def rows():
+        p = pos
+        while p < len(data):
+            n, p2 = read_long(data, p)
+            size, p2 = read_long(data, p2)
+            if n <= 0 or size < 0 or p2 + size + 16 > len(data):
+                raise ValueError(f"bad block header (count={n}, size={size})")
+            block = data[p2 : p2 + size]
+            p2 += size
+            if data[p2 : p2 + 16] != sync:
+                raise ValueError("sync marker mismatch after block")
+            p2 += 16
+            yield from decode_records(fields, block, n)
+            p = p2
+
+    return fields, rows()

@@ -830,3 +830,132 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("id").alias("max_id"),
         F.sum("val").alias("sum_val"),
     )
+
+
+# ---- Avro source (pure-Python OCF codec over the DataSource API) -----------
+
+AVRO_DOCS_SCHEMA = {
+    "type": "record",
+    "name": "document",
+    "fields": [
+        {"name": "doc_id", "type": ["null", "long"]},
+        {"name": "text", "type": ["null", "string"]},
+        {"name": "lang", "type": ["null", "string"]},
+        {"name": "source", "type": ["null", "string"]},
+        {"name": "n_chars", "type": ["null", "long"]},
+    ],
+}
+AVRO_WRITE_PARTS = 4
+
+
+class _AvroDocsReader:
+    """One input partition per .avro file — the container format's natural
+    split at file granularity (finer block-level splits would key off the
+    sync markers, the same way the JVM source does). Plain class body;
+    the DataSourceReader ABC is mixed in lazily inside the query."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+
+    def partitions(self):
+        import glob as _glob
+
+        from pyspark.sql.datasource import InputPartition
+
+        files = sorted(_glob.glob(os.path.join(self.path, "*.avro")))
+        if not files:
+            raise ValueError(f"no .avro files under {self.path!r}")
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition):
+        from transf_spark.sources.avro_ocf import read_ocf
+
+        with open(partition.value, "rb") as f:
+            _, rows = read_ocf(f.read())
+        yield from rows
+
+
+def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage documents as Avro OCF files, written BY THE EXECUTORS: each
+    of AVRO_WRITE_PARTS hash-partitions encodes its own container file via
+    the pure-Python codec (foreachPartition — the custom-sink shape; on a
+    real cluster the open() targets shared storage instead of local /tmp,
+    which single-host local mode makes equivalent)."""
+    from transf_spark.sources.avro_ocf import write_ocf
+
+    def write(out: str) -> None:
+        import hashlib
+
+        # Spark writers create their target dir; our executor-side open()
+        # does not — make it before the tasks race to write into it
+        os.makedirs(out, exist_ok=True)
+        docs = load_table(spark, sf_dir, "documents")
+        schema = AVRO_DOCS_SCHEMA  # closure-captured constants: keep the
+        sync = hashlib.md5(b"transf_avro_docs").digest()  # task closure tiny
+
+        def write_part(rows_iter) -> None:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            rows = [
+                (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+                for r in rows_iter
+            ]
+            write_ocf(
+                os.path.join(out, f"part-{pid:04d}.avro"), schema, rows, sync
+            )
+
+        docs.repartition(AVRO_WRITE_PARTS, "doc_id").foreachPartition(write_part)
+
+    tag = tables.staging_tag(sf_dir, "documents", extra="avro1")
+    return tables.stage_once("/tmp/transf_spark_fmt_avro_", tag, write)
+
+
+@register(
+    "scan_avro_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    category="scan/source",
+    origin="R1+",
+)
+def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro scan WITHOUT the spark-avro module: the environment rejects
+    `spark.read.format("avro")` every round (FAILED_FIND_DATA_SOURCE —
+    SURVEY M9), so the interchange capability is delivered from the spec
+    instead — a pure-Python Avro Object Container File codec
+    (`sources/avro_ocf.py`, cross-implementation-tested in BOTH directions
+    against the Apache Avro Java library in Spark's own jars) carried by
+    the Python DataSource API that `scan_python_datasource` proved out.
+    Documents stage as executor-written OCF files (one per hash
+    partition), read back file-parallel through the custom source, and
+    the same census as the CSV/JSON/ORC/XML twins must hash-match the
+    raw-parquet oracle — NULL text, empty-vs-NULL distinction, and every
+    unicode byte must survive the union-typed binary round-trip.
+
+    Scale: file-granular splits like any container format (block-level
+    splitting on sync markers is the finer-grained extension); the Python
+    decode path is the honest tax of a connector the JVM lacks — the
+    family's standing advice applies (land the interchange format,
+    convert to parquet once)."""
+    src = _staged_avro_dir(spark, sf_dir)
+    from pyspark.sql.datasource import DataSource, DataSourceReader
+
+    class _Reader(_AvroDocsReader, DataSourceReader):
+        pass
+
+    class AvroDocsSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "transf_avro_docs"
+
+        def schema(self):
+            return "doc_id long, text string, lang string, source string, n_chars long"
+
+        def reader(self, schema):
+            return _Reader(self.options)
+
+    _marker = "spark.transf_spark.avroDocsRegistered"
+    if spark.conf.get(_marker, None) is None:
+        spark.dataSource.register(AvroDocsSource)
+        spark.conf.set(_marker, "true")
+    df = spark.read.format("transf_avro_docs").option("path", src).load()
+    return _roundtrip_agg(df)
