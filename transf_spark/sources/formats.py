@@ -848,11 +848,19 @@ AVRO_DOCS_SCHEMA = {
 AVRO_WRITE_PARTS = 4
 
 
+AVRO_SPLIT_BYTES = 4 * 1024 * 1024  # target split payload size
+
+
 class _AvroDocsReader:
-    """One input partition per .avro file — the container format's natural
-    split at file granularity (finer block-level splits would key off the
-    sync markers, the same way the JVM source does). Plain class body;
-    the DataSourceReader ABC is mixed in lazily inside the query."""
+    """BLOCK-granular input partitions — the container format's real
+    split unit: the driver walks each file's block headers via seek
+    (O(blocks) tiny reads, no record decode — `scan_block_index`) and
+    packs consecutive blocks into ~AVRO_SPLIT_BYTES ranges, so ONE
+    multi-GB container file parallelizes across executors exactly like
+    the JVM source splits on sync markers. Each executor re-derives the
+    schema from its file's own header (self-describing format — no
+    schema shipping in the split payload). Plain class body; the
+    DataSourceReader ABC is mixed in lazily inside the query."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -862,17 +870,31 @@ class _AvroDocsReader:
 
         from pyspark.sql.datasource import InputPartition
 
+        from transf_spark.sources.avro_ocf import scan_block_index
+
         files = sorted(_glob.glob(os.path.join(self.path, "*.avro")))
         if not files:
             raise ValueError(f"no .avro files under {self.path!r}")
-        return [InputPartition(f) for f in files]
+        splits = []
+        for path in files:
+            with open(path, "rb") as f:
+                index = scan_block_index(f)
+            group, group_bytes = [], 0
+            for off, n, size in index:
+                group.append((off, n, size))
+                group_bytes += size
+                if group_bytes >= AVRO_SPLIT_BYTES:
+                    splits.append(InputPartition((path, tuple(group))))
+                    group, group_bytes = [], 0
+            if group:
+                splits.append(InputPartition((path, tuple(group))))
+        return splits
 
     def read(self, partition):
-        from transf_spark.sources.avro_ocf import read_ocf
+        from transf_spark.sources.avro_ocf import read_block_range
 
-        with open(partition.value, "rb") as f:
-            _, rows = read_ocf(f.read())
-        yield from rows
+        path, blocks = partition.value
+        yield from read_block_range(path, list(blocks))
 
 
 def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -931,11 +953,13 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw-parquet oracle — NULL text, empty-vs-NULL distinction, and every
     unicode byte must survive the union-typed binary round-trip.
 
-    Scale: file-granular splits like any container format (block-level
-    splitting on sync markers is the finer-grained extension); the Python
-    decode path is the honest tax of a connector the JVM lacks — the
-    family's standing advice applies (land the interchange format,
-    convert to parquet once)."""
+    Scale: BLOCK-granular splits keyed off the sync markers (the driver
+    indexes block boundaries in O(blocks) seeks, executors decode
+    ~AVRO_SPLIT_BYTES ranges), so one multi-GB container file
+    parallelizes like the JVM source would split it; the Python decode
+    path is the honest tax of a connector the JVM lacks — the family's
+    standing advice applies (land the interchange format, convert to
+    parquet once)."""
     src = _staged_avro_dir(spark, sf_dir)
     from pyspark.sql.datasource import DataSource, DataSourceReader
 
