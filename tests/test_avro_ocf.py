@@ -165,13 +165,11 @@ def test_mutations_decode_or_valueerror(tmp_path_factory, pos, mask, cut):
             continue
 
 
-def test_block_index_and_range_reads():
+def test_block_index_and_range_reads(tmp_path):
     """scan_block_index walks block headers via seek without decoding;
     any partition of the index into ranges must reproduce the file."""
-    import tempfile
-
     rows = [(i, f"t{i}" if i % 3 else None, float(i), i % 2 == 0, None) for i in range(100)]
-    p = tempfile.mktemp(suffix=".avro")
+    p = str(tmp_path / "idx.avro")
     a.write_ocf(p, SCHEMA, rows, SYNC, block_rows=7)
     with open(p, "rb") as f:
         idx = a.scan_block_index(f)
@@ -213,3 +211,24 @@ def test_reader_splits_one_file_into_many_partitions(monkeypatch, tmp_path):
     for part in parts:
         got.extend(reader.read(part))
     assert sorted(got) == sorted(rows)
+
+
+def test_int64_bounds_enforced_both_directions(tmp_path):
+    """Round-10 review: 2**63 used to ENCODE as -1 silently, and a hostile
+    10-byte varint with high data bits DECODED to ~2^69 instead of
+    raising — both directions must ValueError at the int64 boundary, and
+    'int' fields at int32 (Java truncates wider, breaking parity)."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        a.encode_long(2**63)
+    with pytest.raises(ValueError):
+        a.encode_long(-(2**63) - 1)
+    with pytest.raises(ValueError):
+        a.read_long(b"\xff" * 9 + b"\x7f", 0)
+    int_schema = {"type": "record", "name": "r",
+                  "fields": [{"name": "x", "type": "int"}]}
+    p = str(tmp_path / "i.avro")
+    a.write_ocf(p, int_schema, [(2**30,)], SYNC)  # in range: fine
+    with pytest.raises(ValueError):
+        a.write_ocf(str(tmp_path / "j.avro"), int_schema, [(2**31,)], SYNC)

@@ -608,9 +608,14 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
         raise ValueError(f"chunk walk ended at {pos}, file is {len(buf)} bytes")
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
-    audio_format, channels, rate, _byte_rate, block_align, bits = fmt
+    audio_format, channels, rate, byte_rate, block_align, bits = fmt
     if (audio_format, channels, bits, block_align) != (1, 1, 16, 2):
         raise ValueError(f"not 16-bit mono PCM: {fmt}")
+    # rate feeds a division downstream (duration_s = n / rate) and
+    # byte_rate is derivable — both must be consistent, not just present
+    # (round-10 review finding: a rate=0 file decoded and emitted inf)
+    if rate <= 0 or byte_rate != rate * block_align:
+        raise ValueError(f"inconsistent fmt rates: {fmt}")
     if len(data) % 2:
         raise ValueError("odd data size for 16-bit samples")
     return rate, np.frombuffer(data, dtype="<i2")

@@ -69,6 +69,10 @@ def parse_schema(schema: dict) -> list[tuple[str, str, bool]]:
 # ---- primitive encoders ----------------------------------------------------
 
 def encode_long(n: int) -> bytes:
+    if not -(2**63) <= n < 2**63:
+        # Python ints are unbounded; silently masking would WRITE corrupt
+        # data (2**63 round-tripped as -1 before the round-10 review)
+        raise ValueError(f"value {n} outside int64")
     z = (n << 1) ^ (n >> 63)  # arbitrary-precision ints: sign-propagating >>
     z &= 2**64 - 1
     out = bytearray()
@@ -83,7 +87,14 @@ def encode_long(n: int) -> bytes:
 
 
 def _encode_value(prim: str, v) -> bytes:
-    if prim in ("long", "int"):
+    if prim == "long":
+        return encode_long(int(v))
+    if prim == "int":
+        # Java's BinaryDecoder.readInt truncates to 32 bits — writing a
+        # wider value here would break the cross-implementation parity
+        # the codec tests pin, so reject it at the source
+        if not -(2**31) <= int(v) < 2**31:
+            raise ValueError(f"value {v} outside int32 for 'int' field")
         return encode_long(int(v))
     if prim == "string":
         b = str(v).encode("utf-8")
@@ -127,6 +138,11 @@ def read_long(buf: bytes, pos: int) -> tuple[int, int]:
         shift += 7
         if shift > 63:
             raise ValueError("varint longer than 64 bits")
+    if z >= 2**64:
+        # a 10-byte varint with high data bits set decodes past int64 —
+        # silently returning ~2^69 broke the ValueError contract (the
+        # executor-side int64 cast raised instead; round-10 review)
+        raise ValueError("varint decodes outside int64")
     return (z >> 1) ^ -(z & 1), pos
 
 
@@ -212,56 +228,20 @@ def write_ocf(path: str, schema: dict, rows, sync: bytes, block_rows: int = 1024
 def read_ocf(data: bytes):
     """Parse one container file -> (fields, iterator of row tuples).
 
-    Walks header + every block, verifying magic, codec, sync markers and
-    exact block/record byte accounting — malformed input raises ValueError.
+    Delegates to the ONE canonical header/block walker pair
+    (`scan_header` + `scan_block_index`, over BytesIO) so the bulk and
+    streaming paths cannot diverge — the round-10 review found this
+    function re-implementing both walks with subtly different error
+    paths. Malformed input raises ValueError throughout.
     """
-    if data[:4] != MAGIC:
-        raise ValueError(f"not an Avro OCF: magic {data[:4]!r}")
-    pos = 4
-    meta: dict[str, bytes] = {}
-    while True:
-        count, pos = read_long(data, pos)
-        if count == 0:
-            break
-        if count < 0:  # negative count = block with byte-size prefix
-            count = -count
-            _, pos = read_long(data, pos)
-        for _ in range(count):
-            klen, pos = read_long(data, pos)
-            if klen < 0 or pos + klen > len(data):
-                raise ValueError(f"bad metadata key length {klen}")
-            key = data[pos : pos + klen].decode("utf-8")
-            pos += klen
-            vlen, pos = read_long(data, pos)
-            if vlen < 0 or pos + vlen > len(data):
-                raise ValueError("truncated metadata value")
-            meta[key] = data[pos : pos + vlen]
-            pos += vlen
-    codec = meta.get("avro.codec", b"null")
-    if codec != b"null":
-        raise ValueError(f"unsupported codec {codec!r} (subset: null)")
-    if "avro.schema" not in meta:
-        raise ValueError("missing avro.schema metadata")
-    fields = parse_schema(json.loads(meta["avro.schema"]))
-    sync = data[pos : pos + 16]
-    if len(sync) != 16:
-        raise ValueError("truncated sync marker")
-    pos += 16
+    import io
+
+    fields, _sync = scan_header(io.BytesIO(data))
 
     def rows():
-        p = pos
-        while p < len(data):
-            n, p2 = read_long(data, p)
-            size, p2 = read_long(data, p2)
-            if n <= 0 or size < 0 or p2 + size + 16 > len(data):
-                raise ValueError(f"bad block header (count={n}, size={size})")
-            block = data[p2 : p2 + size]
-            p2 += size
-            if data[p2 : p2 + 16] != sync:
-                raise ValueError("sync marker mismatch after block")
-            p2 += 16
-            yield from decode_records(fields, block, n)
-            p = p2
+        index = scan_block_index(io.BytesIO(data))
+        for off, n, size in index:
+            yield from decode_records(fields, data[off : off + size], n)
 
     return fields, rows()
 
@@ -282,6 +262,8 @@ def _read_stream_long(f) -> int:
         shift += 7
         if shift > 63:
             raise ValueError("varint longer than 64 bits")
+    if z >= 2**64:
+        raise ValueError("varint decodes outside int64")
     return (z >> 1) ^ -(z & 1)
 
 

@@ -919,10 +919,13 @@ def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
-            rows = [
+            # generator, not a list: write_ocf buffers only block_rows
+            # records at a time, so the executor never holds the whole
+            # partition's text in memory (round-10 review finding)
+            rows = (
                 (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
                 for r in rows_iter
-            ]
+            )
             write_ocf(
                 os.path.join(out, f"part-{pid:04d}.avro"), schema, rows, sync
             )
