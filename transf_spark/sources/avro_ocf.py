@@ -12,10 +12,12 @@ already proved out.
 
 Spec subset, declared honestly: records of primitive fields — ``long``,
 ``int``, ``string``, ``double``, ``boolean``, ``bytes`` — each optionally
-nullable as the 2-branch union ``["null", T]``; ``null`` codec only. That
+nullable as the 2-branch union ``["null", T]``; ``null`` and ``deflate``
+codecs (the spec's two REQUIRED codecs — deflate is a raw RFC 1951 stream
+per block, no zlib header/checksum, stdlib ``zlib`` with wbits=-15). That
 covers the documents/TPC-H staging shapes this engine round-trips; enums,
-nested records, maps, arrays and deflate are out of scope and REJECTED at
-schema parse, never mis-decoded.
+nested records, maps, arrays and the optional codecs (snappy/zstd) are out
+of scope and REJECTED at schema/header parse, never mis-decoded.
 
 Binary format essentials implemented here:
 - varint: little-endian 7-bit groups, high bit = continuation;
@@ -33,8 +35,42 @@ from __future__ import annotations
 
 import json
 import struct
+import zlib
 
 MAGIC = b"Obj\x01"
+
+CODECS = ("null", "deflate")  # the spec's two required codecs
+
+
+def _deflate_compress(buf: bytes) -> bytes:
+    """Raw RFC 1951 stream (the spec's deflate codec has no zlib header
+    and no checksum — wbits=-15)."""
+    c = zlib.compressobj(6, zlib.DEFLATED, -15)
+    return c.compress(buf) + c.flush()
+
+
+def _deflate_decompress(buf: bytes) -> bytes:
+    d = zlib.decompressobj(-15)
+    try:
+        out = d.decompress(buf) + d.flush()
+    except zlib.error as e:
+        raise ValueError(f"bad deflate block: {e}") from None
+    if not d.eof:
+        raise ValueError("truncated deflate block")
+    if d.unused_data:
+        raise ValueError(
+            f"{len(d.unused_data)} trailing bytes after deflate stream"
+        )
+    return out
+
+
+def decompress_block(codec: str, buf: bytes) -> bytes:
+    """Block payload -> record bytes under the file's declared codec."""
+    if codec == "null":
+        return buf
+    if codec == "deflate":
+        return _deflate_decompress(buf)
+    raise ValueError(f"unsupported codec {codec!r}")
 
 _PRIMITIVES = ("long", "int", "string", "double", "boolean", "bytes")
 
@@ -100,6 +136,11 @@ def _encode_value(prim: str, v) -> bytes:
         b = str(v).encode("utf-8")
         return encode_long(len(b)) + b
     if prim == "bytes":
+        # bytes(int) builds n ZERO bytes — an int slipping in here would
+        # silently write corrupt data, unlike the strict int64/int32
+        # guards above (round-10 advice)
+        if not isinstance(v, (bytes, bytearray, memoryview)):
+            raise ValueError(f"'bytes' field needs a bytes-like value, got {type(v).__name__}")
         b = bytes(v)
         return encode_long(len(b)) + b
     if prim == "double":
@@ -147,8 +188,16 @@ def read_long(buf: bytes, pos: int) -> tuple[int, int]:
 
 
 def _read_value(prim: str, buf: bytes, pos: int):
-    if prim in ("long", "int"):
+    if prim == "long":
         return read_long(buf, pos)
+    if prim == "int":
+        # symmetric with the encode-side int32 guard: a malformed file
+        # must not leak out-of-int32 values into a column declared int
+        # (round-10 advice)
+        v, pos = read_long(buf, pos)
+        if not -(2**31) <= v < 2**31:
+            raise ValueError(f"value {v} outside int32 for 'int' field")
+        return v, pos
     if prim in ("string", "bytes"):
         n, pos = read_long(buf, pos)
         if n < 0 or pos + n > len(buf):
@@ -192,14 +241,17 @@ def decode_records(
 
 # ---- container --------------------------------------------------------------
 
-def write_ocf(path: str, schema: dict, rows, sync: bytes, block_rows: int = 1024) -> None:
-    """Write one Avro Object Container File (null codec)."""
+def write_ocf(path: str, schema: dict, rows, sync: bytes, block_rows: int = 1024,
+              codec: str = "null") -> None:
+    """Write one Avro Object Container File (null or deflate codec)."""
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
+    if codec not in CODECS:
+        raise ValueError(f"unsupported codec {codec!r} (subset: {CODECS})")
     fields = parse_schema(schema)
     meta = {
         "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
-        "avro.codec": b"null",
+        "avro.codec": codec.encode(),
     }
     with open(path, "wb") as f:
         f.write(MAGIC)
@@ -214,7 +266,8 @@ def write_ocf(path: str, schema: dict, rows, sync: bytes, block_rows: int = 1024
         def flush():
             nonlocal buf, n
             if n:
-                f.write(encode_long(n) + encode_long(len(buf)) + buf + sync)
+                payload = bytes(buf) if codec == "null" else _deflate_compress(bytes(buf))
+                f.write(encode_long(n) + encode_long(len(payload)) + payload + sync)
                 buf, n = bytearray(), 0
 
         for row in rows:
@@ -236,12 +289,13 @@ def read_ocf(data: bytes):
     """
     import io
 
-    fields, _sync = scan_header(io.BytesIO(data))
+    fields, _sync, codec = scan_header(io.BytesIO(data))
 
     def rows():
         index = scan_block_index(io.BytesIO(data))
         for off, n, size in index:
-            yield from decode_records(fields, data[off : off + size], n)
+            buf = decompress_block(codec, data[off : off + size])
+            yield from decode_records(fields, buf, n)
 
     return fields, rows()
 
@@ -267,9 +321,9 @@ def _read_stream_long(f) -> int:
     return (z >> 1) ^ -(z & 1)
 
 
-def scan_header(f) -> tuple[list[tuple[str, str, bool]], bytes]:
+def scan_header(f) -> tuple[list[tuple[str, str, bool]], bytes, str]:
     """Parse magic + metadata + sync from a file object positioned at 0;
-    leaves the position at the first block. -> (fields, sync)."""
+    leaves the position at the first block. -> (fields, sync, codec)."""
     if f.read(4) != MAGIC:
         raise ValueError("not an Avro OCF")
     meta: dict[str, bytes] = {}
@@ -284,7 +338,13 @@ def scan_header(f) -> tuple[list[tuple[str, str, bool]], bytes]:
             klen = _read_stream_long(f)
             if klen < 0:
                 raise ValueError(f"bad metadata key length {klen}")
-            key = f.read(klen).decode("utf-8")
+            raw = f.read(klen)
+            if len(raw) != klen:
+                # match the value-path contract two lines below — a
+                # truncated stream must not yield a silently shortened
+                # key (round-10 advice)
+                raise ValueError("truncated metadata key")
+            key = raw.decode("utf-8")
             vlen = _read_stream_long(f)
             if vlen < 0:
                 raise ValueError(f"bad metadata value length {vlen}")
@@ -292,15 +352,16 @@ def scan_header(f) -> tuple[list[tuple[str, str, bool]], bytes]:
             if len(val) != vlen:
                 raise ValueError("truncated metadata value")
             meta[key] = val
-    if meta.get("avro.codec", b"null") != b"null":
-        raise ValueError(f"unsupported codec {meta.get('avro.codec')!r}")
+    codec = meta.get("avro.codec", b"null").decode("utf-8", errors="replace")
+    if codec not in CODECS:
+        raise ValueError(f"unsupported codec {codec!r}")
     if "avro.schema" not in meta:
         raise ValueError("missing avro.schema metadata")
     fields = parse_schema(json.loads(meta["avro.schema"]))
     sync = f.read(16)
     if len(sync) != 16:
         raise ValueError("truncated sync marker")
-    return fields, sync
+    return fields, sync, codec
 
 
 def scan_block_index(f) -> list[tuple[int, int, int]]:
@@ -312,12 +373,12 @@ def scan_block_index(f) -> list[tuple[int, int, int]]:
 
     end = f.seek(0, _os.SEEK_END)
     f.seek(0)
-    _, sync = scan_header(f)
+    _, sync, _codec = scan_header(f)
     index = []
     while f.tell() < end:
         n = _read_stream_long(f)
         size = _read_stream_long(f)
-        if n <= 0 or size < 0:
+        if n < 0 or size < 0:
             raise ValueError(f"bad block header (count={n}, size={size})")
         off = f.tell()
         if off + size + 16 > end:
@@ -325,7 +386,11 @@ def scan_block_index(f) -> list[tuple[int, int, int]]:
         f.seek(off + size)
         if f.read(16) != sync:
             raise ValueError("sync marker mismatch after block")
-        index.append((off, n, size))
+        if n > 0:
+            # a zero-record block is legal OCF (another writer may flush
+            # empty — the Java reader accepts it; round-10 advice): walk
+            # past it, emit no split
+            index.append((off, n, size))
     return index
 
 
@@ -334,10 +399,10 @@ def read_block_range(path: str, blocks: list[tuple[int, int, int]]):
     executor side of a block-granular split. Re-derives the schema from
     the file's own header (self-describing format; no schema shipping)."""
     with open(path, "rb") as f:
-        fields, _ = scan_header(f)
+        fields, _, codec = scan_header(f)
         for off, n, size in blocks:
             f.seek(off)
             buf = f.read(size)
             if len(buf) != size:
                 raise ValueError("truncated block payload")
-            yield from decode_records(fields, buf, n)
+            yield from decode_records(fields, decompress_block(codec, buf), n)

@@ -53,6 +53,37 @@ XML_INVALID_CHARS_RE2 = (
 )
 
 
+def _sources_code_tag() -> str:
+    """Hash of this module + the Avro codec source, computed at import:
+    the DataSource register-once markers key on it, so a long-lived
+    interactive session that reloads edited reader code re-registers the
+    new pickled class instead of serving the stale one (round-10 advice),
+    while bench/test sessions still pay register() exactly once."""
+    import hashlib
+
+    h = hashlib.md5()
+    for mod in (__file__, os.path.join(os.path.dirname(__file__), "avro_ocf.py")):
+        try:
+            with open(mod, "rb") as f:
+                h.update(f.read())
+        except OSError:
+            h.update(mod.encode())  # frozen/zipped install: path as tag
+    return h.hexdigest()[:12]
+
+
+_SOURCES_CODE_TAG = _sources_code_tag()
+
+
+def _register_datasource_once(spark: SparkSession, marker: str, source_cls) -> None:
+    """Register a Python DataSource once per (session, code version): each
+    register() re-ships the pickled class to the JVM and logs a
+    DataSourceManager 'replaced' WARN per call — churn a bench pass pays
+    5x and a shared production session pays per query."""
+    if spark.conf.get(marker, None) != _SOURCES_CODE_TAG:
+        spark.dataSource.register(source_cls)
+        spark.conf.set(marker, _SOURCES_CODE_TAG)
+
+
 def _staged_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     # content-fingerprinted tag (source parquet mtime+size): regenerating the
     # fixture in place invalidates the staged copy (round-2 ADVICE); the
@@ -808,15 +839,9 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         def reader(self, schema):
             return _Reader(self.options)
 
-    # Register once per session: each register() re-ships the pickled
-    # DataSource class to the JVM and logs a DataSourceManager 'replaced'
-    # WARN per call — churn a bench pass pays 5x and a shared production
-    # session pays per query. The marker conf is session-scoped, so a new
-    # session (or a stopped/recreated one) re-registers as it must.
-    _marker = "spark.transf_spark.synthDocsRegistered"
-    if spark.conf.get(_marker, None) is None:
-        spark.dataSource.register(SynthDocsSource)
-        spark.conf.set(_marker, "true")
+    _register_datasource_once(
+        spark, "spark.transf_spark.synthDocsRegistered", SynthDocsSource
+    )
     df = (
         spark.read.format("transf_synth_docs")
         .option("n", PYSRC_N)
@@ -980,9 +1005,8 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         def reader(self, schema):
             return _Reader(self.options)
 
-    _marker = "spark.transf_spark.avroDocsRegistered"
-    if spark.conf.get(_marker, None) is None:
-        spark.dataSource.register(AvroDocsSource)
-        spark.conf.set(_marker, "true")
+    _register_datasource_once(
+        spark, "spark.transf_spark.avroDocsRegistered", AvroDocsSource
+    )
     df = spark.read.format("transf_avro_docs").option("path", src).load()
     return _roundtrip_agg(df)
