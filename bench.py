@@ -165,6 +165,19 @@ HEADLINE = [
     "scan_avro_roundtrip",
 ]
 
+# Pinned like-for-like subset (round-10 verdict item 2): the round-over-round
+# ratio was ambiguous (builder 1.03x on one subset, judge 1.07x on another —
+# BENCH_DETAIL.json is overwritten each round, so the judge could only
+# compare the 39 entries that happened to be itemized on r9's stdout line).
+# Fix: freeze the membership at the pre-round-10 HEADLINE (present in both
+# r9 and r10 runs) and emit its TOTAL on the stdout line every round —
+# judge and builder then read the same number from BENCH_r*.json directly.
+# r10 anchor over this subset, from r10's BENCH_DETAIL.json: 70.674 s
+# (min-of-5, local[32], sf0.1). Append-only discipline: never edit this
+# list; growth goes to HEADLINE only.
+LIKE_FOR_LIKE = tuple(HEADLINE[: HEADLINE.index("serving:frame_sample_rows") + 1])
+LIKE_FOR_LIKE_R10_ANCHOR_SEC = 70.674
+
 
 def _serving_surfaces() -> dict:
     """The per-row surfaces of the four promoted censuses. Their DECLARED
@@ -280,7 +293,7 @@ def main() -> None:
     # long sub-second tail into one {"n", "sec"} bucket, and write the
     # FULL per-query detail to BENCH_DETAIL.json beside this script so
     # nothing is lost round-over-round.
-    LINE_BUDGET = 1200  # bytes left for the queries dict on the stdout line
+    LINE_BUDGET = 1100  # bytes left for the queries dict on the stdout line
     compact: dict[str, float] = {}
     used = 0
     folded_n, folded_sec = 0, 0.0
@@ -296,6 +309,17 @@ def main() -> None:
     if folded_n:
         queries_out["_tail"] = {"n": folded_n, "sec": round(folded_sec, 3)}
 
+    # Pinned-subset total (see LIKE_FOR_LIKE): only meaningful on a full
+    # HEADLINE run — a SPARK_GRAFT_HEADLINE subset run omits it rather than
+    # publishing a partial sum that looks like a speedup.
+    lfl = None
+    if all(n in timings for n in LIKE_FOR_LIKE):
+        lfl = {
+            "n": len(LIKE_FOR_LIKE),
+            "sec": round(sum(timings[n] for n in LIKE_FOR_LIKE), 3),
+            "r10_anchor_sec": LIKE_FOR_LIKE_R10_ANCHOR_SEC,
+        }
+
     out = {
         "metric": "headline_queries_total_time",
         "value": total,
@@ -305,6 +329,8 @@ def main() -> None:
         "reps": REPS,
         "agg": "min",
     }
+    if lfl:
+        out["like_for_like"] = lfl
     detail = {
         "metric": "headline_queries_total_time",
         "value": total,
@@ -313,6 +339,7 @@ def main() -> None:
         "sf": sf,
         "reps": REPS,
         "agg": "min",
+        "like_for_like": {**lfl, "names": list(LIKE_FOR_LIKE)} if lfl else None,
         # detail-file only (stdout line budget): per-pass wall totals for
         # noise diagnosis — bursty host ⇒ uneven passes, regression ⇒ all up
         # (copy: the optional scaling run below appends ITS passes to the

@@ -38,12 +38,19 @@ def test_ann_lsh_topk_recall_vs_bruteforce(spark):
     ann_set = {(r["q_id"], r["nn_id"]) for r in ann}
     bf_set = {(r["q_id"], r["nn_id"]) for r in bf}
     recall = len(ann_set & bf_set) / len(bf_set)
-    # deterministic: 0.30 on this fixture since the hamming-2 multi-probe
-    # (round 5; was 0.08 at hamming-1); bound leaves headroom for plan
-    # changes but catches a broken index (random recall ≈ 37/256 ≈ 0.14 of
-    # the corpus scanned would still only find ~0.14 of true neighbors by
-    # chance on random buckets)
-    assert recall >= 0.2
+    # deterministic: 0.58 on this fixture since the round-11
+    # LSH_ASSIGN_FLIPS=2 redundant indexing (0.30 at flips=0 with the
+    # round-5 hamming-2 multi-probe; 0.08 at hamming-1); bound leaves
+    # headroom for plan changes but catches a broken index (random
+    # buckets at the same scanned fraction would find well under 0.3 of
+    # true neighbors at TOP_K)
+    assert recall >= 0.4
+
+    # duplicate-candidate guard (LSH twin of the IVF check): redundant
+    # index entries must never surface the same neighbor twice
+    for q_id, rows in ann_by_q.items():
+        nns = [r["nn_id"] for r in rows]
+        assert len(nns) == len(set(nns)), f"duplicate nn_id in top-k of {q_id}"
 
 
 def test_exact_allpairs_guard_refuses_large_corpus():
@@ -75,11 +82,14 @@ def test_quantize_int8_error_bound(spark):
 
 def test_ann_ivf_topk_recall_vs_bruteforce(spark):
     """IVF twin of the LSH gate: same query surface and output contract,
-    probing IVF_PROBES of IVF_K inverted lists. On this fixture the
-    deterministic recall is 0.66 (spherical-Lloyd-trained centroids + probes=6; 0.40 untrained at 4 probes — nearest-centroid
-    partitioning respects cosine geometry better than independent sign
-    bits on near-random data); the floor catches a broken index while
-    leaving headroom (random recall ≈ 0.02)."""
+    probing IVF_PROBES of IVF_K inverted lists with IVF_ASSIGN-redundant
+    corpus indexing. On this fixture the deterministic recall is 0.80
+    (spherical-Lloyd-trained centroids + probes=6 + assign=2; 0.66 at
+    assign=1, 0.40 untrained at 4 probes — nearest-centroid partitioning
+    respects cosine geometry better than independent sign bits on
+    near-random data, and corpus-side redundancy catches the boundary
+    vectors query-side probing saturates on); the floor catches a broken
+    index while leaving headroom (random recall ≈ 0.04)."""
     from transf_spark.operators.similarity import ann_ivf_topk
 
     qs = queries()
@@ -99,7 +109,13 @@ def test_ann_ivf_topk_recall_vs_bruteforce(spark):
 
     recall = len({(r["q_id"], r["nn_id"]) for r in ivf}
                  & {(r["q_id"], r["nn_id"]) for r in bf}) / len(bf)
-    assert recall >= 0.4
+    assert recall >= 0.6
+
+    # duplicate-candidate guard: redundant assignment must never surface
+    # the same neighbor twice in one query's top-k
+    for q_id, rows in by_q.items():
+        nns = [r["nn_id"] for r in rows]
+        assert len(nns) == len(set(nns)), f"duplicate nn_id in top-k of {q_id}"
 
 
 def test_kmeans_inertia_monotone_and_assignment_optimal(spark):

@@ -153,13 +153,15 @@ _SEMANTICS_CHANGED_IN: dict[str, int] = {
     "hash_noncrypto": 6,  # r6: rows-only per-doc hashes → invariant-census oracle
     "scan_binary_chunked": 6,  # r6: rows-only chunk rows → invariant-census oracle
     "multimodal_media_features": 6,  # r6: rows-only stub rows → invariant-census oracle
-    "similarity_ann_ivf": 8,  # r8: rows-only top-k → invariant-census oracle
     "embedding_kmeans": 8,  # r8: rows-only cluster profile → invariant-census oracle
     "embedding_pca_project": 8,  # r8: rows-only pc0..pc7 → invariant-census oracle
     "multimodal_frame_sample": 8,  # r8: rows-only frame rows → invariant-census oracle
-    "similarity_ann_lsh": 8,  # r8: recall baseline sample-bounded + sentinel
-    # coverage chain (declared values unchanged on fixtures ≤ ANN_RECALL_SAMPLE
-    # queries; regrade anyway — the census plan was restructured)
+    "similarity_ann_lsh": 11,  # r11: LSH_ASSIGN_FLIPS=2 redundant indexing +
+    # raised recall floor 0.15→0.25 (was r8: census plan restructure) —
+    # regrade on the new index
+    "similarity_ann_ivf": 11,  # r11: IVF_ASSIGN=2 redundant indexing + raised
+    # recall floor 0.4→0.6 (census booleans stay TRUE, but the index plan and
+    # floor both changed — regrade on the new code)
 }
 
 

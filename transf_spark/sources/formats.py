@@ -927,7 +927,11 @@ def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
     of AVRO_WRITE_PARTS hash-partitions encodes its own container file via
     the pure-Python codec (foreachPartition — the custom-sink shape; on a
     real cluster the open() targets shared storage instead of local /tmp,
-    which single-host local mode makes equivalent)."""
+    which single-host local mode makes equivalent). MIXED codecs by
+    partition (even parts null, odd parts deflate — round 11): a real
+    landing directory holds files from different writers, and the reader
+    must dispatch per file off each header's avro.codec, so the declared
+    census round-trips both required codecs in one query."""
     from transf_spark.sources.avro_ocf import write_ocf
 
     def write(out: str) -> None:
@@ -952,12 +956,13 @@ def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
                 for r in rows_iter
             )
             write_ocf(
-                os.path.join(out, f"part-{pid:04d}.avro"), schema, rows, sync
+                os.path.join(out, f"part-{pid:04d}.avro"), schema, rows, sync,
+                codec="deflate" if pid % 2 else "null",
             )
 
         docs.repartition(AVRO_WRITE_PARTS, "doc_id").foreachPartition(write_part)
 
-    tag = tables.staging_tag(sf_dir, "documents", extra="avro1")
+    tag = tables.staging_tag(sf_dir, "documents", extra="avro2")
     return tables.stage_once("/tmp/transf_spark_fmt_avro_", tag, write)
 
 
@@ -976,10 +981,13 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the Apache Avro Java library in Spark's own jars) carried by
     the Python DataSource API that `scan_python_datasource` proved out.
     Documents stage as executor-written OCF files (one per hash
-    partition), read back file-parallel through the custom source, and
-    the same census as the CSV/JSON/ORC/XML twins must hash-match the
-    raw-parquet oracle — NULL text, empty-vs-NULL distinction, and every
-    unicode byte must survive the union-typed binary round-trip.
+    partition, MIXED codecs — even parts null, odd parts deflate, the
+    spec's two required codecs; the reader dispatches per file off the
+    self-describing header), read back file-parallel through the custom
+    source, and the same census as the CSV/JSON/ORC/XML twins must
+    hash-match the raw-parquet oracle — NULL text, empty-vs-NULL
+    distinction, and every unicode byte must survive the union-typed
+    binary round-trip under both codecs.
 
     Scale: BLOCK-granular splits keyed off the sync markers (the driver
     indexes block boundaries in O(blocks) seeks, executors decode
