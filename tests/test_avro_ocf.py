@@ -71,7 +71,14 @@ def test_unsupported_schema_rejected():
     for bad in (
         {"type": "record", "name": "r", "fields": [{"name": "x", "type": "enum"}]},
         {"type": "record", "name": "r", "fields": [{"name": "x", "type": ["null", "string", "long"]}]},
-        {"type": "record", "name": "r", "fields": [{"name": "x", "type": {"type": "array", "items": "long"}}]},
+        # container-of-container stays outside the declared subset
+        {"type": "record", "name": "r", "fields": [
+            {"name": "x", "type": {"type": "array", "items": {"type": "array", "items": "long"}}}]},
+        {"type": "record", "name": "r", "fields": [
+            {"name": "x", "type": {"type": "map", "values": {"type": "map", "values": "long"}}}]},
+        # nested records and fixed likewise
+        {"type": "record", "name": "r", "fields": [
+            {"name": "x", "type": {"type": "record", "name": "inner", "fields": []}}]},
         {"type": "long"},
     ):
         with pytest.raises(ValueError):
@@ -473,3 +480,124 @@ def test_split_packing_exact_boundary(monkeypatch, tmp_path):
     for part in parts:
         got.extend(reader.read(part))
     assert got == rows
+
+
+# ---- round-11 additions: float / array / map subset extension ---------------
+
+RICH_SCHEMA = {
+    "type": "record",
+    "name": "rich",
+    "fields": [
+        {"name": "vec_id", "type": "long"},
+        {"name": "score_f", "type": "float"},
+        {"name": "embedding", "type": {"type": "array", "items": "float"}},
+        {"name": "tags", "type": ["null", {"type": "array", "items": ["null", "string"]}]},
+        {"name": "attrs", "type": {"type": "map", "values": ["null", "long"]}},
+    ],
+}
+
+_F32 = st.floats(allow_nan=False, width=32)
+RICH_ROW = st.tuples(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    _F32,
+    st.lists(_F32, max_size=12),
+    st.one_of(st.none(), st.lists(st.one_of(st.none(), st.text(max_size=12)), max_size=6)),
+    st.dictionaries(st.text(max_size=8), st.one_of(st.none(), st.integers(min_value=-(2**62), max_value=2**62)), max_size=6),
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(RICH_ROW, max_size=20))
+def test_rich_types_roundtrip_property(tmp_path_factory, rows):
+    p = str(tmp_path_factory.mktemp("avro") / "r.avro")
+    a.write_ocf(p, RICH_SCHEMA, rows, SYNC, block_rows=5, codec="deflate")
+    got = list(a.read_ocf(open(p, "rb").read())[1])
+    assert got == rows
+
+
+def test_rich_types_cross_implementation_with_java(spark, tmp_path):
+    """float/array/map written by our codec must decode under the Apache
+    Avro Java reader, and the reverse — values chosen exactly
+    representable in float32 so the JSON detour cannot blur them."""
+    jvm = spark.sparkContext._jvm
+    schema = {
+        "type": "record",
+        "name": "rich",
+        "fields": [
+            {"name": "vec_id", "type": "long"},
+            {"name": "score_f", "type": "float"},
+            {"name": "embedding", "type": {"type": "array", "items": "float"}},
+            {"name": "attrs", "type": {"type": "map", "values": "long"}},
+        ],
+    }
+    rows = [
+        (1, 0.5, [1.25, -2.5, 0.0], {"a": 7, "b": -3}),
+        (2, -128.0, [], {}),
+        (3, 3.5, [0.0078125] * 5, {"k": 2**60}),
+    ]
+    p1 = str(tmp_path / "ours.avro")
+    a.write_ocf(p1, schema, rows, SYNC, block_rows=2)
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p1), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    got = []
+    while dfr.hasNext():
+        rec = dfr.next()
+        emb = [float(x) for x in rec.get("embedding")]
+        attrs = {str(k): e for k, e in ((str(k), rec.get("attrs").get(k)) for k in rec.get("attrs").keySet())}
+        got.append((rec.get("vec_id"), float(rec.get("score_f")), emb, attrs))
+    dfr.close()
+    assert got == [(r[0], r[1], r[2], r[3]) for r in rows]
+
+    sch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(sch)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    )
+    dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    p2 = str(tmp_path / "theirs.avro")
+    dfw.create(sch, jvm.java.io.File(p2))
+    for r in rows:
+        payload = json.dumps(
+            {"vec_id": r[0], "score_f": r[1], "embedding": r[2], "attrs": r[3]}
+        )
+        dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(sch, payload)
+        dfw.append(reader.read(None, dec))
+    dfw.close()
+    assert list(a.read_ocf(open(p2, "rb").read())[1]) == rows
+
+
+def test_multiblock_array_decodes():
+    """The spec allows an array value split across MULTIPLE blocks, with
+    negative counts carrying a byte-size prefix — our writer emits one
+    block, but the reader must accept the full form (a Java writer with a
+    small buffer produces it)."""
+    fields = [("xs", ("array", "long", False), False)]
+    # [1,2] in two blocks, the second with negative-count + byte-size form
+    body = (
+        a.encode_long(1) + a.encode_long(1)          # block: 1 item -> 1
+        + a.encode_long(-1) + a.encode_long(1) + a.encode_long(2)  # -1 block, size 1, item 2
+        + a.encode_long(0)                            # terminator
+    )
+    assert a.decode_records(fields, body, 1) == [([1, 2],)]
+
+
+def test_container_fuzz_never_escapes_valueerror(tmp_path):
+    """Mutation fuzz over a rich-typed file: ValueError or clean decode,
+    mirroring the flat-record contract."""
+    rows = [
+        (i, float(i), [float(j) for j in range(i % 4)], None if i % 3 else ["t", None], {"k": i})
+        for i in range(15)
+    ]
+    p = str(tmp_path / "rf.avro")
+    a.write_ocf(p, RICH_SCHEMA, rows, SYNC, block_rows=4)
+    good = open(p, "rb").read()
+    for pos in range(0, len(good), 7):
+        for mask in (0x01, 0x80, 0xFF):
+            mutated = bytearray(good)
+            mutated[pos] ^= mask
+            try:
+                _, it = a.read_ocf(bytes(mutated))
+                list(it)
+            except ValueError:
+                continue

@@ -412,6 +412,22 @@ def test_ann_ivf_assignment_is_map_only_single_window_exchange(spark):
     assert st.broadcast_joins == 1
 
 
+def test_ann_lsh_single_window_exchange(spark):
+    """LSH twin of the IVF plan gate (round-11, after LSH_ASSIGN_FLIPS
+    redundant indexing landed): bucketing is an expression map, the query
+    fan-out broadcasts, and the lag-dedupe + top-k rank share ONE window
+    exchange+sort — a dropDuplicates shuffle or sort-merge candidate join
+    reappearing here means the single-exchange shape regressed."""
+    from transf_spark.operators.similarity import ann_lsh_topk
+
+    df = ann_lsh_topk(spark, SF)
+    st = plan_stats(df)
+    assert st.nested_loop_joins == 0
+    assert st.exchanges == 1, "only the q_id top-k window may shuffle"
+    assert st.sort_merge_joins == 0, "candidate join must broadcast"
+    assert st.broadcast_joins == 1
+
+
 def test_kmeans_profile_single_exchange_no_joins(spark):
     """k-means cluster profile: assignment is a shuffle-free vectorized map
     (centroids are closure literals), so the output plan is scan → UDF →

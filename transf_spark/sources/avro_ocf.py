@@ -11,13 +11,20 @@ into Spark by the Python DataSource API that `scan_python_datasource`
 already proved out.
 
 Spec subset, declared honestly: records of primitive fields — ``long``,
-``int``, ``string``, ``double``, ``boolean``, ``bytes`` — each optionally
-nullable as the 2-branch union ``["null", T]``; ``null`` and ``deflate``
-codecs (the spec's two REQUIRED codecs — deflate is a raw RFC 1951 stream
-per block, no zlib header/checksum, stdlib ``zlib`` with wbits=-15). That
-covers the documents/TPC-H staging shapes this engine round-trips; enums,
-nested records, maps, arrays and the optional codecs (snappy/zstd) are out
-of scope and REJECTED at schema/header parse, never mis-decoded.
+``int``, ``float``, ``string``, ``double``, ``boolean``, ``bytes`` — each
+optionally nullable as the 2-branch union ``["null", T]``, plus ``array``
+and ``map`` of those (one level — items/values are primitives or nullable
+primitives, covering the embeddings ``array<float>`` shape; nested
+containers stay rejected); ``null`` and ``deflate`` codecs (the spec's two
+REQUIRED codecs — deflate is a raw RFC 1951 stream per block, no zlib
+header/checksum, stdlib ``zlib`` with wbits=-15). That covers the
+documents/embeddings/TPC-H staging shapes this engine round-trips; enums,
+fixed, nested records, container-of-container and the optional codecs
+(snappy/zstd) are out of scope and REJECTED at schema/header parse, never
+mis-decoded. Array/map decoding handles the spec's full block form
+(multiple blocks per value, negative counts carrying a byte-size prefix);
+the writer emits the common single-block form the Java library also
+writes.
 
 Binary format essentials implemented here:
 - varint: little-endian 7-bit groups, high bit = continuation;
@@ -72,22 +79,46 @@ def decompress_block(codec: str, buf: bytes) -> bytes:
         return _deflate_decompress(buf)
     raise ValueError(f"unsupported codec {codec!r}")
 
-_PRIMITIVES = ("long", "int", "string", "double", "boolean", "bytes")
+_PRIMITIVES = ("long", "int", "float", "string", "double", "boolean", "bytes")
 
 
-def _parse_field_type(t) -> tuple[str, bool]:
-    """-> (primitive, nullable). Rejects everything outside the subset."""
+def _parse_item_type(t) -> tuple[str, bool]:
+    """Array-item / map-value type: primitive or nullable primitive ONLY
+    (no container-of-container). -> (primitive, nullable)."""
     if isinstance(t, list):
         if len(t) == 2 and t[0] == "null" and t[1] in _PRIMITIVES:
             return t[1], True
-        raise ValueError(f"unsupported union {t!r} (subset: ['null', primitive])")
+        raise ValueError(f"unsupported item union {t!r} (subset: ['null', primitive])")
     if t in _PRIMITIVES:
         return t, False
-    raise ValueError(f"unsupported type {t!r} (subset: {_PRIMITIVES})")
+    raise ValueError(f"unsupported item type {t!r} (subset: {_PRIMITIVES})")
+
+
+def _parse_field_type(t) -> tuple:
+    """-> (type_descriptor, nullable). The descriptor is a primitive name,
+    or ``("array", item_prim, item_nullable)`` / ``("map", val_prim,
+    val_nullable)``. Rejects everything outside the subset."""
+    if isinstance(t, list):
+        if len(t) == 2 and t[0] == "null":
+            inner, inner_nullable = _parse_field_type(t[1])
+            if inner_nullable:
+                raise ValueError(f"unsupported nested union {t!r}")
+            return inner, True
+        raise ValueError(f"unsupported union {t!r} (subset: ['null', T])")
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "array":
+            return ("array", *_parse_item_type(t.get("items"))), False
+        if kind == "map":
+            return ("map", *_parse_item_type(t.get("values"))), False
+        raise ValueError(f"unsupported complex type {t!r} (subset: array/map)")
+    if t in _PRIMITIVES:
+        return t, False
+    raise ValueError(f"unsupported type {t!r} (subset: {_PRIMITIVES} + array/map)")
 
 
 def parse_schema(schema: dict) -> list[tuple[str, str, bool]]:
-    """-> [(name, primitive, nullable)] for a flat record schema."""
+    """-> [(name, type_descriptor, nullable)] for a flat record schema."""
     if not isinstance(schema, dict) or schema.get("type") != "record":
         raise ValueError("schema must be a record")
     fields = schema.get("fields")
@@ -145,9 +176,43 @@ def _encode_value(prim: str, v) -> bytes:
         return encode_long(len(b)) + b
     if prim == "double":
         return struct.pack("<d", float(v))
+    if prim == "float":
+        return struct.pack("<f", float(v))
     if prim == "boolean":
         return b"\x01" if v else b"\x00"
+    if isinstance(prim, tuple):
+        kind, item_prim, item_nullable = prim
+        out = bytearray()
+        if kind == "array":
+            items = list(v)
+            if items:
+                out += encode_long(len(items))
+                for it in items:
+                    out += _encode_item(item_prim, item_nullable, it, "array item")
+            out += encode_long(0)  # end of array blocks
+            return bytes(out)
+        if kind == "map":
+            entries = sorted(v.items())  # deterministic bytes for equal maps
+            if entries:
+                out += encode_long(len(entries))
+                for k, it in entries:
+                    kb = str(k).encode("utf-8")
+                    out += encode_long(len(kb)) + kb
+                    out += _encode_item(item_prim, item_nullable, it, f"map value {k!r}")
+            out += encode_long(0)  # end of map blocks
+            return bytes(out)
     raise ValueError(f"unsupported primitive {prim!r}")
+
+
+def _encode_item(prim: str, nullable: bool, v, what: str) -> bytes:
+    """One array item / map value, with its union branch if nullable."""
+    if nullable:
+        if v is None:
+            return encode_long(0)
+        return encode_long(1) + _encode_value(prim, v)
+    if v is None:
+        raise ValueError(f"NULL in non-nullable {what}")
+    return _encode_value(prim, v)
 
 
 def encode_record(fields: list[tuple[str, str, bool]], row) -> bytes:
@@ -208,13 +273,57 @@ def _read_value(prim: str, buf: bytes, pos: int):
         if pos + 8 > len(buf):
             raise ValueError("truncated double")
         return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if prim == "float":
+        if pos + 4 > len(buf):
+            raise ValueError("truncated float")
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
     if prim == "boolean":
         if pos >= len(buf):
             raise ValueError("truncated boolean")
         if buf[pos] not in (0, 1):
             raise ValueError(f"bad boolean byte {buf[pos]}")
         return buf[pos] == 1, pos + 1
+    if isinstance(prim, tuple):
+        kind, item_prim, item_nullable = prim
+        out_list = [] if kind == "array" else {}
+        # full spec block form: count per block (negative count carries a
+        # byte-size prefix for skip-ahead readers — we decode sequentially,
+        # so the size is read and discarded), 0 terminates
+        while True:
+            n, pos = read_long(buf, pos)
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                _size, pos = read_long(buf, pos)
+                if _size < 0:
+                    raise ValueError(f"bad {kind} block byte-size {_size}")
+            if n > len(buf) - pos:  # each entry costs >= 1 byte
+                raise ValueError(f"bad {kind} block count {n}")
+            for _ in range(n):
+                if kind == "map":
+                    klen, pos = read_long(buf, pos)
+                    if klen < 0 or pos + klen > len(buf):
+                        raise ValueError(f"bad map key length {klen}")
+                    key = buf[pos : pos + klen].decode("utf-8")
+                    pos += klen
+                it, pos = _read_item(item_prim, item_nullable, buf, pos)
+                if kind == "array":
+                    out_list.append(it)
+                else:
+                    out_list[key] = it
+        return out_list, pos
     raise ValueError(f"unsupported primitive {prim!r}")
+
+
+def _read_item(prim: str, nullable: bool, buf: bytes, pos: int):
+    if nullable:
+        idx, pos = read_long(buf, pos)
+        if idx == 0:
+            return None, pos
+        if idx != 1:
+            raise ValueError(f"bad union branch {idx} in container item")
+    return _read_value(prim, buf, pos)
 
 
 def decode_records(
