@@ -837,7 +837,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Recall floor for the IVF census (pytest gate in tests/test_ann_recall.py
-# holds the same 0.6): measured 0.80 deterministic on the fixture with
+# holds the same 0.6): measured 0.80 deterministic at sf0.01 (0.84 at
+# sf0.001 — unlike the LSH twin, the tiny fixture is NOT the binding
+# point: 32 trained centroids over ~500 vectors localize well) with
 # spherical-Lloyd-trained centroids at 6/32 probes and assign=2 redundant
 # indexing (0.66 at assign=1 — the round-11 lift); 0.6 sits under the
 # observed band but far above the collapse modes (broken list join ≈ 0.0,
