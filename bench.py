@@ -177,6 +177,16 @@ HEADLINE = [
 # list; growth goes to HEADLINE only.
 LIKE_FOR_LIKE = tuple(HEADLINE[: HEADLINE.index("serving:frame_sample_rows") + 1])
 LIKE_FOR_LIKE_R10_ANCHOR_SEC = 70.674
+# The prefix slice is positional, so "frozen" must be ENFORCED, not
+# promised (round-11 review: an entry inserted mid-HEADLINE beside its
+# category peers would silently join the subset and skew the anchor
+# comparison). The md5 pins the exact 106-name membership; fail loudly
+# on any drift.
+assert (
+    len(LIKE_FOR_LIKE) == 106
+    and __import__("hashlib").md5(",".join(LIKE_FOR_LIKE).encode()).hexdigest()
+    == "75088ccb81710ea75eb8e50a547848f4"
+), "LIKE_FOR_LIKE membership drifted — append new entries AFTER serving:frame_sample_rows"
 
 
 def _serving_surfaces() -> dict:

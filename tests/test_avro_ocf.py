@@ -601,3 +601,110 @@ def test_container_fuzz_never_escapes_valueerror(tmp_path):
                 list(it)
             except ValueError:
                 continue
+
+
+# ---- round-11 self-review regressions ---------------------------------------
+
+
+def test_zero_count_block_with_payload_rejected(tmp_path):
+    """A count varint corrupted to 0x00 on a REAL block must raise, not
+    silently skip the block's rows (round-11 review): only genuinely
+    empty zero-record blocks are walked past."""
+    import io
+
+    import pytest
+
+    rows = [(i, f"t{i}", float(i), True, None) for i in range(10)]
+    p = str(tmp_path / "zc.avro")
+    a.write_ocf(p, SCHEMA, rows, SYNC, block_rows=5)
+    data = open(p, "rb").read()
+    starts = _block_header_offsets(data)
+    # block_rows=5 encodes count as the single varint byte 0x0A; zero it
+    assert data[starts[0]] == a.encode_long(5)[0]
+    mutated = bytearray(data)
+    mutated[starts[0]] = 0x00
+    with pytest.raises(ValueError, match="zero-record block carries"):
+        a.scan_block_index(io.BytesIO(bytes(mutated)))
+    with pytest.raises(ValueError):
+        list(a.read_ocf(bytes(mutated))[1])
+
+
+def test_deflate_bomb_rejected(tmp_path):
+    """A small compressed block expanding past MAX_BLOCK_BYTES must raise
+    ValueError before the allocation, not OOM the executor
+    (round-11 review; deflate reaches ~1032:1)."""
+    import io
+    import zlib
+
+    import pytest
+
+    # hand-assemble an OCF whose single block claims 1 record but inflates
+    # to MAX_BLOCK_BYTES + some: ~130 KB compressed zeros -> 132 MiB
+    bomb = zlib.compressobj(9, zlib.DEFLATED, -15)
+    payload = bomb.compress(b"\x00" * (a.MAX_BLOCK_BYTES + (1 << 22))) + bomb.flush()
+    assert len(payload) < 1 << 20, "bomb must be small on disk"
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "long"}]}
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": b"deflate",
+    }
+    buf = bytearray(a.MAGIC)
+    buf += a.encode_long(len(meta))
+    for k, v in sorted(meta.items()):
+        kb = k.encode()
+        buf += a.encode_long(len(kb)) + kb + a.encode_long(len(v)) + v
+    buf += a.encode_long(0)
+    buf += SYNC
+    buf += a.encode_long(1) + a.encode_long(len(payload)) + payload + SYNC
+    with pytest.raises(ValueError, match="decompressed bytes"):
+        list(a.read_ocf(bytes(buf))[1])
+
+
+def test_float_overflow_raises_valueerror(tmp_path):
+    """A finite double outside float32 range must raise the codec's
+    contract ValueError, not struct's OverflowError (round-11 review);
+    inf and nan pack fine and round-trip."""
+    import math
+
+    import pytest
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "float"}]}
+    with pytest.raises(ValueError, match="float32"):
+        a.write_ocf(str(tmp_path / "f.avro"), schema, [(1e39,)], SYNC)
+    p = str(tmp_path / "g.avro")
+    a.write_ocf(p, schema, [(math.inf,), (-math.inf,), (math.nan,)], SYNC)
+    got = list(a.read_ocf(open(p, "rb").read())[1])
+    assert got[0] == (math.inf,) and got[1] == (-math.inf,)
+    assert math.isnan(got[2][0])
+
+
+def test_map_key_edge_cases():
+    """Mixed-type map keys must not TypeError out of the sort, and
+    distinct keys that stringify equal must raise instead of silently
+    collapsing in the reader's dict (round-11 review)."""
+    import pytest
+
+    prim = ("map", "long", False)
+    # mixed types, unique after stringify: fine (keys become strings)
+    enc = a._encode_value(prim, {1: 10, "b": 20})
+    got, pos = a._read_value(prim, enc, 0)
+    assert pos == len(enc) and got == {"1": 10, "b": 20}
+    # distinct keys, equal after stringify: reject
+    with pytest.raises(ValueError, match="duplicate map key"):
+        a._encode_value(prim, {1: 10, "1": 20})
+
+
+def test_like_for_like_membership_pinned():
+    """bench.py enforces the frozen subset at import (round-11 review) —
+    this test just keeps the enforcement itself from being deleted."""
+    import hashlib
+
+    import bench
+
+    assert len(bench.LIKE_FOR_LIKE) == 106
+    assert (
+        hashlib.md5(",".join(bench.LIKE_FOR_LIKE).encode()).hexdigest()
+        == "75088ccb81710ea75eb8e50a547848f4"
+    )

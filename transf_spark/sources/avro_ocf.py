@@ -56,12 +56,30 @@ def _deflate_compress(buf: bytes) -> bytes:
     return c.compress(buf) + c.flush()
 
 
+# Decompressed-size ceiling per block: deflate reaches ~1032:1, so one
+# ~4 MB compressed block (a full AVRO_SPLIT_BYTES split) could expand to
+# ~4 GB in a single allocation and OOM the executor as a MemoryError —
+# outside the decode-or-ValueError contract (round-11 review). Honest
+# writers produce blocks of ~block_rows records; 128 MiB is far above any
+# legitimate block and far below executor memory.
+MAX_BLOCK_BYTES = 1 << 27
+
+
 def _deflate_decompress(buf: bytes) -> bytes:
     d = zlib.decompressobj(-15)
     try:
-        out = d.decompress(buf) + d.flush()
+        out = d.decompress(buf, MAX_BLOCK_BYTES + 1)
+        if len(out) > MAX_BLOCK_BYTES or d.unconsumed_tail:
+            raise ValueError(
+                f"deflate block exceeds {MAX_BLOCK_BYTES} decompressed bytes"
+            )
+        out += d.flush()
     except zlib.error as e:
         raise ValueError(f"bad deflate block: {e}") from None
+    if len(out) > MAX_BLOCK_BYTES:
+        raise ValueError(
+            f"deflate block exceeds {MAX_BLOCK_BYTES} decompressed bytes"
+        )
     if not d.eof:
         raise ValueError("truncated deflate block")
     if d.unused_data:
@@ -177,7 +195,15 @@ def _encode_value(prim: str, v) -> bytes:
     if prim == "double":
         return struct.pack("<d", float(v))
     if prim == "float":
-        return struct.pack("<f", float(v))
+        try:
+            return struct.pack("<f", float(v))
+        except OverflowError:
+            # a finite double outside float32 range raises OverflowError
+            # from struct — every other writer guard speaks ValueError
+            # (round-11 review); inf/nan pack fine and are NOT rejected
+            raise ValueError(
+                f"value {v!r} outside float32 range for 'float' field"
+            ) from None
     if prim == "boolean":
         return b"\x01" if v else b"\x00"
     if isinstance(prim, tuple):
@@ -192,13 +218,23 @@ def _encode_value(prim: str, v) -> bytes:
             out += encode_long(0)  # end of array blocks
             return bytes(out)
         if kind == "map":
-            entries = sorted(v.items())  # deterministic bytes for equal maps
+            # sort on the STRINGIFIED key (raw-key sort TypeErrors on
+            # mixed types) and reject distinct keys that stringify equal
+            # — Avro map keys ARE strings, so {1: x, "1": y} would write
+            # two entries the reader's dict silently collapses
+            # (round-11 review)
+            # key= keeps the sort off the raw keys (tuple fallback would
+            # re-introduce the mixed-type TypeError on stringify ties)
+            entries = sorted(((str(k), k) for k in v), key=lambda t: t[0])
+            for (s1, _), (s2, _) in zip(entries, entries[1:]):
+                if s1 == s2:
+                    raise ValueError(f"duplicate map key {s1!r} after stringify")
             if entries:
                 out += encode_long(len(entries))
-                for k, it in entries:
-                    kb = str(k).encode("utf-8")
+                for ks, k in entries:
+                    kb = ks.encode("utf-8")
                     out += encode_long(len(kb)) + kb
-                    out += _encode_item(item_prim, item_nullable, it, f"map value {k!r}")
+                    out += _encode_item(item_prim, item_nullable, v[k], f"map value {ks!r}")
             out += encode_long(0)  # end of map blocks
             return bytes(out)
     raise ValueError(f"unsupported primitive {prim!r}")
@@ -482,7 +518,7 @@ def scan_block_index(f) -> list[tuple[int, int, int]]:
 
     end = f.seek(0, _os.SEEK_END)
     f.seek(0)
-    _, sync, _codec = scan_header(f)
+    _, sync, codec = scan_header(f)
     index = []
     while f.tell() < end:
         n = _read_stream_long(f)
@@ -492,14 +528,23 @@ def scan_block_index(f) -> list[tuple[int, int, int]]:
         off = f.tell()
         if off + size + 16 > end:
             raise ValueError("truncated block")
+        if n == 0:
+            # a zero-record block is legal OCF (another writer may flush
+            # empty — the Java reader accepts it; round-10 advice): walk
+            # past it, emit no split. But ONLY if its payload is
+            # genuinely empty — a count varint corrupted to 0x00 on a
+            # real block would otherwise skip its rows silently
+            # (round-11 review): decode the (tiny, legitimate) payload
+            # and require zero record bytes.
+            if decompress_block(codec, f.read(size)):
+                raise ValueError(
+                    f"zero-record block carries {size} payload bytes"
+                )
+        else:
+            index.append((off, n, size))
         f.seek(off + size)
         if f.read(16) != sync:
             raise ValueError("sync marker mismatch after block")
-        if n > 0:
-            # a zero-record block is legal OCF (another writer may flush
-            # empty — the Java reader accepts it; round-10 advice): walk
-            # past it, emit no split
-            index.append((off, n, size))
     return index
 
 
