@@ -27,7 +27,9 @@ def test_cli_list_covers_registry():
     out = buf.getvalue()
     for name in REGISTRY:
         assert name in out
-    assert "oracle" in out and "rows-only" in out
+    # every declared query is oracle-checked since round 11 (the stateful
+    # stream's manifest gained a closed-form SQL oracle)
+    assert "oracle" in out and "rows-only" not in out
 
 
 def test_cli_run_explain_oracle_roundtrip(spark):
@@ -46,15 +48,29 @@ def test_cli_run_explain_oracle_roundtrip(spark):
         assert cli.cmd_oracle(_ns(name="agg_mode_exact")) == 0
     assert "OK" in buf.getvalue()
 
-    # rows-only query: reported as such, exit 0 (the ANN/kmeans/PCA/frame
-    # family graduated to invariant-census oracles in rounds 6-8; the
-    # stateful stream — whose batch cross-check is embedded — is the one
-    # rows-only query left, and the CLI must short-circuit WITHOUT running
-    # it, so this stays cheap)
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        assert cli.cmd_oracle(_ns(name="stream_stateful_reassembly")) == 0
-    assert "rows-only" in buf.getvalue()
+    # the rows-only short-circuit must still work for a FUTURE oracle-less
+    # query (no live specimen exists since the round-11 stateful-oracle
+    # promotion), so exercise the branch with a synthetic spec — the CLI
+    # must report and exit 0 WITHOUT running the query
+    from transf_spark import queries as q
+
+    fake = q.QuerySpec(
+        name="__rows_only_probe__",
+        fn=lambda spark, sf_dir: (_ for _ in ()).throw(
+            AssertionError("rows-only path must not run the query")
+        ),
+        oracle=None,
+        category="test",
+        origin="test",
+    )
+    q.REGISTRY["__rows_only_probe__"] = fake
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert cli.cmd_oracle(_ns(name="__rows_only_probe__")) == 0
+        assert "rows-only" in buf.getvalue()
+    finally:
+        del q.REGISTRY["__rows_only_probe__"]
 
 
 def test_cli_unknown_query_is_an_error():

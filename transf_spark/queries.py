@@ -145,7 +145,9 @@ def _correctness_history(root: str | None = None) -> dict[str, tuple[int, bool]]
 _SEMANTICS_CHANGED_IN: dict[str, int] = {
     "agg_approx_distinct": 5,  # r5: rows-only → oracle-checked error-bound invariant
     "agg_approx_percentile": 5,  # r5: rows-only → oracle-checked rank invariant
-    "stream_stateful_reassembly": 6,  # r6: appended __summary__ cardinality row
+    "stream_stateful_reassembly": 11,  # r11: rows-only → closed-form manifest
+    # oracle (the declared NoTimeout drain is deterministic, so the manifest
+    # is SQL-derivable; the r6 __summary__ row and batch_consistent stay)
     "text_language_id": 6,  # r6: rows-only → invariant-census oracle
     "dedup_fuzzy_minhash": 6,  # r6: exact-family pre-pass + star (changes declared
     # values on any fixture bearing exact-duplicate texts; mirrored in oracle)
