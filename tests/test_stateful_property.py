@@ -135,3 +135,90 @@ def test_terminal_state_is_tombstone_in_notimeout(sess):
         out.extend(res["status"].tolist())
     if any(s in ("done", "rejected_handshake") for s in out):
         assert state.exists and state.get[0] in ("DONE", "REJECTED")
+
+
+# ---------------------------------------------------------------------------
+# Closed-form oracle twin (round 11): the declared single-batch NoTimeout
+# drain is deterministic, so _REASSEMBLY_ORACLE predicts the manifest in
+# closed form. This pins that claim at the unit level — a Python twin of the
+# SQL, checked against the real machine under ARBITRARY within-batch row
+# permutations (the engine shuffles a key's rows in arbitrary order; the
+# machine re-sorts by seq, so only byte-identical duplicate copies can swap —
+# the oracle's order-invariance argument). Duplicates here re-send the SAME
+# payload (true client-retry semantics, matching the fixture); the older
+# slicing-invariance generator above intentionally keeps divergent-payload
+# duplicates because arrival-order invariance must hold even then.
+# ---------------------------------------------------------------------------
+
+
+def _closed_form(events):
+    """Python twin of streaming/stateful._REASSEMBLY_ORACLE for one key."""
+    hs = [e for e in events if e[1] == "HS"]
+    if not hs:
+        return []
+    fname, fs = hs[0][4], hs[0][5]
+    if fname == "" or fname.startswith("/") or ".." in fname:
+        return [("t1", "rejected_handshake", fs, 0, 0)]
+    payload, copies = {}, {}
+    for e in events:
+        if e[1] != "TRANSFER":
+            continue
+        payload[e[2]] = e[3]
+        copies[e[2]] = copies.get(e[2], 0) + 1
+    cum, k, k0 = 0, 1, None
+    while k in payload:  # accepted prefix: consecutive seqs from 1
+        cum += payload[k]
+        if cum >= fs:
+            k0 = k
+            break
+        k += 1
+    if k0 is None:
+        return []  # stalled: no output in the NoTimeout drain
+    n_rej = sum(c - 1 for s, c in copies.items() if s < k0)
+    return [("t1", "done", fs, max(fs, 0), n_rej)]
+
+
+@st.composite
+def _resend_session(draw):
+    """Protocol session where every re-send is BYTE-IDENTICAL (duplicate
+    chunks repeat the original payload; duplicate HS repeats the original
+    frame), filesize may be zero/negative/overstated, and duplicates may
+    target ANY previously sent seq — including the completion seq."""
+    filesize = draw(st.integers(-5, 40))
+    hs_kind = draw(st.sampled_from(["good", "bad", "missing"]))
+    events, hs_frame = [], None
+    if hs_kind != "missing":
+        fname = (
+            "dir/f.txt"
+            if hs_kind == "good"
+            else draw(st.sampled_from(["", "/abs.txt", "a/../b"]))
+        )
+        hs_frame = ("t1", "HS", 0, 0, fname, filesize)
+        events.append(hs_frame)
+    sent: dict[int, int] = {}
+    seq = 1
+    for _ in range(draw(st.integers(0, 8))):
+        step = draw(st.sampled_from(["send", "dup", "skip", "dup_hs"]))
+        if step == "dup_hs":
+            if hs_frame is not None:
+                events.append(hs_frame)
+            continue
+        if step == "dup" and sent:
+            s = draw(st.sampled_from(sorted(sent)))
+            events.append(("t1", "TRANSFER", s, sent[s], "", 0))
+            continue
+        if step == "skip":
+            seq += 1
+            continue
+        sent[seq] = draw(st.integers(0, 12))
+        events.append(("t1", "TRANSFER", seq, sent[seq], "", 0))
+        seq += 1
+    perm = draw(st.permutations(events))
+    return events, list(perm)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_resend_session())
+def test_single_batch_matches_closed_form_under_permutation(sess):
+    events, perm = sess
+    assert _run(perm, []) == _closed_form(events)
