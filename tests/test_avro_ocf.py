@@ -76,9 +76,12 @@ def test_unsupported_schema_rejected():
             {"name": "x", "type": {"type": "array", "items": {"type": "array", "items": "long"}}}]},
         {"type": "record", "name": "r", "fields": [
             {"name": "x", "type": {"type": "map", "values": {"type": "map", "values": "long"}}}]},
-        # nested records and fixed likewise
+        # nested records are SUPPORTED since round 11 — but an empty
+        # fields list stays malformed; fixed stays out of the subset
         {"type": "record", "name": "r", "fields": [
             {"name": "x", "type": {"type": "record", "name": "inner", "fields": []}}]},
+        {"type": "record", "name": "r", "fields": [
+            {"name": "x", "type": {"type": "fixed", "name": "f", "size": 4}}]},
         {"type": "long"},
     ):
         with pytest.raises(ValueError):
@@ -708,3 +711,306 @@ def test_like_for_like_membership_pinned():
         hashlib.md5(",".join(bench.LIKE_FOR_LIKE).encode()).hexdigest()
         == "75088ccb81710ea75eb8e50a547848f4"
     )
+
+
+# ---------------------------------------------------------------------------
+# Nested records (round 11): recursive record fields + array/map of records.
+# Same three gates as every other subset extension — property round-trip,
+# cross-implementation parity with the Java library in both directions, and
+# the mutation contract (decode or ValueError, never anything else).
+# ---------------------------------------------------------------------------
+
+NESTED_SCHEMA = {
+    "type": "record",
+    "name": "top",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {
+            "name": "meta",
+            "type": {
+                "type": "record",
+                "name": "meta",
+                "fields": [
+                    {"name": "k", "type": "string"},
+                    {
+                        "name": "inner",
+                        "type": [
+                            "null",
+                            {
+                                "type": "record",
+                                "name": "inner",
+                                "fields": [{"name": "x", "type": "double"}],
+                            },
+                        ],
+                    },
+                ],
+            },
+        },
+        {
+            "name": "spans",
+            "type": {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": "span",
+                    "fields": [
+                        {"name": "lo", "type": "int"},
+                        {"name": "hi", "type": "int"},
+                    ],
+                },
+            },
+        },
+        {
+            "name": "opt",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "opt_rec",
+                    "fields": [{"name": "b", "type": "boolean"}],
+                },
+            ],
+        },
+    ],
+}
+
+_I32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+NESTED_ROW = st.tuples(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.tuples(
+        st.text(max_size=20),
+        st.one_of(st.none(), st.tuples(st.floats(allow_nan=False))),
+    ),
+    st.lists(st.tuples(_I32, _I32), max_size=8),
+    st.one_of(st.none(), st.tuples(st.booleans())),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(NESTED_ROW, max_size=20))
+def test_nested_record_roundtrip_property(tmp_path_factory, rows):
+    p = str(tmp_path_factory.mktemp("avro") / "n.avro")
+    a.write_ocf(p, NESTED_SCHEMA, rows, SYNC, block_rows=5, codec="deflate")
+    assert list(a.read_ocf(open(p, "rb").read())[1]) == rows
+
+
+def test_nested_record_accepts_dicts_and_rejects_bad_shapes(tmp_path):
+    # by-name dict values are accepted (Spark Row.asDict interop), and a
+    # wrong-arity tuple raises instead of silently mis-encoding
+    import pytest
+
+    p = str(tmp_path / "n.avro")
+    rows = [(1, {"k": "a", "inner": {"x": 2.0}}, [(0, 1)], {"b": True})]
+    a.write_ocf(p, NESTED_SCHEMA, rows, SYNC)
+    assert list(a.read_ocf(open(p, "rb").read())[1]) == [
+        (1, ("a", (2.0,)), [(0, 1)], (True,))
+    ]
+    with pytest.raises(ValueError):
+        a.write_ocf(p, NESTED_SCHEMA, [(1, ("a",), [], None)], SYNC)
+    with pytest.raises(ValueError):
+        a.write_ocf(p, NESTED_SCHEMA, [(1, 7, [], None)], SYNC)
+
+
+def test_nested_schema_limits_rejected():
+    import pytest
+
+    # named-type REFERENCE (the spec allows re-using a defined record by
+    # name; the subset rejects it rather than mis-decode)
+    ref = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": {"type": "record", "name": "n",
+                                   "fields": [{"name": "x", "type": "long"}]}},
+            {"name": "b", "type": "n"},
+        ],
+    }
+    with pytest.raises(ValueError):
+        a.parse_schema(ref)
+    # recursion bomb: a hostile header must ValueError, not RecursionError
+    deep = "long"
+    for i in range(2 * a.MAX_SCHEMA_DEPTH + 2):
+        deep = {"type": "record", "name": f"r{i}",
+                "fields": [{"name": "x", "type": deep}]}
+    with pytest.raises(ValueError):
+        a.parse_schema(deep)
+    # empty nested fields list stays rejected
+    with pytest.raises(ValueError):
+        a.parse_schema({"type": "record", "name": "r", "fields": [
+            {"name": "x", "type": {"type": "record", "name": "e", "fields": []}}]})
+
+
+def test_nested_record_cross_implementation_with_java(spark, tmp_path):
+    """Nested records written by our codec must decode under the Apache
+    Avro Java reader, and files the Java writer produces (via its own
+    jsonDecoder — union branches keyed by the record NAME) must decode
+    under ours."""
+    jvm = spark.sparkContext._jvm
+    rows = [
+        (1, ("a", (2.5,)), [(0, 4), (5, 9)], (True,)),
+        (2, ("b", None), [], None),
+        (-(2**40), ("", (0.0,)), [(-1, 1)], (False,)),
+    ]
+    p1 = str(tmp_path / "ours.avro")
+    a.write_ocf(p1, NESTED_SCHEMA, rows, SYNC, block_rows=2)
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p1), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    got = []
+    while dfr.hasNext():
+        rec = dfr.next()
+        meta = rec.get("meta")
+        inner = meta.get("inner")
+        spans = [(s.get("lo"), s.get("hi")) for s in rec.get("spans")]
+        opt = rec.get("opt")
+        got.append(
+            (
+                rec.get("id"),
+                (str(meta.get("k")),
+                 (float(inner.get("x")),) if inner is not None else None),
+                spans,
+                (bool(opt.get("b")),) if opt is not None else None,
+            )
+        )
+    dfr.close()
+    assert got == rows
+
+    sch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(NESTED_SCHEMA))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(sch)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    )
+    dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    p2 = str(tmp_path / "theirs.avro")
+    dfw.create(sch, jvm.java.io.File(p2))
+    for r in rows:
+        payload = json.dumps(
+            {
+                "id": r[0],
+                "meta": {
+                    "k": r[1][0],
+                    "inner": {"inner": {"x": r[1][1][0]}} if r[1][1] is not None else None,
+                },
+                "spans": [{"lo": lo, "hi": hi} for lo, hi in r[2]],
+                "opt": {"opt_rec": {"b": r[3][0]}} if r[3] is not None else None,
+            }
+        )
+        dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(sch, payload)
+        dfw.append(reader.read(None, dec))
+    dfw.close()
+    assert list(a.read_ocf(open(p2, "rb").read())[1]) == rows
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=1, max_value=255),
+)
+def test_nested_mutations_decode_or_valueerror(tmp_path_factory, pos, mask):
+    p = str(tmp_path_factory.mktemp("avro") / "nm.avro")
+    rows = [
+        (i, (f"k{i}", (float(i),) if i % 3 else None), [(i, i + 1)] * (i % 4),
+         (i % 2 == 0,) if i % 5 else None)
+        for i in range(15)
+    ]
+    a.write_ocf(p, NESTED_SCHEMA, rows, SYNC, block_rows=4)
+    good = open(p, "rb").read()
+    mutated = bytearray(good)
+    mutated[pos % len(good)] ^= mask
+    try:
+        _, it = a.read_ocf(bytes(mutated))
+        list(it)
+    except ValueError:
+        pass
+
+
+def test_real_embeddings_table_roundtrips_array_float(spark, tmp_path):
+    """The sf0.001 embeddings table (vec_id long, embedding array<float>,
+    label string) round-trips through the codec on REAL fixture data —
+    the shape the float/array extension exists for. float32 values are
+    exactly representable in the parquet source (written as float), so
+    equality is exact."""
+    rows = [
+        (r.vec_id, [float(x) for x in r.embedding], int(r.label))
+        for r in spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(200)
+        .collect()
+    ]
+    schema = {
+        "type": "record",
+        "name": "emb",
+        "fields": [
+            {"name": "vec_id", "type": "long"},
+            {"name": "embedding", "type": {"type": "array", "items": "float"}},
+            {"name": "label", "type": ["null", "long"]},
+        ],
+    }
+    p = str(tmp_path / "emb.avro")
+    a.write_ocf(p, schema, rows, SYNC, block_rows=64, codec="deflate")
+    assert list(a.read_ocf(open(p, "rb").read())[1]) == rows
+
+
+def test_nested_records_flow_through_spark_datasource(spark, tmp_path):
+    """Nested tuples decoded by the codec must land as Spark STRUCT rows
+    through the Python DataSource API — the executor-side plumbing the
+    nested-record extension feeds (struct schema declared source-side,
+    tuple rows yielded by read_block_range)."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    rows = [
+        (1, ("a", (2.5,)), [(0, 4), (5, 9)], (True,)),
+        (2, ("b", None), [], None),
+        (3, ("c", (1.0,)), [(1, 2)], (False,)),
+    ]
+    path = str(tmp_path / "nested.avro")
+    a.write_ocf(path, NESTED_SCHEMA, rows, SYNC, block_rows=2, codec="deflate")
+
+    class NestedAvroTestSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "transf_nested_avro_test"
+
+        def schema(self):
+            return (
+                "id long, "
+                "meta struct<k: string, inner: struct<x: double>>, "
+                "spans array<struct<lo: int, hi: int>>, "
+                "opt struct<b: boolean>"
+            )
+
+        def reader(self, schema):
+            opts = self.options
+
+            class _R(DataSourceReader):
+                def partitions(self):
+                    from transf_spark.sources.avro_ocf import scan_block_index
+
+                    with open(opts["path"], "rb") as f:
+                        index = scan_block_index(f)
+                    return [InputPartition((opts["path"], tuple(index)))]
+
+                def read(self, partition):
+                    from transf_spark.sources.avro_ocf import read_block_range
+
+                    p, blocks = partition.value
+                    yield from read_block_range(p, list(blocks))
+
+            return _R()
+
+    spark.dataSource.register(NestedAvroTestSource)
+    df = (
+        spark.read.format("transf_nested_avro_test")
+        .option("path", path)
+        .load()
+        .orderBy("id")
+    )
+    got = [
+        (
+            r.id,
+            (r.meta.k, (r.meta.inner.x,) if r.meta.inner is not None else None),
+            [(s.lo, s.hi) for s in r.spans],
+            (r.opt.b,) if r.opt is not None else None,
+        )
+        for r in df.collect()
+    ]
+    assert got == rows

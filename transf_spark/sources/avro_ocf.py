@@ -13,18 +13,21 @@ already proved out.
 Spec subset, declared honestly: records of primitive fields — ``long``,
 ``int``, ``float``, ``string``, ``double``, ``boolean``, ``bytes`` — each
 optionally nullable as the 2-branch union ``["null", T]``, plus ``array``
-and ``map`` of those (one level — items/values are primitives or nullable
-primitives, covering the embeddings ``array<float>`` shape; nested
-containers stay rejected); ``null`` and ``deflate`` codecs (the spec's two
+and ``map`` whose items/values are primitives, nullable primitives, or
+records, plus NESTED RECORDS (recursive since round 11 — a record field
+may itself be a record, nullable or not, to ``MAX_SCHEMA_DEPTH``; nested
+records decode as tuples, matching Spark's struct rows). That covers the
+documents/embeddings/TPC-H staging shapes this engine round-trips AND the
+struct-bearing shapes real pipelines write (array-of-structs token spans,
+nested metadata records). ``null`` and ``deflate`` codecs (the spec's two
 REQUIRED codecs — deflate is a raw RFC 1951 stream per block, no zlib
-header/checksum, stdlib ``zlib`` with wbits=-15). That covers the
-documents/embeddings/TPC-H staging shapes this engine round-trips; enums,
-fixed, nested records, container-of-container and the optional codecs
-(snappy/zstd) are out of scope and REJECTED at schema/header parse, never
-mis-decoded. Array/map decoding handles the spec's full block form
-(multiple blocks per value, negative counts carrying a byte-size prefix);
-the writer emits the common single-block form the Java library also
-writes.
+header/checksum, stdlib ``zlib`` with wbits=-15). Enums, fixed,
+array-of-array/map-of-map, named-type REFERENCES (a previously defined
+record name used as a type string), and the optional codecs (snappy/zstd)
+are out of scope and REJECTED at schema/header parse, never mis-decoded.
+Array/map decoding handles the spec's full block form (multiple blocks
+per value, negative counts carrying a byte-size prefix); the writer emits
+the common single-block form the Java library also writes.
 
 Binary format essentials implemented here:
 - varint: little-endian 7-bit groups, high bit = continuation;
@@ -99,26 +102,41 @@ def decompress_block(codec: str, buf: bytes) -> bytes:
 
 _PRIMITIVES = ("long", "int", "float", "string", "double", "boolean", "bytes")
 
-
-def _parse_item_type(t) -> tuple[str, bool]:
-    """Array-item / map-value type: primitive or nullable primitive ONLY
-    (no container-of-container). -> (primitive, nullable)."""
-    if isinstance(t, list):
-        if len(t) == 2 and t[0] == "null" and t[1] in _PRIMITIVES:
-            return t[1], True
-        raise ValueError(f"unsupported item union {t!r} (subset: ['null', primitive])")
-    if t in _PRIMITIVES:
-        return t, False
-    raise ValueError(f"unsupported item type {t!r} (subset: {_PRIMITIVES})")
+# Schema recursion ceiling: a hostile header with thousands of nested
+# records would otherwise drive the parser (and the decoder) into Python
+# recursion-limit RecursionError — outside the decode-or-ValueError
+# contract. 16 is far above any legitimate analytic schema.
+MAX_SCHEMA_DEPTH = 16
 
 
-def _parse_field_type(t) -> tuple:
-    """-> (type_descriptor, nullable). The descriptor is a primitive name,
-    or ``("array", item_prim, item_nullable)`` / ``("map", val_prim,
-    val_nullable)``. Rejects everything outside the subset."""
+def _parse_item_type(t, depth: int = 0) -> tuple:
+    """Array-item / map-value type: primitive, nullable primitive, or a
+    (nullable) nested record — no array-of-array/map-of-map.
+    -> (descriptor, nullable)."""
     if isinstance(t, list):
         if len(t) == 2 and t[0] == "null":
-            inner, inner_nullable = _parse_field_type(t[1])
+            inner, inner_nullable = _parse_item_type(t[1], depth)
+            if inner_nullable:
+                raise ValueError(f"unsupported nested union {t!r}")
+            return inner, True
+        raise ValueError(f"unsupported item union {t!r} (subset: ['null', T])")
+    if isinstance(t, dict) and t.get("type") == "record":
+        return ("record", tuple(_parse_record_fields(t, depth + 1))), False
+    if t in _PRIMITIVES:
+        return t, False
+    raise ValueError(f"unsupported item type {t!r} (subset: {_PRIMITIVES} + record)")
+
+
+def _parse_field_type(t, depth: int = 0) -> tuple:
+    """-> (type_descriptor, nullable). The descriptor is a primitive name,
+    ``("array", item_desc, item_nullable)`` / ``("map", val_desc,
+    val_nullable)``, or ``("record", ((name, desc, nullable), ...))`` for a
+    nested record. Rejects everything outside the subset."""
+    if depth > MAX_SCHEMA_DEPTH:
+        raise ValueError(f"schema nests deeper than {MAX_SCHEMA_DEPTH}")
+    if isinstance(t, list):
+        if len(t) == 2 and t[0] == "null":
+            inner, inner_nullable = _parse_field_type(t[1], depth)
             if inner_nullable:
                 raise ValueError(f"unsupported nested union {t!r}")
             return inner, True
@@ -126,17 +144,22 @@ def _parse_field_type(t) -> tuple:
     if isinstance(t, dict):
         kind = t.get("type")
         if kind == "array":
-            return ("array", *_parse_item_type(t.get("items"))), False
+            return ("array", *_parse_item_type(t.get("items"), depth)), False
         if kind == "map":
-            return ("map", *_parse_item_type(t.get("values"))), False
-        raise ValueError(f"unsupported complex type {t!r} (subset: array/map)")
+            return ("map", *_parse_item_type(t.get("values"), depth)), False
+        if kind == "record":
+            return ("record", tuple(_parse_record_fields(t, depth + 1))), False
+        raise ValueError(f"unsupported complex type {t!r} (subset: array/map/record)")
     if t in _PRIMITIVES:
         return t, False
-    raise ValueError(f"unsupported type {t!r} (subset: {_PRIMITIVES} + array/map)")
+    raise ValueError(
+        f"unsupported type {t!r} (subset: {_PRIMITIVES} + array/map/record)"
+    )
 
 
-def parse_schema(schema: dict) -> list[tuple[str, str, bool]]:
-    """-> [(name, type_descriptor, nullable)] for a flat record schema."""
+def _parse_record_fields(schema: dict, depth: int = 0) -> list[tuple[str, str, bool]]:
+    if depth > MAX_SCHEMA_DEPTH:
+        raise ValueError(f"schema nests deeper than {MAX_SCHEMA_DEPTH}")
     if not isinstance(schema, dict) or schema.get("type") != "record":
         raise ValueError("schema must be a record")
     fields = schema.get("fields")
@@ -146,9 +169,15 @@ def parse_schema(schema: dict) -> list[tuple[str, str, bool]]:
     for f in fields:
         if not isinstance(f, dict) or "name" not in f or "type" not in f:
             raise ValueError(f"malformed field entry {f!r}")
-        prim, nullable = _parse_field_type(f["type"])
+        prim, nullable = _parse_field_type(f["type"], depth)
         out.append((str(f["name"]), prim, nullable))
     return out
+
+
+def parse_schema(schema: dict) -> list[tuple[str, str, bool]]:
+    """-> [(name, type_descriptor, nullable)] for a (possibly nested)
+    record schema."""
+    return _parse_record_fields(schema, depth=0)
 
 
 # ---- primitive encoders ----------------------------------------------------
@@ -207,6 +236,18 @@ def _encode_value(prim: str, v) -> bytes:
     if prim == "boolean":
         return b"\x01" if v else b"\x00"
     if isinstance(prim, tuple):
+        if prim[0] == "record":
+            sub = list(prim[1])
+            # nested records take Spark's struct shapes: positional
+            # tuple/list (how this codec decodes them) or a by-name dict
+            if isinstance(v, dict):
+                v = tuple(v.get(name) for name, _, _ in sub)
+            if not isinstance(v, (tuple, list)) or len(v) != len(sub):
+                raise ValueError(
+                    f"nested record needs a {len(sub)}-field tuple/list/dict, "
+                    f"got {type(v).__name__}"
+                )
+            return encode_record(sub, v)
         kind, item_prim, item_nullable = prim
         out = bytearray()
         if kind == "array":
@@ -320,6 +361,8 @@ def _read_value(prim: str, buf: bytes, pos: int):
             raise ValueError(f"bad boolean byte {buf[pos]}")
         return buf[pos] == 1, pos + 1
     if isinstance(prim, tuple):
+        if prim[0] == "record":
+            return _read_record(list(prim[1]), buf, pos)
         kind, item_prim, item_nullable = prim
         out_list = [] if kind == "array" else {}
         # full spec block form: count per block (negative count carries a
@@ -362,23 +405,31 @@ def _read_item(prim: str, nullable: bool, buf: bytes, pos: int):
     return _read_value(prim, buf, pos)
 
 
+def _read_record(
+    fields: list[tuple[str, str, bool]], buf: bytes, pos: int
+) -> tuple[tuple, int]:
+    """One record's fields (top level or nested) -> (row tuple, new pos)."""
+    row = []
+    for name, prim, nullable in fields:
+        if nullable:
+            idx, pos = read_long(buf, pos)
+            if idx == 0:
+                row.append(None)
+                continue
+            if idx != 1:
+                raise ValueError(f"bad union branch {idx} in {name!r}")
+        v, pos = _read_value(prim, buf, pos)
+        row.append(v)
+    return tuple(row), pos
+
+
 def decode_records(
     fields: list[tuple[str, str, bool]], buf: bytes, count: int
 ) -> list[tuple]:
     rows, pos = [], 0
     for _ in range(count):
-        row = []
-        for name, prim, nullable in fields:
-            if nullable:
-                idx, pos = read_long(buf, pos)
-                if idx == 0:
-                    row.append(None)
-                    continue
-                if idx != 1:
-                    raise ValueError(f"bad union branch {idx} in {name!r}")
-            v, pos = _read_value(prim, buf, pos)
-            row.append(v)
-        rows.append(tuple(row))
+        row, pos = _read_record(fields, buf, pos)
+        rows.append(row)
     if pos != len(buf):
         raise ValueError(f"{len(buf) - pos} trailing bytes in record block")
     return rows
