@@ -1014,3 +1014,80 @@ def test_nested_records_flow_through_spark_datasource(spark, tmp_path):
         for r in df.collect()
     ]
     assert got == rows
+
+
+def test_dict_wrapped_primitive_schemas_accepted():
+    """The spec's JSON-object schema form — {"type": primitive,
+    ...annotations} — must parse to the underlying primitive (real
+    writers emit avro.java.string / logicalType / doc attributes on
+    it); enum/fixed dicts stay rejected."""
+    import pytest
+
+    sch = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "s", "type": {"type": "string", "avro.java.string": "String"}},
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "d", "type": ["null", {"type": "int", "logicalType": "date"}]},
+            {"name": "xs", "type": {"type": "array",
+                                    "items": {"type": "float", "doc": "score"}}},
+        ],
+    }
+    assert a.parse_schema(sch) == [
+        ("s", "string", False),
+        ("ts", "long", False),
+        ("d", "int", True),
+        ("xs", ("array", "float", False), False),
+    ]
+    with pytest.raises(ValueError):
+        a.parse_schema({"type": "record", "name": "r", "fields": [
+            {"name": "x", "type": {"type": "enum", "name": "e", "symbols": ["A"]}}]})
+
+
+def test_logical_type_annotations_cross_implementation(spark, tmp_path):
+    """A file the JAVA writer produces under a logicalType-annotated
+    schema must decode under our codec as the raw underlying primitives
+    (the spec's fallback for readers without the logical type), and our
+    writer's file under the same annotated schema must decode under the
+    Java reader."""
+    jvm = spark.sparkContext._jvm
+    schema = {
+        "type": "record",
+        "name": "evt",
+        "fields": [
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "day", "type": ["null", {"type": "int", "logicalType": "date"}]},
+            {"name": "who", "type": {"type": "string", "avro.java.string": "String"}},
+        ],
+    }
+    rows = [(1_700_000_000_000_000, 19_700, "ana"), (0, None, ""), (-1, 0, "bo")]
+
+    p1 = str(tmp_path / "ours.avro")
+    a.write_ocf(p1, schema, rows, SYNC, block_rows=2)
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p1), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    got = []
+    while dfr.hasNext():
+        rec = dfr.next()
+        day = rec.get("day")
+        got.append((rec.get("ts"), day, str(rec.get("who"))))
+    dfr.close()
+    assert got == rows
+
+    sch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(sch)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    )
+    p2 = str(tmp_path / "theirs.avro")
+    dfw.create(sch, jvm.java.io.File(p2))
+    for ts, day, who in rows:
+        payload = json.dumps(
+            {"ts": ts, "day": {"int": day} if day is not None else None, "who": who}
+        )
+        dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(sch, payload)
+        dfw.append(reader.read(None, dec))
+    dfw.close()
+    assert list(a.read_ocf(open(p2, "rb").read())[1]) == rows

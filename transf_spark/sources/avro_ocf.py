@@ -27,7 +27,13 @@ record name used as a type string), and the optional codecs (snappy/zstd)
 are out of scope and REJECTED at schema/header parse, never mis-decoded.
 Array/map decoding handles the spec's full block form (multiple blocks
 per value, negative counts carrying a byte-size prefix); the writer emits
-the common single-block form the Java library also writes.
+the common single-block form the Java library also writes. Dict-wrapped
+primitive schemas (``{"type": "string", ...annotations}`` — the spec's
+JSON-object form, which real writers emit with ``logicalType`` /
+``avro.java.string`` / ``doc`` attributes) are accepted with the
+annotations passed through: per spec, a reader without a logical-type
+implementation falls back to the underlying primitive, so values decode
+as the raw type — never mis-typed.
 
 Binary format essentials implemented here:
 - varint: little-endian 7-bit groups, high bit = continuation;
@@ -120,8 +126,15 @@ def _parse_item_type(t, depth: int = 0) -> tuple:
                 raise ValueError(f"unsupported nested union {t!r}")
             return inner, True
         raise ValueError(f"unsupported item union {t!r} (subset: ['null', T])")
-    if isinstance(t, dict) and t.get("type") == "record":
-        return ("record", tuple(_parse_record_fields(t, depth + 1))), False
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "record":
+            return ("record", tuple(_parse_record_fields(t, depth + 1))), False
+        if kind in _PRIMITIVES:
+            # dict-wrapped primitive — spec-legal annotated form (see
+            # _parse_field_type); annotations pass through, values decode
+            # as the underlying primitive
+            return kind, False
     if t in _PRIMITIVES:
         return t, False
     raise ValueError(f"unsupported item type {t!r} (subset: {_PRIMITIVES} + record)")
@@ -149,6 +162,16 @@ def _parse_field_type(t, depth: int = 0) -> tuple:
             return ("map", *_parse_item_type(t.get("values"), depth)), False
         if kind == "record":
             return ("record", tuple(_parse_record_fields(t, depth + 1))), False
+        if kind in _PRIMITIVES:
+            # The spec allows ANY schema as a JSON object {"type": name,
+            # ...attributes}; real writers routinely emit dict-wrapped
+            # primitives carrying annotations — logicalType
+            # (timestamp-micros/date/decimal on long/int/bytes),
+            # avro.java.string, doc. Per spec, a reader that does not
+            # implement a logical type falls back to the UNDERLYING type,
+            # so annotations pass through and values decode as the raw
+            # primitive — never mis-typed, never rejected.
+            return kind, False
         raise ValueError(f"unsupported complex type {t!r} (subset: array/map/record)")
     if t in _PRIMITIVES:
         return t, False
