@@ -1091,3 +1091,198 @@ def test_logical_type_annotations_cross_implementation(spark, tmp_path):
         dfw.append(reader.read(None, dec))
     dfw.close()
     assert list(a.read_ocf(open(p2, "rb").read())[1]) == rows
+
+
+# ---------------------------------------------------------------------------
+# Schema resolution (round 11): reader schema vs writer schema per the
+# spec's resolution rules — match by name, drop writer-only fields, default
+# reader-only fields, promote (int->long/float/double, long->float/double,
+# float->double, string<->bytes). Gates: the full matrix, the error ladder,
+# parity with the Java GenericDatumReader's OWN resolution, and a
+# mixed-vintage directory scan through the DataSource API.
+# ---------------------------------------------------------------------------
+
+W_EVOLVE = {
+    "type": "record",
+    "name": "d",
+    "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "score", "type": "long"},
+        {"name": "tag", "type": ["null", "string"]},
+        {"name": "old", "type": "string"},
+    ],
+}
+R_EVOLVE = {
+    "type": "record",
+    "name": "d",
+    "fields": [
+        {"name": "score", "type": "double"},
+        {"name": "id", "type": ["null", "long"]},
+        {"name": "tag", "type": ["null", "string"]},
+        {"name": "added", "type": ["null", "string"], "default": None},
+        {"name": "n", "type": "long", "default": 7},
+        # spec: bytes defaults are strings of codepoints 0-255
+        {"name": "blob", "type": "bytes", "default": "\u0001\u00ff"},
+    ],
+}
+
+
+def test_schema_resolution_matrix(tmp_path):
+    """Reorder + drop + default + promote in one resolution; bytes
+    defaults use the spec's codepoint-0-255 string encoding."""
+    rows = [(1, 10, "a", "x"), (2, -5, None, "y")]
+    p = str(tmp_path / "e.avro")
+    a.write_ocf(p, W_EVOLVE, rows, SYNC, block_rows=1, codec="deflate")
+    fields, it = a.read_ocf(open(p, "rb").read(), reader_schema=R_EVOLVE)
+    assert [n for n, _, _ in fields] == ["score", "id", "tag", "added", "n", "blob"]
+    assert list(it) == [
+        (10.0, 1, "a", None, 7, b"\x01\xff"),
+        (-5.0, 2, None, None, 7, b"\x01\xff"),
+    ]
+    # identity resolution is the no-op fast path
+    assert a.build_resolver(W_EVOLVE, a.parse_schema(W_EVOLVE)) is None
+
+
+def test_schema_resolution_error_ladder():
+    import pytest
+
+    wf = a.parse_schema(W_EVOLVE)
+    for bad_reader, why in (
+        ({"type": "record", "name": "d", "fields": [
+            {"name": "id", "type": "boolean"}]}, "no promotion"),
+        ({"type": "record", "name": "d", "fields": [
+            {"name": "score", "type": "int"}]}, "demotion"),
+        ({"type": "record", "name": "d", "fields": [
+            {"name": "tag", "type": "string"}]}, "nullable into non-nullable"),
+        ({"type": "record", "name": "d", "fields": [
+            {"name": "nope", "type": "long"}]}, "missing without default"),
+        ({"type": "record", "name": "d", "fields": [
+            {"name": "n", "type": "long", "default": "x"}]}, "non-integer default"),
+        ({"type": "record", "name": "d", "fields": [
+            {"name": "b", "type": "bytes", "default": "\u0100"}]}, "codepoint > 255"),
+    ):
+        with pytest.raises(ValueError):
+            a.build_resolver(bad_reader, wf)
+    # duplicate field names rejected at parse (resolution matches by name)
+    with pytest.raises(ValueError):
+        a.parse_schema({"type": "record", "name": "d", "fields": [
+            {"name": "x", "type": "long"}, {"name": "x", "type": "long"}]})
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(
+    st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    st.integers(min_value=-(2**53), max_value=2**53),  # exact in double
+    st.one_of(st.none(), st.text(max_size=20)),
+    st.text(max_size=10),
+), max_size=25))
+def test_schema_resolution_property(tmp_path_factory, rows):
+    """Resolved read == the plain read post-transformed in Python."""
+    p = str(tmp_path_factory.mktemp("avro") / "e.avro")
+    a.write_ocf(p, W_EVOLVE, rows, SYNC, block_rows=6)
+    got = list(a.read_ocf(open(p, "rb").read(), reader_schema=R_EVOLVE)[1])
+    expect = [
+        (float(score), id_, tag, None, 7, b"\x01\xff")
+        for id_, score, tag, _old in rows
+    ]
+    assert got == expect
+
+
+def test_schema_resolution_matches_java_reader(spark, tmp_path):
+    """Our resolution must agree with the Java GenericDatumReader given
+    the SAME writer/reader schemas — the semantics are pinned to the
+    reference implementation, not to our own reading of the spec."""
+    jvm = spark.sparkContext._jvm
+    rows = [(1, 10, "a", "x"), (2, -5, None, "y"), (-(2**31), 2**53, "", "z")]
+    p = str(tmp_path / "e.avro")
+    a.write_ocf(p, W_EVOLVE, rows, SYNC, block_rows=2)
+
+    rsch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(R_EVOLVE))
+    rdr = jvm.org.apache.avro.generic.GenericDatumReader()
+    rdr.setExpected(rsch)
+    dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(p), rdr)
+    java_rows = []
+    while dfr.hasNext():
+        rec = dfr.next()
+        blob = rec.get("blob")
+        barr = bytearray()
+        bb = blob.duplicate()
+        while bb.hasRemaining():
+            barr.append(bb.get() & 0xFF)
+        tag = rec.get("tag")
+        added = rec.get("added")
+        java_rows.append((
+            float(rec.get("score")),
+            rec.get("id"),
+            str(tag) if tag is not None else None,
+            str(added) if added is not None else None,
+            rec.get("n"),
+            bytes(barr),
+        ))
+    dfr.close()
+    ours = list(a.read_ocf(open(p, "rb").read(), reader_schema=R_EVOLVE)[1])
+    assert java_rows == ours
+
+
+def test_mixed_vintage_directory_scans_as_one_table(spark, tmp_path):
+    """Two files written months apart under DIFFERENT schemas (v1 lacks a
+    column and uses int ids; v2 has it and long ids) resolve per-file
+    into one reader schema through the DataSource API — the multi-vintage
+    Avro lake case."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    v1 = {"type": "record", "name": "d", "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "name", "type": "string"}]}
+    v2 = {"type": "record", "name": "d", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "rank", "type": ["null", "long"]}]}
+    reader_schema = {"type": "record", "name": "d", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "rank", "type": ["null", "long"], "default": None}]}
+    a.write_ocf(str(tmp_path / "a_v1.avro"), v1, [(1, "ana"), (2, "bo")], SYNC)
+    a.write_ocf(str(tmp_path / "b_v2.avro"), v2, [(3, "cy", 9), (4, "di", None)], SYNC)
+    d = str(tmp_path)
+
+    class MixedAvroTestSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "transf_mixed_avro_test"
+
+        def schema(self):
+            return "id long, name string, rank long"
+
+        def reader(self, schema):
+            opts = self.options
+
+            class _R(DataSourceReader):
+                def partitions(self):
+                    import glob as g
+
+                    from transf_spark.sources.avro_ocf import scan_block_index
+
+                    parts = []
+                    for path in sorted(g.glob(opts["path"] + "/*.avro")):
+                        with open(path, "rb") as f:
+                            parts.append(InputPartition((path, tuple(scan_block_index(f)))))
+                    return parts
+
+                def read(self, partition):
+                    from transf_spark.sources.avro_ocf import read_block_range
+
+                    p, blocks = partition.value
+                    yield from read_block_range(
+                        p, list(blocks), reader_schema=reader_schema
+                    )
+
+            return _R()
+
+    spark.dataSource.register(MixedAvroTestSource)
+    got = [
+        (r.id, r.name, r.rank)
+        for r in spark.read.format("transf_mixed_avro_test")
+        .option("path", d).load().orderBy("id").collect()
+    ]
+    assert got == [(1, "ana", None), (2, "bo", None), (3, "cy", 9), (4, "di", None)]

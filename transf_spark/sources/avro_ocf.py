@@ -194,6 +194,10 @@ def _parse_record_fields(schema: dict, depth: int = 0) -> list[tuple[str, str, b
             raise ValueError(f"malformed field entry {f!r}")
         prim, nullable = _parse_field_type(f["type"], depth)
         out.append((str(f["name"]), prim, nullable))
+    if len({n for n, _, _ in out}) != len(out):
+        # the spec requires unique field names; matching-by-name below
+        # (schema resolution) would silently pick one of the twins
+        raise ValueError("duplicate field names in record schema")
     return out
 
 
@@ -201,6 +205,192 @@ def parse_schema(schema: dict) -> list[tuple[str, str, bool]]:
     """-> [(name, type_descriptor, nullable)] for a (possibly nested)
     record schema."""
     return _parse_record_fields(schema, depth=0)
+
+
+# ---- schema resolution (reader schema vs writer schema) ---------------------
+#
+# The spec's §Schema Resolution, over this codec's subset: fields match by
+# NAME; writer-only fields are decoded and discarded; reader-only fields
+# take the reader's JSON "default" (required — no default is a resolution
+# error); matched fields must be identical or reachable by the spec's
+# promotions (int→long/float/double, long→float/double, float→double,
+# string↔bytes); a writer's nullable union resolves into a nullable reader
+# field, and a non-nullable writer into either — but nullable→non-nullable
+# is rejected AT RESOLUTION TIME (a null would otherwise surface mid-scan).
+# Arrays/maps resolve their item/value types recursively; nested records
+# resolve field-by-field. Since the binary format is not seekable
+# per-field, skipped fields must be decoded anyway — so resolution is a
+# pure post-decode ROW TRANSFORM built once per file, vectorized over
+# blocks; the identity resolution returns None so the unchanged-schema
+# fast path pays nothing.
+
+_PROMOTIONS = {
+    ("int", "long"): None,  # None = allowed, value unchanged in Python
+    ("int", "float"): float,
+    ("int", "double"): float,
+    ("long", "float"): float,
+    ("long", "double"): float,
+    ("float", "double"): None,
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: v.decode("utf-8"),
+}
+
+
+def _value_resolver(wdesc, rdesc, raw_reader_type, path: str):
+    """-> value transform fn or None (identity) for one matched field;
+    raises ValueError when the writer type cannot resolve into the
+    reader type."""
+    if isinstance(wdesc, tuple) or isinstance(rdesc, tuple):
+        if (
+            not isinstance(wdesc, tuple)
+            or not isinstance(rdesc, tuple)
+            or wdesc[0] != rdesc[0]
+        ):
+            raise ValueError(
+                f"cannot resolve writer {wdesc!r} into reader {rdesc!r} at {path}"
+            )
+        kind = wdesc[0]
+        if kind == "record":
+            raw_rec = _unwrap_union(raw_reader_type)
+            inner = build_resolver(raw_rec, list(wdesc[1]), path=path)
+            return inner
+        _, wi, winull = wdesc
+        _, ri, rinull = rdesc
+        if winull and not rinull:
+            raise ValueError(f"nullable {kind} items cannot resolve into non-nullable at {path}")
+        raw_rec = _unwrap_union(raw_reader_type)
+        raw_item = raw_rec.get("items") if kind == "array" else raw_rec.get("values")
+        ifn = _value_resolver(wi, ri, raw_item, path + ("[]" if kind == "array" else "{}"))
+        if ifn is None:
+            return None
+        if kind == "array":
+            return lambda xs: [x if x is None else ifn(x) for x in xs]
+        return lambda m: {k: (v if v is None else ifn(v)) for k, v in m.items()}
+    if wdesc == rdesc:
+        return None
+    try:
+        return _PROMOTIONS[(wdesc, rdesc)]
+    except KeyError:
+        raise ValueError(
+            f"cannot resolve writer {wdesc!r} into reader {rdesc!r} at {path}"
+        ) from None
+
+
+def _unwrap_union(raw_type):
+    """The raw reader JSON for a field that parsed as nullable is
+    ['null', T] — resolution walks T."""
+    if isinstance(raw_type, list) and len(raw_type) == 2 and raw_type[0] == "null":
+        return raw_type[1]
+    return raw_type
+
+
+def _default_value(rdesc, nullable: bool, jdefault, path: str):
+    """Reader-field JSON default -> decoded Python value (spec encoding:
+    bytes defaults are strings of codepoints 0-255; a nullable union's
+    default applies to the first branch, i.e. must be null)."""
+    if jdefault is None:
+        if not nullable:
+            raise ValueError(f"null default for non-nullable {path}")
+        return None
+    if isinstance(rdesc, tuple):
+        kind = rdesc[0]
+        if kind == "array":
+            if not isinstance(jdefault, list):
+                raise ValueError(f"array default must be a JSON array at {path}")
+            return [_default_value(rdesc[1], rdesc[2], x, path + "[]") for x in jdefault]
+        if kind == "map":
+            if not isinstance(jdefault, dict):
+                raise ValueError(f"map default must be a JSON object at {path}")
+            return {
+                str(k): _default_value(rdesc[1], rdesc[2], v, path + "{}")
+                for k, v in jdefault.items()
+            }
+        if not isinstance(jdefault, dict):
+            raise ValueError(f"record default must be a JSON object at {path}")
+        return tuple(
+            _default_value(d, n, jdefault.get(nm), f"{path}.{nm}")
+            if nm in jdefault
+            else _raise_default(path, nm)
+            for nm, d, n in rdesc[1]
+        )
+    if rdesc in ("long", "int"):
+        if isinstance(jdefault, bool) or not isinstance(jdefault, int):
+            raise ValueError(f"non-integer default for {rdesc} at {path}")
+        if rdesc == "int" and not -(2**31) <= jdefault < 2**31:
+            raise ValueError(f"default {jdefault} outside int32 at {path}")
+        if not -(2**63) <= jdefault < 2**63:
+            raise ValueError(f"default {jdefault} outside int64 at {path}")
+        return jdefault
+    if rdesc in ("double", "float"):
+        if isinstance(jdefault, bool) or not isinstance(jdefault, (int, float)):
+            raise ValueError(f"non-numeric default for {rdesc} at {path}")
+        return float(jdefault)
+    if rdesc == "string":
+        if not isinstance(jdefault, str):
+            raise ValueError(f"non-string default at {path}")
+        return jdefault
+    if rdesc == "boolean":
+        if not isinstance(jdefault, bool):
+            raise ValueError(f"non-boolean default at {path}")
+        return jdefault
+    if rdesc == "bytes":
+        if not isinstance(jdefault, str):
+            raise ValueError(f"bytes default must be a string at {path}")
+        try:
+            return jdefault.encode("latin-1")  # spec: codepoints 0-255
+        except UnicodeEncodeError:
+            raise ValueError(f"bytes default has codepoints > 255 at {path}") from None
+    raise ValueError(f"unsupported default for {rdesc!r} at {path}")
+
+
+def _raise_default(path: str, name: str):
+    raise ValueError(f"record default at {path} missing field {name!r}")
+
+
+def build_resolver(reader_schema: dict, writer_fields: list, path: str = "$"):
+    """Schema resolution: -> fn(writer row tuple) -> reader row tuple,
+    or None when the reader schema IS the writer schema (identity — the
+    fast path skips the per-row rebuild). Raises ValueError when the
+    schemas cannot resolve."""
+    reader_fields = parse_schema(reader_schema)
+    raw = {str(f["name"]): f for f in reader_schema["fields"]}
+    wmap = {name: (i, desc, null) for i, (name, desc, null) in enumerate(writer_fields)}
+    steps = []
+    for rname, rdesc, rnull in reader_fields:
+        if rname in wmap:
+            widx, wdesc, wnull = wmap[rname]
+            if wnull and not rnull:
+                raise ValueError(
+                    f"nullable writer field {rname!r} cannot resolve into "
+                    f"non-nullable reader field at {path}"
+                )
+            fn = _value_resolver(wdesc, rdesc, raw[rname]["type"], f"{path}.{rname}")
+            steps.append(("copy", widx, fn))
+        else:
+            f = raw[rname]
+            if "default" not in f:
+                raise ValueError(
+                    f"reader field {rname!r} missing from writer schema "
+                    f"and has no default at {path}"
+                )
+            steps.append(("const", _default_value(rdesc, rnull, f["default"], f"{path}.{rname}")))
+    identity = len(steps) == len(writer_fields) and all(
+        s[0] == "copy" and s[1] == i and s[2] is None for i, s in enumerate(steps)
+    )
+    if identity:
+        return None
+
+    def transform(row: tuple) -> tuple:
+        out = []
+        for s in steps:
+            if s[0] == "copy":
+                v = row[s[1]]
+                out.append(v if v is None or s[2] is None else s[2](v))
+            else:
+                out.append(s[1])
+        return tuple(out)
+
+    return transform
 
 
 # ---- primitive encoders ----------------------------------------------------
@@ -497,7 +687,7 @@ def write_ocf(path: str, schema: dict, rows, sync: bytes, block_rows: int = 1024
         flush()
 
 
-def read_ocf(data: bytes):
+def read_ocf(data: bytes, reader_schema: dict | None = None):
     """Parse one container file -> (fields, iterator of row tuples).
 
     Delegates to the ONE canonical header/block walker pair
@@ -505,16 +695,26 @@ def read_ocf(data: bytes):
     streaming paths cannot diverge — the round-10 review found this
     function re-implementing both walks with subtly different error
     paths. Malformed input raises ValueError throughout.
+
+    ``reader_schema`` resolves the file's writer schema into the given
+    reader schema (spec §Schema Resolution — see ``build_resolver``);
+    the returned fields are then the READER's.
     """
     import io
 
     fields, _sync, codec = scan_header(io.BytesIO(data))
+    tf = None
+    if reader_schema is not None:
+        tf = build_resolver(reader_schema, fields)
+        fields = parse_schema(reader_schema)
 
     def rows():
         index = scan_block_index(io.BytesIO(data))
+        wfields = scan_header(io.BytesIO(data))[0]
         for off, n, size in index:
             buf = decompress_block(codec, data[off : off + size])
-            yield from decode_records(fields, buf, n)
+            decoded = decode_records(wfields, buf, n)
+            yield from (map(tf, decoded) if tf is not None else decoded)
 
     return fields, rows()
 
@@ -622,15 +822,27 @@ def scan_block_index(f) -> list[tuple[int, int, int]]:
     return index
 
 
-def read_block_range(path: str, blocks: list[tuple[int, int, int]]):
+def read_block_range(
+    path: str,
+    blocks: list[tuple[int, int, int]],
+    reader_schema: dict | None = None,
+):
     """Decode the given (offset, count, size) blocks of one file — the
     executor side of a block-granular split. Re-derives the schema from
-    the file's own header (self-describing format; no schema shipping)."""
+    the file's own header (self-describing format; no schema shipping).
+
+    ``reader_schema`` applies spec §Schema Resolution per file: a
+    directory written over months drifts (added columns with defaults,
+    int→long widenings, dropped fields) — each file resolves from ITS
+    OWN header schema into the one reader schema, which is what makes a
+    100 TB multi-vintage Avro lake scannable as a single table."""
     with open(path, "rb") as f:
         fields, _, codec = scan_header(f)
+        tf = build_resolver(reader_schema, fields) if reader_schema is not None else None
         for off, n, size in blocks:
             f.seek(off)
             buf = f.read(size)
             if len(buf) != size:
                 raise ValueError("truncated block payload")
-            yield from decode_records(fields, decompress_block(codec, buf), n)
+            decoded = decode_records(fields, decompress_block(codec, buf), n)
+            yield from (map(tf, decoded) if tf is not None else decoded)

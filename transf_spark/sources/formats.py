@@ -919,7 +919,14 @@ class _AvroDocsReader:
         from transf_spark.sources.avro_ocf import read_block_range
 
         path, blocks = partition.value
-        yield from read_block_range(path, list(blocks))
+        # resolve each file's OWN header schema into the declared reader
+        # schema (spec §Schema Resolution): a staged directory written
+        # over time drifts — added columns with defaults, widened ints —
+        # and per-file resolution is what keeps it one scannable table.
+        # Identity resolution (the staged fixture) costs nothing.
+        yield from read_block_range(
+            path, list(blocks), reader_schema=AVRO_DOCS_SCHEMA
+        )
 
 
 def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
