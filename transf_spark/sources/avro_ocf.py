@@ -19,12 +19,15 @@ may itself be a record, nullable or not, to ``MAX_SCHEMA_DEPTH``; nested
 records decode as tuples, matching Spark's struct rows). That covers the
 documents/embeddings/TPC-H staging shapes this engine round-trips AND the
 struct-bearing shapes real pipelines write (array-of-structs token spans,
-nested metadata records). ``null`` and ``deflate`` codecs (the spec's two
+nested metadata records). ``enum`` (decodes as the
+symbol string) and ``fixed`` (decodes as bytes, size pinned) in any field
+or item position; ``null`` and ``deflate`` codecs (the spec's two
 REQUIRED codecs — deflate is a raw RFC 1951 stream per block, no zlib
-header/checksum, stdlib ``zlib`` with wbits=-15). Enums, fixed,
-array-of-array/map-of-map, named-type REFERENCES (a previously defined
-record name used as a type string), and the optional codecs (snappy/zstd)
-are out of scope and REJECTED at schema/header parse, never mis-decoded.
+header/checksum, stdlib ``zlib`` with wbits=-15).
+Array-of-array/map-of-map, general multi-branch unions, named-type
+REFERENCES (a previously defined record name used as a type string), and
+the optional codecs (snappy/zstd) are out of scope and REJECTED at
+schema/header parse, never mis-decoded.
 Array/map decoding handles the spec's full block form (multiple blocks
 per value, negative counts carrying a byte-size prefix); the writer emits
 the common single-block form the Java library also writes. Dict-wrapped
@@ -130,6 +133,10 @@ def _parse_item_type(t, depth: int = 0) -> tuple:
         kind = t.get("type")
         if kind == "record":
             return ("record", tuple(_parse_record_fields(t, depth + 1))), False
+        if kind == "enum":
+            return ("enum", _parse_enum_symbols(t)), False
+        if kind == "fixed":
+            return ("fixed", _parse_fixed_size(t)), False
         if kind in _PRIMITIVES:
             # dict-wrapped primitive — spec-legal annotated form (see
             # _parse_field_type); annotations pass through, values decode
@@ -137,7 +144,9 @@ def _parse_item_type(t, depth: int = 0) -> tuple:
             return kind, False
     if t in _PRIMITIVES:
         return t, False
-    raise ValueError(f"unsupported item type {t!r} (subset: {_PRIMITIVES} + record)")
+    raise ValueError(
+        f"unsupported item type {t!r} (subset: {_PRIMITIVES} + record/enum/fixed)"
+    )
 
 
 def _parse_field_type(t, depth: int = 0) -> tuple:
@@ -162,6 +171,10 @@ def _parse_field_type(t, depth: int = 0) -> tuple:
             return ("map", *_parse_item_type(t.get("values"), depth)), False
         if kind == "record":
             return ("record", tuple(_parse_record_fields(t, depth + 1))), False
+        if kind == "enum":
+            return ("enum", _parse_enum_symbols(t)), False
+        if kind == "fixed":
+            return ("fixed", _parse_fixed_size(t)), False
         if kind in _PRIMITIVES:
             # The spec allows ANY schema as a JSON object {"type": name,
             # ...attributes}; real writers routinely emit dict-wrapped
@@ -172,12 +185,35 @@ def _parse_field_type(t, depth: int = 0) -> tuple:
             # so annotations pass through and values decode as the raw
             # primitive — never mis-typed, never rejected.
             return kind, False
-        raise ValueError(f"unsupported complex type {t!r} (subset: array/map/record)")
+        raise ValueError(
+            f"unsupported complex type {t!r} (subset: array/map/record/enum/fixed)"
+        )
     if t in _PRIMITIVES:
         return t, False
     raise ValueError(
-        f"unsupported type {t!r} (subset: {_PRIMITIVES} + array/map/record)"
+        f"unsupported type {t!r} (subset: {_PRIMITIVES} + array/map/record/enum/fixed)"
     )
+
+
+def _parse_enum_symbols(t: dict) -> tuple:
+    symbols = t.get("symbols")
+    if (
+        not isinstance(symbols, list)
+        or not symbols
+        or len(set(symbols)) != len(symbols)
+        or not all(isinstance(s, str) for s in symbols)
+    ):
+        raise ValueError(f"enum needs a non-empty list of unique string symbols, got {t!r}")
+    return tuple(symbols)
+
+
+def _parse_fixed_size(t: dict) -> int:
+    size = t.get("size")
+    if isinstance(size, bool) or not isinstance(size, int) or size < 0:
+        raise ValueError(f"fixed needs a non-negative integer size, got {t!r}")
+    if size > MAX_BLOCK_BYTES:
+        raise ValueError(f"fixed size {size} exceeds the block ceiling")
+    return size
 
 
 def _parse_record_fields(schema: dict, depth: int = 0) -> list[tuple[str, str, bool]]:
@@ -250,6 +286,22 @@ def _value_resolver(wdesc, rdesc, raw_reader_type, path: str):
                 f"cannot resolve writer {wdesc!r} into reader {rdesc!r} at {path}"
             )
         kind = wdesc[0]
+        if kind == "enum":
+            # spec: a writer symbol absent from the reader's enum is an
+            # error (the 1.9+ enum-default fallback is out of subset) —
+            # require writer symbols ⊆ reader symbols at resolution time
+            missing = [s for s in wdesc[1] if s not in rdesc[1]]
+            if missing:
+                raise ValueError(
+                    f"writer enum symbols {missing} not in reader enum at {path}"
+                )
+            return None
+        if kind == "fixed":
+            if wdesc[1] != rdesc[1]:
+                raise ValueError(
+                    f"fixed size mismatch {wdesc[1]} vs {rdesc[1]} at {path}"
+                )
+            return None
         if kind == "record":
             raw_rec = _unwrap_union(raw_reader_type)
             inner = build_resolver(raw_rec, list(wdesc[1]), path=path)
@@ -294,6 +346,24 @@ def _default_value(rdesc, nullable: bool, jdefault, path: str):
         return None
     if isinstance(rdesc, tuple):
         kind = rdesc[0]
+        if kind == "enum":
+            if not isinstance(jdefault, str) or jdefault not in rdesc[1]:
+                raise ValueError(f"enum default {jdefault!r} not a symbol at {path}")
+            return jdefault
+        if kind == "fixed":
+            if not isinstance(jdefault, str):
+                raise ValueError(f"fixed default must be a string at {path}")
+            try:
+                b = jdefault.encode("latin-1")  # spec: codepoints 0-255
+            except UnicodeEncodeError:
+                raise ValueError(
+                    f"fixed default has codepoints > 255 at {path}"
+                ) from None
+            if len(b) != rdesc[1]:
+                raise ValueError(
+                    f"fixed default is {len(b)} bytes, schema says {rdesc[1]} at {path}"
+                )
+            return b
         if kind == "array":
             if not isinstance(jdefault, list):
                 raise ValueError(f"array default must be a JSON array at {path}")
@@ -449,6 +519,23 @@ def _encode_value(prim: str, v) -> bytes:
     if prim == "boolean":
         return b"\x01" if v else b"\x00"
     if isinstance(prim, tuple):
+        if prim[0] == "enum":
+            symbols = prim[1]
+            try:
+                return encode_long(symbols.index(v))
+            except ValueError:
+                raise ValueError(
+                    f"enum value {v!r} not in symbols {list(symbols)}"
+                ) from None
+        if prim[0] == "fixed":
+            if not isinstance(v, (bytes, bytearray, memoryview)):
+                raise ValueError(
+                    f"'fixed' field needs a bytes-like value, got {type(v).__name__}"
+                )
+            b = bytes(v)
+            if len(b) != prim[1]:
+                raise ValueError(f"fixed value is {len(b)} bytes, schema says {prim[1]}")
+            return b
         if prim[0] == "record":
             sub = list(prim[1])
             # nested records take Spark's struct shapes: positional
@@ -574,6 +661,17 @@ def _read_value(prim: str, buf: bytes, pos: int):
             raise ValueError(f"bad boolean byte {buf[pos]}")
         return buf[pos] == 1, pos + 1
     if isinstance(prim, tuple):
+        if prim[0] == "enum":
+            idx, pos = read_long(buf, pos)
+            symbols = prim[1]
+            if not 0 <= idx < len(symbols):
+                raise ValueError(f"enum index {idx} outside {len(symbols)} symbols")
+            return symbols[idx], pos
+        if prim[0] == "fixed":
+            n = prim[1]
+            if pos + n > len(buf):
+                raise ValueError("truncated fixed value")
+            return buf[pos : pos + n], pos + n
         if prim[0] == "record":
             return _read_record(list(prim[1]), buf, pos)
         kind, item_prim, item_nullable = prim

@@ -938,7 +938,14 @@ def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
     partition (even parts null, odd parts deflate — round 11): a real
     landing directory holds files from different writers, and the reader
     must dispatch per file off each header's avro.codec, so the declared
-    census round-trips both required codecs in one query."""
+    census round-trips both required codecs in one query. MIXED schema
+    VINTAGES too (late round 11): part 1 writes an EVOLVED superset
+    schema — an extra `vintage` long column and a `logicalType`-annotated
+    `n_chars` — which the reader resolves back into AVRO_DOCS_SCHEMA per
+    the spec's resolution rules (the extra field is decoded and dropped,
+    the annotation passes through), so the declared census also proves
+    the multi-vintage directory path on every run while its VALUES stay
+    identical to the uniform staging."""
     from transf_spark.sources.avro_ocf import write_ocf
 
     def write(out: str) -> None:
@@ -949,6 +956,17 @@ def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
         os.makedirs(out, exist_ok=True)
         docs = load_table(spark, sf_dir, "documents")
         schema = AVRO_DOCS_SCHEMA  # closure-captured constants: keep the
+        evolved = {
+            "type": "record",
+            "name": "document",
+            "fields": AVRO_DOCS_SCHEMA["fields"][:-1]
+            + [
+                # annotated primitive — the spec's JSON-object form
+                {"name": "n_chars", "type": ["null", {"type": "long", "doc": "chars"}]},
+                # writer-only column the reader schema drops at resolution
+                {"name": "vintage", "type": "long"},
+            ],
+        }
         sync = hashlib.md5(b"transf_avro_docs").digest()  # task closure tiny
 
         def write_part(rows_iter) -> None:
@@ -958,18 +976,27 @@ def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
             # generator, not a list: write_ocf buffers only block_rows
             # records at a time, so the executor never holds the whole
             # partition's text in memory (round-10 review finding)
-            rows = (
-                (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
-                for r in rows_iter
-            )
+            if pid == 1:
+                rows = (
+                    (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"], 2)
+                    for r in rows_iter
+                )
+            else:
+                rows = (
+                    (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+                    for r in rows_iter
+                )
             write_ocf(
-                os.path.join(out, f"part-{pid:04d}.avro"), schema, rows, sync,
+                os.path.join(out, f"part-{pid:04d}.avro"),
+                evolved if pid == 1 else schema,
+                rows,
+                sync,
                 codec="deflate" if pid % 2 else "null",
             )
 
         docs.repartition(AVRO_WRITE_PARTS, "doc_id").foreachPartition(write_part)
 
-    tag = tables.staging_tag(sf_dir, "documents", extra="avro2")
+    tag = tables.staging_tag(sf_dir, "documents", extra="avro3")
     return tables.stage_once("/tmp/transf_spark_fmt_avro_", tag, write)
 
 
