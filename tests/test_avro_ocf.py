@@ -1466,3 +1466,39 @@ def test_enum_fixed_cross_implementation_with_java(spark, tmp_path):
         dfw.append(reader.read(None, dec))
     dfw.close()
     assert list(a.read_ocf(open(p2, "rb").read())[1]) == rows
+
+
+def test_alias_resolution_matches_java(spark, tmp_path):
+    """Reader-field aliases (the spec's rename mechanism) resolve a
+    renamed writer field — and agree with the Java reader's own alias
+    handling. The field's own name wins over its aliases."""
+    jvm = spark.sparkContext._jvm
+    writer = {"type": "record", "name": "d", "fields": [
+        {"name": "uid", "type": "long"},
+        {"name": "txt", "type": ["null", "string"]}]}
+    reader = {"type": "record", "name": "d", "fields": [
+        {"name": "user_id", "type": "long", "aliases": ["uid", "id"]},
+        {"name": "text", "type": ["null", "string"], "aliases": ["txt"]}]}
+    rows = [(7, "a"), (8, None)]
+    p = str(tmp_path / "al.avro")
+    a.write_ocf(p, writer, rows, SYNC)
+    ours = list(a.read_ocf(open(p, "rb").read(), reader_schema=reader)[1])
+    assert ours == rows
+
+    rsch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(reader))
+    rdr = jvm.org.apache.avro.generic.GenericDatumReader()
+    rdr.setExpected(rsch)
+    dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(p), rdr)
+    java_rows = []
+    while dfr.hasNext():
+        rec = dfr.next()
+        t = rec.get("text")
+        java_rows.append((rec.get("user_id"), str(t) if t is not None else None))
+    dfr.close()
+    assert java_rows == ours
+
+    # the field's own name wins over an alias pointing elsewhere
+    both = {"type": "record", "name": "d", "fields": [
+        {"name": "uid", "type": "long", "aliases": ["txt"]}]}
+    got = list(a.read_ocf(open(p, "rb").read(), reader_schema=both)[1])
+    assert got == [(7,), (8,)]

@@ -427,11 +427,17 @@ def build_resolver(reader_schema: dict, writer_fields: list, path: str = "$"):
     wmap = {name: (i, desc, null) for i, (name, desc, null) in enumerate(writer_fields)}
     steps = []
     for rname, rdesc, rnull in reader_fields:
-        if rname in wmap:
-            widx, wdesc, wnull = wmap[rname]
+        # spec: a reader field may declare "aliases" naming what the
+        # writer called it — the rename mechanism. The field's own name
+        # wins; aliases are tried in order only when the name is absent.
+        match = rname if rname in wmap else next(
+            (al for al in raw[rname].get("aliases", ()) if al in wmap), None
+        )
+        if match is not None:
+            widx, wdesc, wnull = wmap[match]
             if wnull and not rnull:
                 raise ValueError(
-                    f"nullable writer field {rname!r} cannot resolve into "
+                    f"nullable writer field {match!r} cannot resolve into "
                     f"non-nullable reader field at {path}"
                 )
             fn = _value_resolver(wdesc, rdesc, raw[rname]["type"], f"{path}.{rname}")
