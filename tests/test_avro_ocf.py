@@ -1502,3 +1502,131 @@ def test_alias_resolution_matches_java(spark, tmp_path):
         {"name": "uid", "type": "long", "aliases": ["txt"]}]}
     got = list(a.read_ocf(open(p, "rb").read(), reader_schema=both)[1])
     assert got == [(7,), (8,)]
+
+
+# ---------------------------------------------------------------------------
+# Snappy codec (late round 11): the optional codec real deployments
+# default to, carried by a from-spec pure-Python raw-snappy
+# implementation (full-format decoder incl. copies, literal-only
+# encoder). Same gates as deflate: property round-trip, both-direction
+# Java cross-implementation parity, and the mutation contract.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(ROW, max_size=25))
+def test_snappy_roundtrip_property(tmp_path_factory, rows):
+    p = str(tmp_path_factory.mktemp("avro") / "s.avro")
+    a.write_ocf(p, SCHEMA, rows, SYNC, block_rows=6, codec="snappy")
+    _, it = a.read_ocf(open(p, "rb").read())
+    import struct as _struct
+
+    pack = lambda r: (r[0], r[1], _struct.pack("<d", r[2]), r[3], r[4])
+    assert [pack(r) for r in it] == [pack(r) for r in rows]
+
+
+def test_snappy_raw_decoder_handles_java_copies(spark):
+    """The Java compressor emits real COPY elements (1/2/4-byte offsets,
+    overlapping patterns) — our full-format decoder must reproduce its
+    input exactly, and our literal-only streams must decode under Java."""
+    import os
+    import random
+
+    jvm = spark.sparkContext._jvm
+    Snappy = jvm.org.xerial.snappy.Snappy
+    rnd = random.Random(11)
+    cases = [
+        b"",
+        b"a",
+        b"hello hello hello hello snappy snappy snappy" * 50,
+        b"abcd" * 5000,  # overlap copies
+        bytes(rnd.choice(b"ab") for _ in range(30000)),
+        os.urandom(100000),  # incompressible
+    ]
+    for data in cases:
+        assert a.snappy_decompress(bytes(Snappy.compress(data))) == data
+        if data:
+            assert bytes(Snappy.uncompress(a.snappy_compress(data))) == data
+        assert a.snappy_decompress(a.snappy_compress(data)) == data
+
+
+def test_snappy_cross_implementation_with_java_avro(spark, tmp_path):
+    """Files the Java writer produces under CodecFactory.snappyCodec()
+    must decode under our codec, and our snappy files under the Java
+    reader — including the per-block big-endian CRC32 framing."""
+    jvm = spark.sparkContext._jvm
+    schema = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": ["null", "string"]},
+        ],
+    }
+    rows = [(i, None if i % 7 == 0 else f"text {i} " * (i % 5)) for i in range(200)]
+    p1 = str(tmp_path / "ours.avro")
+    a.write_ocf(p1, schema, rows, SYNC, block_rows=50, codec="snappy")
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p1), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    got = []
+    while dfr.hasNext():
+        rec = dfr.next()
+        t = rec.get("text")
+        got.append((rec.get("doc_id"), str(t) if t is not None else None))
+    dfr.close()
+    assert got == rows
+
+    sch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(sch)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    )
+    dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.snappyCodec())
+    p2 = str(tmp_path / "theirs.avro")
+    dfw.create(sch, jvm.java.io.File(p2))
+    for doc_id, text in rows:
+        payload = json.dumps(
+            {"doc_id": doc_id, "text": {"string": text} if text is not None else None}
+        )
+        dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(sch, payload)
+        dfw.append(reader.read(None, dec))
+    dfw.close()
+    assert list(a.read_ocf(open(p2, "rb").read())[1]) == rows
+
+
+def test_snappy_crc_mismatch_rejected(tmp_path):
+    """A flipped bit in the record payload must surface as a CRC32
+    mismatch (or another ValueError), never as silently wrong rows."""
+    import pytest
+
+    p = str(tmp_path / "s.avro")
+    rows = [(i, f"t{i}", float(i), i % 2 == 0, None) for i in range(30)]
+    a.write_ocf(p, SCHEMA, rows, SYNC, block_rows=30, codec="snappy")
+    good = open(p, "rb").read()
+    # flip one byte in the last 4 bytes before the trailing sync (the CRC)
+    mutated = bytearray(good)
+    mutated[-17] ^= 0xFF
+    with pytest.raises(ValueError):
+        list(a.read_ocf(bytes(mutated))[1])
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=1, max_value=255),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_snappy_mutations_decode_or_valueerror(tmp_path_factory, pos, mask, cut):
+    p = str(tmp_path_factory.mktemp("avro") / "sm.avro")
+    rows = [(i, f"t{i}", float(i), i % 2 == 0, None) for i in range(20)]
+    a.write_ocf(p, SCHEMA, rows, SYNC, block_rows=6, codec="snappy")
+    good = open(p, "rb").read()
+    mutated = bytearray(good)
+    mutated[pos % len(good)] ^= mask
+    for buf in (bytes(mutated), good[: cut % (len(good) + 1)]):
+        try:
+            _, it = a.read_ocf(buf)
+            list(it)
+        except ValueError:
+            continue

@@ -23,11 +23,14 @@ nested metadata records). ``enum`` (decodes as the
 symbol string) and ``fixed`` (decodes as bytes, size pinned) in any field
 or item position; ``null`` and ``deflate`` codecs (the spec's two
 REQUIRED codecs — deflate is a raw RFC 1951 stream per block, no zlib
-header/checksum, stdlib ``zlib`` with wbits=-15).
+header/checksum, stdlib ``zlib`` with wbits=-15) plus ``snappy`` (the
+optional codec real deployments default to — from-spec pure-Python raw
+snappy, full-format decoder / literal-only encoder, Avro's trailing
+big-endian CRC32 framing verified per block).
 Array-of-array/map-of-map, general multi-branch unions, named-type
 REFERENCES (a previously defined record name used as a type string), and
-the optional codecs (snappy/zstd) are out of scope and REJECTED at
-schema/header parse, never mis-decoded.
+the zstd/bzip2/xz codecs are out of scope and REJECTED at schema/header
+parse, never mis-decoded.
 Array/map decoding handles the spec's full block form (multiple blocks
 per value, negative counts carrying a byte-size prefix); the writer emits
 the common single-block form the Java library also writes. Dict-wrapped
@@ -58,7 +61,14 @@ import zlib
 
 MAGIC = b"Obj\x01"
 
-CODECS = ("null", "deflate")  # the spec's two required codecs
+# null + deflate are the spec's two REQUIRED codecs; snappy is the
+# spec's optional codec that real deployments default to — carried here
+# by a from-spec pure-Python raw-snappy implementation (decoder covers
+# the FULL format incl. copy elements; encoder emits the spec-legal
+# literal-only form), since no snappy Python lib ships in this
+# container. Avro's snappy framing appends a 4-byte BIG-ENDIAN CRC32 of
+# the uncompressed data to each block.
+CODECS = ("null", "deflate", "snappy")
 
 
 def _deflate_compress(buf: bytes) -> bytes:
@@ -101,12 +111,134 @@ def _deflate_decompress(buf: bytes) -> bytes:
     return out
 
 
+# ---- snappy (raw format, google/snappy format_description.txt) -------------
+
+def _read_snappy_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    x, shift = 0, 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated snappy length varint")
+        b = buf[pos]
+        pos += 1
+        x |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return x, pos
+        shift += 7
+        if shift > 35:  # uncompressed length is a uint32
+            raise ValueError("snappy length varint too long")
+
+
+def snappy_decompress(buf: bytes) -> bytes:
+    """Full raw-snappy decoder: preamble (LE varint uncompressed length),
+    then literal elements and 1/2/4-byte-offset copy elements, including
+    overlapping copies (offset < length repeats the pattern). Malformed
+    input raises ValueError — same contract as the deflate path."""
+    n, pos = _read_snappy_uvarint(buf, 0)
+    if n > MAX_BLOCK_BYTES:
+        raise ValueError(f"snappy block declares {n} bytes, exceeds ceiling")
+    out = bytearray()
+    while pos < len(buf):
+        t = buf[pos]
+        pos += 1
+        typ = t & 3
+        if typ == 0:  # literal
+            l = t >> 2
+            if l >= 60:
+                nb = l - 59
+                if pos + nb > len(buf):
+                    raise ValueError("truncated snappy literal length")
+                l = int.from_bytes(buf[pos : pos + nb], "little")
+                pos += nb
+            length = l + 1
+            if pos + length > len(buf):
+                raise ValueError("truncated snappy literal")
+            out += buf[pos : pos + length]
+            pos += length
+        else:
+            if typ == 1:
+                length = ((t >> 2) & 0x7) + 4
+                if pos >= len(buf):
+                    raise ValueError("truncated snappy copy offset")
+                offset = ((t >> 5) << 8) | buf[pos]
+                pos += 1
+            elif typ == 2:
+                length = (t >> 2) + 1
+                if pos + 2 > len(buf):
+                    raise ValueError("truncated snappy copy offset")
+                offset = int.from_bytes(buf[pos : pos + 2], "little")
+                pos += 2
+            else:
+                length = (t >> 2) + 1
+                if pos + 4 > len(buf):
+                    raise ValueError("truncated snappy copy offset")
+                offset = int.from_bytes(buf[pos : pos + 4], "little")
+                pos += 4
+            if offset == 0 or offset > len(out):
+                raise ValueError(f"bad snappy copy offset {offset} at {len(out)}")
+            if len(out) + length > n:
+                raise ValueError("snappy output exceeds declared length")
+            start = len(out) - offset
+            if offset >= length:
+                out += out[start : start + length]
+            else:
+                pattern = out[start:]
+                while length > 0:
+                    take = min(length, len(pattern))
+                    out += pattern[:take]
+                    length -= take
+        if len(out) > n:
+            raise ValueError("snappy output exceeds declared length")
+    if len(out) != n:
+        raise ValueError(f"snappy output {len(out)} != declared {n}")
+    return bytes(out)
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Literal-only raw-snappy stream — spec-legal (a compressor may
+    always emit literals), decodable by every snappy reader; trades
+    compression for zero dependencies. 64 KiB literal elements."""
+    x = len(data)
+    out = bytearray()
+    while True:
+        b = x & 0x7F
+        x >>= 7
+        if x:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos : pos + 65536]
+        pos += len(chunk)
+        l = len(chunk) - 1
+        if l < 60:
+            out.append(l << 2)
+        elif l < 256:
+            out.append(60 << 2)
+            out.append(l)
+        else:
+            out.append(61 << 2)
+            out += l.to_bytes(2, "little")
+        out += chunk
+    return bytes(out)
+
+
 def decompress_block(codec: str, buf: bytes) -> bytes:
     """Block payload -> record bytes under the file's declared codec."""
     if codec == "null":
         return buf
     if codec == "deflate":
         return _deflate_decompress(buf)
+    if codec == "snappy":
+        # Avro frames each snappy block with a trailing 4-byte BIG-ENDIAN
+        # CRC32 of the UNCOMPRESSED data
+        if len(buf) < 4:
+            raise ValueError("snappy block too short for its CRC32")
+        data = snappy_decompress(buf[:-4])
+        if zlib.crc32(data) != int.from_bytes(buf[-4:], "big"):
+            raise ValueError("snappy block CRC32 mismatch")
+        return data
     raise ValueError(f"unsupported codec {codec!r}")
 
 _PRIMITIVES = ("long", "int", "float", "string", "double", "boolean", "bytes")
@@ -779,7 +911,13 @@ def write_ocf(path: str, schema: dict, rows, sync: bytes, block_rows: int = 1024
         def flush():
             nonlocal buf, n
             if n:
-                payload = bytes(buf) if codec == "null" else _deflate_compress(bytes(buf))
+                raw = bytes(buf)
+                if codec == "null":
+                    payload = raw
+                elif codec == "deflate":
+                    payload = _deflate_compress(raw)
+                else:  # snappy: compressed stream + BE CRC32 of raw
+                    payload = snappy_compress(raw) + zlib.crc32(raw).to_bytes(4, "big")
                 f.write(encode_long(n) + encode_long(len(payload)) + payload + sync)
                 buf, n = bytearray(), 0
 

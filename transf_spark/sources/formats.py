@@ -991,12 +991,14 @@ def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
                 evolved if pid == 1 else schema,
                 rows,
                 sync,
-                codec="deflate" if pid % 2 else "null",
+                # all three supported codecs in one directory — the reader
+                # dispatches per file off each self-describing header
+                codec={0: "null", 1: "deflate", 2: "null", 3: "snappy"}[pid % 4],
             )
 
         docs.repartition(AVRO_WRITE_PARTS, "doc_id").foreachPartition(write_part)
 
-    tag = tables.staging_tag(sf_dir, "documents", extra="avro3")
+    tag = tables.staging_tag(sf_dir, "documents", extra="avro4")
     return tables.stage_once("/tmp/transf_spark_fmt_avro_", tag, write)
 
 
@@ -1015,13 +1017,13 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the Apache Avro Java library in Spark's own jars) carried by
     the Python DataSource API that `scan_python_datasource` proved out.
     Documents stage as executor-written OCF files (one per hash
-    partition, MIXED codecs — even parts null, odd parts deflate, the
-    spec's two required codecs; the reader dispatches per file off the
-    self-describing header), read back file-parallel through the custom
-    source, and the same census as the CSV/JSON/ORC/XML twins must
-    hash-match the raw-parquet oracle — NULL text, empty-vs-NULL
-    distinction, and every unicode byte must survive the union-typed
-    binary round-trip under both codecs.
+    partition, MIXED codecs — null, deflate, AND snappy, all three
+    supported codecs in one directory; the reader dispatches per file
+    off the self-describing header), read back file-parallel through
+    the custom source, and the same census as the CSV/JSON/ORC/XML
+    twins must hash-match the raw-parquet oracle — NULL text,
+    empty-vs-NULL distinction, and every unicode byte must survive the
+    union-typed binary round-trip under every codec.
 
     Scale: BLOCK-granular splits keyed off the sync markers (the driver
     indexes block boundaries in O(blocks) seeks, executors decode
