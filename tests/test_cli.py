@@ -76,3 +76,27 @@ def test_cli_run_explain_oracle_roundtrip(spark):
 def test_cli_unknown_query_is_an_error():
     assert cli.cmd_run(_ns(name="__nope__")) == 2
     assert cli.cmd_explain(_ns(name="__nope__")) == 2
+
+
+def test_cli_avro_inspect(tmp_path, capsys):
+    """`avro <file>` prints codec/blocks/records/schema via the codec's
+    own walkers, no Spark session; bad files exit 2 with a message."""
+    import hashlib
+
+    from transf_spark.sources import avro_ocf as a
+
+    schema = {"type": "record", "name": "d", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "tag", "type": ["null", "string"]}]}
+    p = str(tmp_path / "x.avro")
+    a.write_ocf(p, schema, [(1, "a"), (2, None), (3, "c")],
+                hashlib.md5(b"cli").digest(), block_rows=2, codec="snappy")
+    ns = argparse.Namespace(path=p)
+    assert cli.cmd_avro(ns) == 0
+    out = capsys.readouterr().out
+    assert "codec:   snappy" in out and "records: 3" in out and "blocks:  2" in out
+    assert "tag: string (nullable)" in out
+
+    bad = str(tmp_path / "bad.avro")
+    open(bad, "wb").write(b"not avro at all")
+    assert cli.cmd_avro(argparse.Namespace(path=bad)) == 2

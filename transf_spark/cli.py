@@ -128,6 +128,34 @@ def cmd_ping(args) -> int:
     return 0
 
 
+def cmd_avro(args) -> int:
+    """Inspect one Avro OCF file via the codec's own header/block walkers
+    — schema, codec, block census — without starting a Spark session
+    (the DataSource reader's driver-side planning path, surfaced)."""
+    import json as _json
+
+    from transf_spark.sources.avro_ocf import scan_block_index, scan_header
+
+    try:
+        with open(args.path, "rb") as f:
+            fields, _sync, codec = scan_header(f)
+            f.seek(0)
+            index = scan_block_index(f)
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(f"file:    {args.path}")
+    print(f"codec:   {codec}")
+    print(f"blocks:  {len(index)}")
+    print(f"records: {sum(n for _, n, _ in index)}")
+    print(f"payload: {sum(s for _, _, s in index)} bytes")
+    print("schema:")
+    for name, desc, nullable in fields:
+        print(f"  {name}: {_json.dumps(desc) if not isinstance(desc, str) else desc}"
+              f"{' (nullable)' if nullable else ''}")
+    return 0
+
+
 def cmd_repl(args) -> int:
     from transf_spark.queries import all_specs
 
@@ -190,6 +218,10 @@ def build_parser() -> argparse.ArgumentParser:
     ping.add_argument("--interval", type=float, default=1.0)
     common(ping)
     ping.set_defaults(fn=cmd_ping)
+
+    av = sub.add_parser("avro", help="inspect an Avro OCF file (no Spark session)")
+    av.add_argument("path")
+    av.set_defaults(fn=cmd_avro)
 
     repl = sub.add_parser("repl", help="interactive query loop")
     repl.add_argument("--limit", type=int, default=20)
