@@ -1630,3 +1630,18 @@ def test_snappy_mutations_decode_or_valueerror(tmp_path_factory, pos, mask, cut)
             list(it)
         except ValueError:
             continue
+
+
+def test_resolution_rejects_nonnull_union_default_and_bad_aliases():
+    """Spec: a nullable union's default must be null (first branch), and
+    aliases must be a list of strings — both malformed forms reject at
+    resolver build instead of silently diverging from the Java parser."""
+    import pytest
+
+    wf = a.parse_schema(W_EVOLVE)
+    with pytest.raises(ValueError):
+        a.build_resolver({"type": "record", "name": "d", "fields": [
+            {"name": "extra", "type": ["null", "long"], "default": 5}]}, wf)
+    with pytest.raises(ValueError):
+        a.build_resolver({"type": "record", "name": "d", "fields": [
+            {"name": "user_id", "type": "long", "aliases": "id"}]}, wf)

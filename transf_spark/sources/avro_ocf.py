@@ -482,6 +482,15 @@ def _default_value(rdesc, nullable: bool, jdefault, path: str):
         if not nullable:
             raise ValueError(f"null default for non-nullable {path}")
         return None
+    if nullable:
+        # spec: a union's default corresponds to its FIRST branch, and
+        # nullable fields are ['null', T] — the Java parser (with default
+        # validation on) rejects a non-null default here, so accepting it
+        # would make the two implementations disagree on schema validity
+        raise ValueError(
+            f"default for nullable {path} must be null (union defaults "
+            f"use the first branch)"
+        )
     if isinstance(rdesc, tuple):
         kind = rdesc[0]
         if kind == "enum":
@@ -568,8 +577,15 @@ def build_resolver(reader_schema: dict, writer_fields: list, path: str = "$"):
         # spec: a reader field may declare "aliases" naming what the
         # writer called it — the rename mechanism. The field's own name
         # wins; aliases are tried in order only when the name is absent.
+        aliases = raw[rname].get("aliases", [])
+        if not isinstance(aliases, list) or not all(
+            isinstance(al, str) for al in aliases
+        ):
+            # a bare string would be iterated per-character and silently
+            # never match — reject like every other malformed schema input
+            raise ValueError(f"aliases of {rname!r} must be a list of strings")
         match = rname if rname in wmap else next(
-            (al for al in raw[rname].get("aliases", ()) if al in wmap), None
+            (al for al in aliases if al in wmap), None
         )
         if match is not None:
             widx, wdesc, wnull = wmap[match]
@@ -951,14 +967,13 @@ def read_ocf(data: bytes, reader_schema: dict | None = None):
     import io
 
     fields, _sync, codec = scan_header(io.BytesIO(data))
-    tf = None
+    wfields, tf = fields, None
     if reader_schema is not None:
         tf = build_resolver(reader_schema, fields)
         fields = parse_schema(reader_schema)
 
     def rows():
         index = scan_block_index(io.BytesIO(data))
-        wfields = scan_header(io.BytesIO(data))[0]
         for off, n, size in index:
             buf = decompress_block(codec, data[off : off + size])
             decoded = decode_records(wfields, buf, n)

@@ -935,10 +935,11 @@ def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
     the pure-Python codec (foreachPartition — the custom-sink shape; on a
     real cluster the open() targets shared storage instead of local /tmp,
     which single-host local mode makes equivalent). MIXED codecs by
-    partition (even parts null, odd parts deflate — round 11): a real
-    landing directory holds files from different writers, and the reader
-    must dispatch per file off each header's avro.codec, so the declared
-    census round-trips both required codecs in one query. MIXED schema
+    partition (null / deflate / null / snappy — all three supported
+    codecs, round 11): a real landing directory holds files from
+    different writers, and the reader must dispatch per file off each
+    header's avro.codec, so the declared census round-trips every codec
+    in one query. MIXED schema
     VINTAGES too (late round 11): part 1 writes an EVOLVED superset
     schema — an extra `vintage` long column and a `logicalType`-annotated
     `n_chars` — which the reader resolves back into AVRO_DOCS_SCHEMA per
