@@ -12,6 +12,8 @@ import json
 import math
 import struct
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -70,7 +72,17 @@ def test_unsupported_schema_rejected():
 
     for bad in (
         {"type": "record", "name": "r", "fields": [{"name": "x", "type": "enum"}]},
-        {"type": "record", "name": "r", "fields": [{"name": "x", "type": ["null", "string", "long"]}]},
+        # multi-branch unions are SUPPORTED since round 12; what stays
+        # rejected is the spec-invalid rest: union-in-union, duplicate
+        # branch types, a union of only null, an empty union
+        {"type": "record", "name": "r", "fields": [
+            {"name": "x", "type": ["long", ["null", "string"]]}]},
+        {"type": "record", "name": "r", "fields": [
+            {"name": "x", "type": ["string", "string"]}]},
+        {"type": "record", "name": "r", "fields": [
+            {"name": "x", "type": ["int", "long", "int"]}]},
+        {"type": "record", "name": "r", "fields": [{"name": "x", "type": ["null"]}]},
+        {"type": "record", "name": "r", "fields": [{"name": "x", "type": []}]},
         # container-of-container stays outside the declared subset
         {"type": "record", "name": "r", "fields": [
             {"name": "x", "type": {"type": "array", "items": {"type": "array", "items": "long"}}}]},
@@ -819,19 +831,28 @@ def test_nested_record_accepts_dicts_and_rejects_bad_shapes(tmp_path):
 def test_nested_schema_limits_rejected():
     import pytest
 
-    # named-type REFERENCE (the spec allows re-using a defined record by
-    # name; the subset rejects it rather than mis-decode)
-    ref = {
+    # named-type REFERENCES are SUPPORTED since round 12; what stays
+    # rejected is true RECURSION (a self-referential record cannot expand
+    # to a finite descriptor) and duplicate definitions
+    rec = {
+        "type": "record",
+        "name": "node",
+        "fields": [{"name": "next", "type": ["null", "node"]}],
+    }
+    with pytest.raises(ValueError, match="recursive"):
+        a.parse_schema(rec)
+    dup = {
         "type": "record",
         "name": "r",
         "fields": [
             {"name": "a", "type": {"type": "record", "name": "n",
                                    "fields": [{"name": "x", "type": "long"}]}},
-            {"name": "b", "type": "n"},
+            {"name": "b", "type": {"type": "enum", "name": "n",
+                                   "symbols": ["A"]}},
         ],
     }
-    with pytest.raises(ValueError):
-        a.parse_schema(ref)
+    with pytest.raises(ValueError, match="duplicate type name"):
+        a.parse_schema(dup)
     # recursion bomb: a hostile header must ValueError, not RecursionError
     deep = "long"
     for i in range(2 * a.MAX_SCHEMA_DEPTH + 2):
@@ -1317,6 +1338,12 @@ def test_staged_fixture_mixes_schema_vintages(spark):
     assert names_by_part["part-0000.avro"] == [
         "doc_id", "text", "lang", "source", "n_chars"
     ]
+    # part 2 (round 12): n_chars lands as a MULTI-BRANCH union the
+    # reader's resolution folds back into nullable long
+    with open(os.path.join(d, "part-0002.avro"), "rb") as f:
+        fields, _, _ = a.scan_header(f)
+    nc = dict((n, (t, nl)) for n, t, nl in fields)["n_chars"]
+    assert nc == (("union", ("null", "long", "int"), ("promote", "long")), False)
 
 
 # ---------------------------------------------------------------------------
@@ -1645,3 +1672,313 @@ def test_resolution_rejects_nonnull_union_default_and_bad_aliases():
     with pytest.raises(ValueError):
         a.build_resolver({"type": "record", "name": "d", "fields": [
             {"name": "user_id", "type": "long", "aliases": "id"}]}, wf)
+
+
+def test_record_default_subfield_fallback_matches_java(spark, tmp_path):
+    """Round-11 ADVICE: a subfield ABSENT from a record field's JSON
+    default object takes its own declared default (the Java parser's
+    behavior) — requiring every subfield rejected spec-valid readers.
+    Parity-pinned against the Java GenericDatumReader; a subfield with
+    NEITHER presence nor its own default still rejects."""
+    jvm = spark.sparkContext._jvm
+    writer = {"type": "record", "name": "d", "fields": [
+        {"name": "id", "type": "long"}]}
+    reader = {"type": "record", "name": "d", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "meta", "type": {
+            "type": "record", "name": "m", "fields": [
+                {"name": "x", "type": "long", "default": 7},
+                {"name": "y", "type": "string", "default": "hi"}]},
+         "default": {"x": 1}}]}
+    rows = [(1,), (2,)]
+    p = str(tmp_path / "d.avro")
+    a.write_ocf(p, writer, rows, SYNC)
+
+    ours = list(a.read_ocf(open(p, "rb").read(), reader_schema=reader)[1])
+    assert ours == [(1, (1, "hi")), (2, (1, "hi"))]
+
+    rsch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(reader))
+    rdr = jvm.org.apache.avro.generic.GenericDatumReader()
+    rdr.setExpected(rsch)
+    dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(p), rdr)
+    java_rows = []
+    while dfr.hasNext():
+        rec = dfr.next()
+        meta = rec.get("meta")
+        java_rows.append((rec.get("id"), (meta.get("x"), str(meta.get("y")))))
+    dfr.close()
+    assert java_rows == ours
+
+    no_fallback = {"type": "record", "name": "d", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "meta", "type": {
+            "type": "record", "name": "m", "fields": [
+                {"name": "x", "type": "long", "default": 7},
+                {"name": "y", "type": "string"}]},
+         "default": {"x": 1}}]}
+    with pytest.raises(ValueError, match="missing field"):
+        list(a.read_ocf(open(p, "rb").read(), reader_schema=no_fallback)[1])
+
+
+# ---- general unions + named-type references (round 12) ---------------------
+
+UNION_SCHEMA = {
+    "type": "record",
+    "name": "u",
+    "fields": [
+        # value surface, null second (wire branch 0 = string)
+        {"name": "vs", "type": ["string", "null"]},
+        # promote surfaces
+        {"name": "pi", "type": ["null", "int", "long"]},
+        {"name": "pf", "type": ["float", "double"]},
+        # struct surface: member0=string, member1=long, member2=fixed
+        {"name": "sv", "type": ["null", "string", "long",
+                                {"type": "fixed", "name": "f4", "size": 4}]},
+        # named-type reference inside a union (f4 defined above)
+        {"name": "rf", "type": ["null", "f4"]},
+    ],
+}
+
+UNION_ROW = st.tuples(
+    st.one_of(st.none(), st.text(max_size=30)),
+    st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+    st.floats(allow_nan=False, width=32).map(float),
+    st.one_of(
+        st.none(),
+        st.tuples(st.text(max_size=20), st.none(), st.none()),
+        st.tuples(st.none(), st.integers(-(2**63), 2**63 - 1), st.none()),
+        st.tuples(st.none(), st.none(), st.binary(min_size=4, max_size=4)),
+    ),
+    st.one_of(st.none(), st.binary(min_size=4, max_size=4)),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(UNION_ROW, max_size=25))
+def test_union_roundtrip_property(tmp_path_factory, rows):
+    p = str(tmp_path_factory.mktemp("avro") / "u.avro")
+    a.write_ocf(p, UNION_SCHEMA, rows, SYNC, block_rows=5)
+    _, it = a.read_ocf(open(p, "rb").read())
+    assert list(it) == rows
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    pos=st.integers(0, 10_000),
+    mask=st.integers(1, 255),
+    cut=st.one_of(st.none(), st.integers(0, 10_000)),
+)
+def test_union_mutations_decode_or_valueerror(tmp_path_factory, pos, mask, cut):
+    """The decode-or-ValueError contract holds on union-bearing files."""
+    global _UNION_FUZZ_BYTES
+    try:
+        data = _UNION_FUZZ_BYTES
+    except NameError:
+        p = str(tmp_path_factory.mktemp("avro") / "u.avro")
+        rows = [("s", 5, 1.5, (None, 9, None), b"abcd"),
+                (None, None, 2.0, ("x", None, None), None),
+                ("t", 2**40, 0.25, (None, None, b"wxyz"), b"ped!")] * 3
+        a.write_ocf(p, UNION_SCHEMA, rows, SYNC, block_rows=2)
+        data = _UNION_FUZZ_BYTES = open(p, "rb").read()
+    mutated = bytearray(data)
+    mutated[pos % len(mutated)] ^= mask
+    if cut is not None:
+        mutated = mutated[: cut % len(mutated)]
+    try:
+        _, it = a.read_ocf(bytes(mutated))
+        list(it)
+    except ValueError:
+        pass  # the contract: decode or ValueError, never anything else
+
+
+def test_union_cross_implementation_with_java(spark, tmp_path):
+    """All three union surfaces + a named-type reference, cross-tested in
+    BOTH directions against the Apache Avro Java library in Spark's jars
+    (jsonDecoder staging keys union branches by type/record name)."""
+    jvm = spark.sparkContext._jvm
+    rows = [
+        ("s", 5, 1.5, (None, 9, None), b"abcd"),
+        (None, None, 2.0, ("x", None, None), None),
+        ("t", -(2**40), 0.25, (None, None, b"wxyz"), b"ped!"),
+        ("", 2**31, 3.5, None, b"\x00\x01\x02\x03"),
+    ]
+    p1 = str(tmp_path / "ours.avro")
+    a.write_ocf(p1, UNION_SCHEMA, rows, SYNC, block_rows=2)
+
+    def jbytes(v):
+        bb = v.duplicate()
+        out = bytearray()
+        while bb.hasRemaining():
+            out.append(bb.get() & 0xFF)
+        return bytes(out)
+
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p1), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    got = []
+    while dfr.hasNext():
+        rec = dfr.next()
+        vs = rec.get("vs")
+        pi = rec.get("pi")
+        pf = rec.get("pf")
+        sv = rec.get("sv")
+        rf = rec.get("rf")
+        # re-surface Java's raw branch values the way our codec does
+        # (py4j hasattr is always true on JavaObjects — dispatch on the
+        # Java class name instead)
+        if sv is None:
+            sv_t = None
+        elif isinstance(sv, int):
+            sv_t = (None, sv, None)
+        elif "Fixed" in sv.getClass().getSimpleName():
+            sv_t = (None, None, bytes(sv.bytes()))
+        else:
+            sv_t = (str(sv), None, None)
+        got.append((
+            str(vs) if vs is not None else None,
+            int(pi) if pi is not None else None,
+            float(pf),
+            sv_t,
+            bytes(rf.bytes()) if rf is not None else None,
+        ))
+    dfr.close()
+    assert got == rows
+
+    # reverse: Java writes through its own jsonDecoder staging, we read
+    sch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(UNION_SCHEMA))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(sch)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    )
+    p2 = str(tmp_path / "theirs.avro")
+    dfw.create(sch, jvm.java.io.File(p2))
+    fixed_json = lambda b: b.decode("latin-1")
+    for vs, pi, pf, sv, rf in rows:
+        if sv is None:
+            sv_j = None
+        elif sv[0] is not None:
+            sv_j = {"string": sv[0]}
+        elif sv[1] is not None:
+            sv_j = {"long": sv[1]}
+        else:
+            sv_j = {"f4": fixed_json(sv[2])}
+        payload = json.dumps({
+            "vs": {"string": vs} if vs is not None else None,
+            # Java jsonEncoder keys int|long branches by which fits
+            "pi": None if pi is None else (
+                {"int": pi} if -(2**31) <= pi < 2**31 else {"long": pi}),
+            "pf": {"float": pf} if abs(pf) < 3.4e38 else {"double": pf},
+            "sv": sv_j,
+            "rf": {"f4": fixed_json(rf)} if rf is not None else None,
+        })
+        dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(sch, payload)
+        dfw.append(reader.read(None, dec))
+    dfw.close()
+    assert list(a.read_ocf(open(p2, "rb").read())[1]) == rows
+
+
+def test_union_resolution_matches_java_reader(spark, tmp_path):
+    """Union schema-resolution parity with the Java GenericDatumReader:
+    writer non-union -> reader union, writer union -> wider reader union,
+    and branch-drop narrowing (good values read; the dropped branch's
+    values raise per-VALUE, matching Java's lazy AvroTypeException)."""
+    jvm = spark.sparkContext._jvm
+
+    def java_read(path, reader_schema):
+        rsch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(reader_schema))
+        rdr = jvm.org.apache.avro.generic.GenericDatumReader()
+        rdr.setExpected(rsch)
+        dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(path), rdr)
+        out = []
+        while dfr.hasNext():
+            out.append(dfr.next())
+        dfr.close()
+        return out
+
+    # writer plain string -> reader ["null","string","long"] (struct surface)
+    w1 = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "string"}]}
+    r1 = {"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": ["null", "string", "long"]}]}
+    p = str(tmp_path / "w1.avro")
+    a.write_ocf(p, w1, [("a",), ("b",)], SYNC)
+    ours = list(a.read_ocf(open(p, "rb").read(), reader_schema=r1)[1])
+    theirs = [(str(rec.get("x")) if rec.get("x") is not None else None,)
+              for rec in java_read(p, r1)]
+    assert ours == [(("a", None),), (("b", None),)]
+    assert [(v[0][0] if v[0] else None,) for v in ours] == theirs
+
+    # writer ["null","long"] -> reader ["null","int","long"] (promote surface)
+    w2 = {"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": ["null", "long"]}]}
+    r2 = {"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": ["null", "int", "long"]}]}
+    a.write_ocf(p, w2, [(7,), (None,), (2**40,)], SYNC)
+    ours = list(a.read_ocf(open(p, "rb").read(), reader_schema=r2)[1])
+    theirs = [(rec.get("x"),) for rec in java_read(p, r2)]
+    assert ours == [(7,), (None,), (2**40,)] == theirs
+
+    # branch drop: writer ["null","string","long"] -> reader ["null","long"];
+    # long + null values read, a string value raises per-VALUE in both
+    w3 = {"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": ["null", "string", "long"]}]}
+    r3 = {"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": ["null", "long"]}]}
+    a.write_ocf(p, w3, [((None, 9),), (None,)], SYNC)
+    ours = list(a.read_ocf(open(p, "rb").read(), reader_schema=r3)[1])
+    theirs = [(rec.get("x"),) for rec in java_read(p, r3)]
+    assert ours == [(9,), (None,)] == theirs
+    a.write_ocf(p, w3, [(("boom", None),)], SYNC)
+    with pytest.raises(ValueError, match="no matching reader branch"):
+        list(a.read_ocf(open(p, "rb").read(), reader_schema=r3)[1])
+    try:
+        java_read(p, r3)
+        java_raised = False
+    except Exception:
+        java_raised = True
+    assert java_raised
+
+
+def test_named_reference_cross_implementation_with_java(spark, tmp_path):
+    """Named-type references (incl. namespace qualification) round-trip
+    against the Java library in both directions."""
+    jvm = spark.sparkContext._jvm
+    schema = {
+        "type": "record", "name": "top", "namespace": "com.ex",
+        "fields": [
+            {"name": "a", "type": {"type": "record", "name": "pt", "fields": [
+                {"name": "x", "type": "long"}, {"name": "y", "type": "long"}]}},
+            {"name": "b", "type": "pt"},
+            {"name": "c", "type": ["null", "com.ex.pt"]},
+        ],
+    }
+    rows = [((1, 2), (3, 4), (5, 6)), ((0, 0), (-1, -2), None)]
+    p1 = str(tmp_path / "ours.avro")
+    a.write_ocf(p1, schema, rows, SYNC)
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p1), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    got = []
+    while dfr.hasNext():
+        rec = dfr.next()
+        pt = lambda r: (r.get("x"), r.get("y")) if r is not None else None
+        got.append((pt(rec.get("a")), pt(rec.get("b")), pt(rec.get("c"))))
+    dfr.close()
+    assert got == rows
+
+    sch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(sch)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    )
+    p2 = str(tmp_path / "theirs.avro")
+    dfw.create(sch, jvm.java.io.File(p2))
+    for ra, rb, rc in rows:
+        payload = json.dumps({
+            "a": {"x": ra[0], "y": ra[1]},
+            "b": {"x": rb[0], "y": rb[1]},
+            "c": {"com.ex.pt": {"x": rc[0], "y": rc[1]}} if rc else None,
+        })
+        dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(sch, payload)
+        dfw.append(reader.read(None, dec))
+    dfw.close()
+    assert list(a.read_ocf(open(p2, "rb").read())[1]) == rows

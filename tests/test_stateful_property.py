@@ -222,3 +222,26 @@ def _resend_session(draw):
 def test_single_batch_matches_closed_form_under_permutation(sess):
     events, perm = sess
     assert _run(perm, []) == _closed_form(events)
+
+
+def test_oracle_invariant_to_duplicate_handshake_frames(sf_dir):
+    """Round-11 ADVICE: the DuckDB oracle must emit ONE row per transfer
+    however many HS frames arrive (the machine tombstones late HS). Double
+    every handshake frame in the h CTE and assert the manifest is
+    byte-identical — the DISTINCT in bad/good is what makes this hold."""
+    from tests.oracle import duckdb_con
+    from transf_spark.sources import fixtures
+    from transf_spark.streaming.stateful import _REASSEMBLY_ORACLE
+
+    single = f"h AS ({fixtures.HANDSHAKES_SQL})"
+    doubled = (
+        f"h AS (SELECT * FROM ({fixtures.HANDSHAKES_SQL}) "
+        f"UNION ALL SELECT * FROM ({fixtures.HANDSHAKES_SQL}))"
+    )
+    assert _REASSEMBLY_ORACLE.count(single) == 1
+    dup_sql = _REASSEMBLY_ORACLE.replace(single, doubled)
+    con = duckdb_con(sf_dir)
+    base = sorted(con.execute(_REASSEMBLY_ORACLE).fetchall())
+    dup = sorted(con.execute(dup_sql).fetchall())
+    assert base == dup
+    assert base  # non-vacuous: the fixture produces a manifest

@@ -27,10 +27,20 @@ header/checksum, stdlib ``zlib`` with wbits=-15) plus ``snappy`` (the
 optional codec real deployments default to — from-spec pure-Python raw
 snappy, full-format decoder / literal-only encoder, Avro's trailing
 big-endian CRC32 framing verified per block).
-Array-of-array/map-of-map, general multi-branch unions, named-type
-REFERENCES (a previously defined record name used as a type string), and
-the zstd/bzip2/xz codecs are out of scope and REJECTED at schema/header
-parse, never mis-decoded.
+GENERAL UNIONS (round 12): any union of distinct subset types decodes
+with the spark-avro module's public surface mapping — ``["null", T]`` /
+``[T, "null"]`` as nullable T, exactly {int,long} as long and
+{float,double} as double, anything else as a struct with one nullable
+member per non-null branch in schema order (member0..memberN) carrying
+exactly the value's branch. NAMED-TYPE REFERENCES (round 12): a
+previously defined record/enum/fixed name (namespace-qualified per the
+spec's name rules) used as a type string resolves to that definition;
+TRUE RECURSION (a type referencing itself while still being defined)
+cannot expand to a finite descriptor and is REJECTED, like spark-avro's
+default ``recursiveFieldMaxDepth``.
+Array-of-array/map-of-map, unions directly inside unions (spec-invalid
+anyway), recursive types, and the zstd/bzip2/xz codecs are out of scope
+and REJECTED at schema/header parse, never mis-decoded.
 Array/map decoding handles the spec's full block form (multiple blocks
 per value, negative counts carrying a byte-size prefix); the writer emits
 the common single-block form the Java library also writes. Dict-wrapped
@@ -256,63 +266,75 @@ _PRIMITIVES = ("long", "int", "float", "string", "double", "boolean", "bytes")
 MAX_SCHEMA_DEPTH = 16
 
 
-def _parse_item_type(t, depth: int = 0) -> tuple:
-    """Array-item / map-value type: primitive, nullable primitive, or a
-    (nullable) nested record — no array-of-array/map-of-map.
-    -> (descriptor, nullable)."""
+def _parse_item_type(t, depth: int = 0, names=None, ns=None) -> tuple:
+    """Array-item / map-value type: primitive, nullable primitive, a
+    (nullable) nested record, or a general union — no
+    array-of-array/map-of-map. -> (descriptor, nullable)."""
     if isinstance(t, list):
         if len(t) == 2 and t[0] == "null":
-            inner, inner_nullable = _parse_item_type(t[1], depth)
+            inner, inner_nullable = _parse_item_type(t[1], depth, names, ns)
             if inner_nullable:
                 raise ValueError(f"unsupported nested union {t!r}")
             return inner, True
-        raise ValueError(f"unsupported item union {t!r} (subset: ['null', T])")
+        return _parse_union(t, depth, names, ns), False
     if isinstance(t, dict):
         kind = t.get("type")
         if kind == "record":
-            return ("record", tuple(_parse_record_fields(t, depth + 1))), False
+            return ("record", tuple(_parse_record_fields(t, depth + 1, names, ns))), False
         if kind == "enum":
-            return ("enum", _parse_enum_symbols(t)), False
+            return _register_named(t, names, ns, ("enum", _parse_enum_symbols(t))), False
         if kind == "fixed":
-            return ("fixed", _parse_fixed_size(t)), False
+            return _register_named(t, names, ns, ("fixed", _parse_fixed_size(t))), False
         if kind in _PRIMITIVES:
             # dict-wrapped primitive — spec-legal annotated form (see
             # _parse_field_type); annotations pass through, values decode
             # as the underlying primitive
             return kind, False
+    if isinstance(t, str) and t not in _PRIMITIVES and names is not None:
+        ref = _deref_name(t, names, ns)
+        if ref is not None:
+            return ref, False
     if t in _PRIMITIVES:
         return t, False
     raise ValueError(
-        f"unsupported item type {t!r} (subset: {_PRIMITIVES} + record/enum/fixed)"
+        f"unsupported item type {t!r} (subset: {_PRIMITIVES} + record/enum/fixed/union)"
     )
 
 
-def _parse_field_type(t, depth: int = 0) -> tuple:
+def _parse_field_type(t, depth: int = 0, names=None, ns=None) -> tuple:
     """-> (type_descriptor, nullable). The descriptor is a primitive name,
     ``("array", item_desc, item_nullable)`` / ``("map", val_desc,
-    val_nullable)``, or ``("record", ((name, desc, nullable), ...))`` for a
-    nested record. Rejects everything outside the subset."""
+    val_nullable)``, ``("record", ((name, desc, nullable), ...))`` for a
+    nested record, or ``("union", branches, surface)`` for a general union
+    (see ``_parse_union``). ``names`` is the parse-time named-type table
+    (fullname -> desc; None while a record is still being defined) and
+    ``ns`` the enclosing namespace — spec: a previously defined
+    record/enum/fixed NAME used as a type string resolves to that type.
+    Rejects everything outside the subset."""
     if depth > MAX_SCHEMA_DEPTH:
         raise ValueError(f"schema nests deeper than {MAX_SCHEMA_DEPTH}")
     if isinstance(t, list):
         if len(t) == 2 and t[0] == "null":
-            inner, inner_nullable = _parse_field_type(t[1], depth)
+            inner, inner_nullable = _parse_field_type(t[1], depth, names, ns)
             if inner_nullable:
                 raise ValueError(f"unsupported nested union {t!r}")
             return inner, True
-        raise ValueError(f"unsupported union {t!r} (subset: ['null', T])")
+        # the 2-branch ['null', T] nullable form above keeps its dedicated
+        # fast path (field-level null flag — the format's dominant shape);
+        # everything else is a general union
+        return _parse_union(t, depth, names, ns), False
     if isinstance(t, dict):
         kind = t.get("type")
         if kind == "array":
-            return ("array", *_parse_item_type(t.get("items"), depth)), False
+            return ("array", *_parse_item_type(t.get("items"), depth, names, ns)), False
         if kind == "map":
-            return ("map", *_parse_item_type(t.get("values"), depth)), False
+            return ("map", *_parse_item_type(t.get("values"), depth, names, ns)), False
         if kind == "record":
-            return ("record", tuple(_parse_record_fields(t, depth + 1))), False
+            return ("record", tuple(_parse_record_fields(t, depth + 1, names, ns))), False
         if kind == "enum":
-            return ("enum", _parse_enum_symbols(t)), False
+            return _register_named(t, names, ns, ("enum", _parse_enum_symbols(t))), False
         if kind == "fixed":
-            return ("fixed", _parse_fixed_size(t)), False
+            return _register_named(t, names, ns, ("fixed", _parse_fixed_size(t))), False
         if kind in _PRIMITIVES:
             # The spec allows ANY schema as a JSON object {"type": name,
             # ...attributes}; real writers routinely emit dict-wrapped
@@ -326,11 +348,144 @@ def _parse_field_type(t, depth: int = 0) -> tuple:
         raise ValueError(
             f"unsupported complex type {t!r} (subset: array/map/record/enum/fixed)"
         )
+    if isinstance(t, str) and t not in _PRIMITIVES and names is not None:
+        ref = _deref_name(t, names, ns)
+        if ref is not None:
+            return ref, False
     if t in _PRIMITIVES:
         return t, False
     raise ValueError(
-        f"unsupported type {t!r} (subset: {_PRIMITIVES} + array/map/record/enum/fixed)"
+        f"unsupported type {t!r} (subset: {_PRIMITIVES} + array/map/record/enum/fixed/union)"
     )
+
+
+def _union_surface(branches: tuple) -> tuple:
+    """How a general union's values surface as one Spark-typed column —
+    the spark-avro module's public mapping, restated:
+
+    - one non-null branch           -> that type (nullable iff null branch);
+    - exactly {int, long}           -> long;  exactly {float, double} -> double;
+    - anything else                 -> a struct with one NULLABLE member per
+      non-null branch in schema order (spark-avro's member0..memberN), decoded
+      as a tuple with exactly the value's branch slot set.
+
+    Returns ("value", desc) | ("promote", "long"|"double") |
+    ("struct", non_null_descs, idx_to_slot) where idx_to_slot maps a wire
+    branch index to its member slot (None for the null branch)."""
+    nn = tuple(b for b in branches if b != "null")
+    if not nn:
+        raise ValueError("union needs at least one non-null branch")
+    if len(nn) == 1:
+        return ("value", nn[0])
+    if all(isinstance(b, str) for b in nn):
+        s = set(nn)
+        if s == {"int", "long"}:
+            return ("promote", "long")
+        if s == {"float", "double"}:
+            return ("promote", "double")
+    slots = tuple(
+        None if b == "null" else sum(1 for x in branches[:i] if x != "null")
+        for i, b in enumerate(branches)
+    )
+    return ("struct", nn, slots)
+
+
+def _branch_key(desc, raw):
+    """Spec: a union may not contain two schemas of the same type, EXCEPT
+    named types (record/enum/fixed), which are distinguished by name."""
+    if isinstance(desc, tuple):
+        kind = desc[0]
+        if kind in ("record", "enum", "fixed"):
+            if isinstance(raw, dict) and isinstance(raw.get("name"), str):
+                return (kind, raw["name"])
+            if isinstance(raw, str):  # named-type reference
+                return (kind, raw)
+            return (kind, None)  # anonymous named type: duplicates reject
+        return kind
+    return desc
+
+
+def _parse_union(t: list, depth: int, names=None, ns=None) -> tuple:
+    """General union -> ("union", branches, surface). Branch entries are
+    the string "null" or a non-nullable parsed desc, in schema order (the
+    wire branch index indexes this tuple); unions may not immediately
+    contain unions (spec) and duplicate branch types reject."""
+    if not t:
+        raise ValueError("empty union")
+    branches, keys = [], set()
+    for b in t:
+        if b == "null":
+            desc, key = "null", "null"
+        elif isinstance(b, list):
+            raise ValueError(f"union directly inside union {t!r}")
+        else:
+            desc, nullable = _parse_field_type(b, depth + 1, names, ns)
+            if nullable or (isinstance(desc, tuple) and desc[0] == "union"):
+                raise ValueError(f"union directly inside union {t!r}")
+            key = _branch_key(desc, b)
+        if key in keys:
+            raise ValueError(f"duplicate union branch {key!r} in {t!r}")
+        keys.add(key)
+        branches.append(desc)
+    branches = tuple(branches)
+    return ("union", branches, _union_surface(branches))
+
+
+def _union_has_null(desc) -> bool:
+    return isinstance(desc, tuple) and desc[0] == "union" and "null" in desc[1]
+
+
+def _fullname(t: dict, enclosing_ns):
+    """-> (fullname or None, namespace for children) per the spec's name
+    rules: a dotted name is absolute; otherwise the type's own "namespace"
+    attribute, else the enclosing namespace, qualifies it."""
+    name = t.get("name")
+    if not isinstance(name, str) or not name:
+        return None, enclosing_ns
+    if "." in name:
+        nspart = name.rpartition(".")[0]
+        return name, nspart
+    nsattr = t.get("namespace", enclosing_ns)
+    if nsattr is not None and not isinstance(nsattr, str):
+        raise ValueError(f"namespace must be a string, got {nsattr!r}")
+    return (f"{nsattr}.{name}" if nsattr else name), nsattr
+
+
+def _register_named(t: dict, names, ns, desc):
+    """Register a completed enum/fixed/record definition in the parse-time
+    name table (fullname AND, first-wins, the bare name for unqualified
+    back-references). Redefinition of a fullname rejects — the Java parser
+    does too, and silently shadowing would make references ambiguous."""
+    if names is None or not isinstance(t, dict):
+        return desc
+    full, _child_ns = _fullname(t, ns)
+    if full is None:
+        return desc
+    if full in names:  # incl. a record of the same name still in progress
+        raise ValueError(f"duplicate type name {full!r}")
+    names[full] = desc
+    bare = full.rpartition(".")[2]
+    if bare != full:
+        names.setdefault(bare, desc)
+    return desc
+
+
+def _deref_name(t: str, names, ns):
+    """Resolve a named-type reference string -> desc, None when unknown
+    (callers fall through to the standard unsupported-type error), or
+    raise on a reference to a type still being defined (true recursion —
+    a self-referential record cannot expand to a finite descriptor, so it
+    is REJECTED honestly, like spark-avro's default recursiveFieldMaxDepth)."""
+    for cand in ((f"{ns}.{t}" if ns and "." not in t else t), t):
+        if cand in names:
+            desc = names[cand]
+            if desc is None:
+                raise ValueError(
+                    f"recursive named-type reference {t!r} is unsupported "
+                    f"(the type is still being defined)"
+                )
+            return desc
+    return None
 
 
 def _parse_enum_symbols(t: dict) -> tuple:
@@ -354,7 +509,9 @@ def _parse_fixed_size(t: dict) -> int:
     return size
 
 
-def _parse_record_fields(schema: dict, depth: int = 0) -> list[tuple[str, str, bool]]:
+def _parse_record_fields(
+    schema: dict, depth: int = 0, names=None, ns=None
+) -> list[tuple[str, str, bool]]:
     if depth > MAX_SCHEMA_DEPTH:
         raise ValueError(f"schema nests deeper than {MAX_SCHEMA_DEPTH}")
     if not isinstance(schema, dict) or schema.get("type") != "record":
@@ -362,23 +519,41 @@ def _parse_record_fields(schema: dict, depth: int = 0) -> list[tuple[str, str, b
     fields = schema.get("fields")
     if not isinstance(fields, list) or not fields:
         raise ValueError("record schema needs a non-empty fields list")
+    # register the record's name BEFORE its fields parse, as an
+    # in-progress marker: a reference from inside (true recursion) raises
+    # in _deref_name instead of "unsupported type"
+    full = None
+    if names is not None:
+        full, ns = _fullname(schema, ns)
+        if full is not None:
+            if full in names:
+                raise ValueError(f"duplicate type name {full!r}")
+            names[full] = None
     out = []
     for f in fields:
         if not isinstance(f, dict) or "name" not in f or "type" not in f:
             raise ValueError(f"malformed field entry {f!r}")
-        prim, nullable = _parse_field_type(f["type"], depth)
+        prim, nullable = _parse_field_type(f["type"], depth, names, ns)
         out.append((str(f["name"]), prim, nullable))
     if len({n for n, _, _ in out}) != len(out):
         # the spec requires unique field names; matching-by-name below
         # (schema resolution) would silently pick one of the twins
         raise ValueError("duplicate field names in record schema")
+    if names is not None and full is not None:
+        names[full] = ("record", tuple(out))
+        bare = full.rpartition(".")[2]
+        if bare != full:
+            names.setdefault(bare, ("record", tuple(out)))
     return out
 
 
 def parse_schema(schema: dict) -> list[tuple[str, str, bool]]:
     """-> [(name, type_descriptor, nullable)] for a (possibly nested)
-    record schema."""
-    return _parse_record_fields(schema, depth=0)
+    record schema. Each call gets a fresh named-type table, so a
+    previously defined record/enum/fixed NAME used later in the SAME
+    schema resolves to that type (spec: named-type references); cross-file
+    leakage is impossible."""
+    return _parse_record_fields(schema, depth=0, names={})
 
 
 # ---- schema resolution (reader schema vs writer schema) ---------------------
@@ -410,10 +585,17 @@ _PROMOTIONS = {
 }
 
 
-def _value_resolver(wdesc, rdesc, raw_reader_type, path: str):
+def _value_resolver(wdesc, rdesc, raw_reader_type, path: str, raw_names=None,
+                    r_nullable: bool = False):
     """-> value transform fn or None (identity) for one matched field;
     raises ValueError when the writer type cannot resolve into the
-    reader type."""
+    reader type. ``raw_names`` derefs named-type references in the raw
+    reader JSON; ``r_nullable`` tells union resolution whether the READER
+    FIELD around this type accepts null (the old-path ['null', T] flag)."""
+    if (isinstance(wdesc, tuple) and wdesc[0] == "union") or (
+        isinstance(rdesc, tuple) and rdesc[0] == "union"
+    ):
+        return _union_resolver(wdesc, rdesc, raw_reader_type, path, raw_names, r_nullable)
     if isinstance(wdesc, tuple) or isinstance(rdesc, tuple):
         if (
             not isinstance(wdesc, tuple)
@@ -441,18 +623,29 @@ def _value_resolver(wdesc, rdesc, raw_reader_type, path: str):
                 )
             return None
         if kind == "record":
-            raw_rec = _unwrap_union(raw_reader_type)
-            inner = build_resolver(raw_rec, list(wdesc[1]), path=path)
+            raw_rec = _raw_deref(_unwrap_union(raw_reader_type), raw_names)
+            inner = build_resolver(
+                raw_rec, list(wdesc[1]), path=path, raw_names=raw_names,
+                reader_fields=list(rdesc[1]),
+            )
             return inner
         _, wi, winull = wdesc
         _, ri, rinull = rdesc
-        if winull and not rinull:
+        if winull and not (rinull or _union_has_null(ri)):
             raise ValueError(f"nullable {kind} items cannot resolve into non-nullable at {path}")
-        raw_rec = _unwrap_union(raw_reader_type)
+        raw_rec = _raw_deref(_unwrap_union(raw_reader_type), raw_names)
         raw_item = raw_rec.get("items") if kind == "array" else raw_rec.get("values")
-        ifn = _value_resolver(wi, ri, raw_item, path + ("[]" if kind == "array" else "{}"))
+        ipath = path + ("[]" if kind == "array" else "{}")
+        ifn = _value_resolver(wi, ri, raw_item, ipath, raw_names, rinull)
         if ifn is None:
             return None
+        if (isinstance(wi, tuple) and wi[0] == "union") or (
+            isinstance(ri, tuple) and ri[0] == "union"
+        ):
+            # union transforms must see None too (they own null semantics)
+            if kind == "array":
+                return lambda xs: [ifn(x) for x in xs]
+            return lambda m: {k: ifn(v) for k, v in m.items()}
         if kind == "array":
             return lambda xs: [x if x is None else ifn(x) for x in xs]
         return lambda m: {k: (v if v is None else ifn(v)) for k, v in m.items()}
@@ -474,10 +667,195 @@ def _unwrap_union(raw_type):
     return raw_type
 
 
-def _default_value(rdesc, nullable: bool, jdefault, path: str):
+def _raw_deref(raw, raw_names):
+    """A named-type REFERENCE in the raw reader JSON (a bare string that
+    is not a primitive) -> the defining raw dict, so resolution can keep
+    walking fields/items through it."""
+    if isinstance(raw, str) and raw not in _PRIMITIVES and raw_names:
+        return raw_names.get(raw, raw)
+    return raw
+
+
+def _collect_raw_names(raw, ns=None, out=None) -> dict:
+    """Walk a raw reader schema once, mapping every DEFINED named type
+    (record/enum/fixed) to its raw JSON dict — fullname plus, first-wins,
+    the bare name. Built once per build_resolver entry; lookups never
+    mutate it. Malformed corners are left for parse_schema to reject."""
+    if out is None:
+        out = {}
+    if isinstance(raw, list):
+        for b in raw:
+            _collect_raw_names(b, ns, out)
+        return out
+    if not isinstance(raw, dict):
+        return out
+    kind = raw.get("type")
+    if kind in ("record", "enum", "fixed"):
+        try:
+            full, ns = _fullname(raw, ns)
+        except ValueError:
+            full = None
+        if full is not None:
+            out.setdefault(full, raw)
+            bare = full.rpartition(".")[2]
+            if bare != full:
+                out.setdefault(bare, raw)
+    if kind == "record" and isinstance(raw.get("fields"), list):
+        for f in raw["fields"]:
+            if isinstance(f, dict):
+                _collect_raw_names(f.get("type"), ns, out)
+    elif kind == "array":
+        _collect_raw_names(raw.get("items"), ns, out)
+    elif kind == "map":
+        _collect_raw_names(raw.get("values"), ns, out)
+    return out
+
+
+def _union_resolver(wdesc, rdesc, raw_rtype, path, raw_names, r_nullable):
+    """Resolution when either side is a general union (spec §Schema
+    Resolution): a writer branch's values match the FIRST reader branch
+    they resolve into; a branch with NO matching reader branch defers to a
+    per-VALUE ValueError — exactly the Java ResolvingDecoder's laziness, so
+    a file whose offending branch never occurs still reads. The one
+    documented divergence: a writer int|long (or float|double) union
+    surfaces pre-widened, so it matches through its WIDEST branch only — a
+    reader offering just the narrow branch rejects values Java would have
+    accepted branch-by-branch (pathological; never mis-decodes).
+
+    Operates on SURFACED values (this codec resolves post-decode), so the
+    returned fn is applied even to None — callers use an always-call step."""
+    if wdesc == rdesc:
+        return None
+    wu = isinstance(wdesc, tuple) and wdesc[0] == "union"
+    ru = isinstance(rdesc, tuple) and rdesc[0] == "union"
+    wsurf = wdesc[2] if wu else ("value", wdesc)
+    if ru:
+        rbranches, rsurf = rdesc[1], rdesc[2]
+        raw_list = (
+            raw_rtype
+            if isinstance(raw_rtype, list) and len(raw_rtype) == len(rbranches)
+            else [None] * len(rbranches)
+        )
+    else:
+        rbranches, rsurf = (rdesc,), ("value", rdesc)
+        raw_list = [raw_rtype]
+    r_accepts_null = r_nullable or "null" in rbranches
+    r_slots, s = {}, 0
+    for j, rb in enumerate(rbranches):
+        if rb != "null":
+            r_slots[j] = s
+            s += 1
+
+    def _inject(slot):
+        if rsurf[0] != "struct":
+            return None  # scalar reader surface: value passes through
+        n = len(rsurf[1])
+
+        def f(v, _slot=slot, _n=n):
+            row = [None] * _n
+            row[_slot] = v
+            return tuple(row)
+
+        return f
+
+    def _match(wb, pth):
+        """One writer branch -> fn(decoded value) -> surfaced reader value
+        (None = identity), or a deferred-error fn when nothing matches."""
+        for j, rb in enumerate(rbranches):
+            if rb == "null":
+                continue
+            try:
+                vf = _value_resolver(wb, rb, raw_list[j], pth, raw_names)
+            except ValueError:
+                continue
+            inj = _inject(r_slots[j])
+            if vf is None:
+                return inj
+            if inj is None:
+                return vf
+            return lambda v, _vf=vf, _inj=inj: _inj(_vf(v))
+
+        def err(v, _wb=wb, _pth=pth):
+            raise ValueError(
+                f"value of writer union branch {_wb!r} has no matching "
+                f"reader branch at {_pth}"
+            )
+
+        return err
+
+    def _on_null():
+        if r_accepts_null:
+            return None
+        raise ValueError(
+            f"null union value cannot resolve into a reader without a "
+            f"null branch at {path}"
+        )
+
+    if wsurf[0] in ("value", "promote"):
+        bfn = _match(wsurf[1], path)
+
+        def fn(v, _bfn=bfn):
+            if v is None:
+                return _on_null()
+            return v if _bfn is None else _bfn(v)
+
+        return fn
+
+    nn = wsurf[1]
+    bfns = [_match(b, f"{path}<member{i}>") for i, b in enumerate(nn)]
+
+    def fn(v, _bfns=bfns, _n=len(nn)):
+        if v is None:
+            return _on_null()
+        if not isinstance(v, (tuple, list)) or len(v) != _n:
+            raise ValueError(
+                f"surfaced union value at {path} must be a {_n}-member row"
+            )
+        filled = [i for i, x in enumerate(v) if x is not None]
+        if len(filled) != 1:
+            raise ValueError(
+                f"surfaced union value at {path} must set exactly one member"
+            )
+        i = filled[0]
+        b = _bfns[i]
+        return v[i] if b is None else b(v[i])
+
+    return fn
+
+
+def _default_value(rdesc, nullable: bool, jdefault, path: str, raw_type=None):
     """Reader-field JSON default -> decoded Python value (spec encoding:
     bytes defaults are strings of codepoints 0-255; a nullable union's
-    default applies to the first branch, i.e. must be null)."""
+    default applies to the first branch, i.e. must be null). ``raw_type``
+    is the field's raw JSON schema when available — record defaults use it
+    to fall back to a missing subfield's OWN declared default (the Java
+    parser's behavior; round-11 ADVICE — requiring every subfield in the
+    JSON object rejected spec-valid reader schemas)."""
+    if isinstance(rdesc, tuple) and rdesc[0] == "union":
+        # spec: a union field's default ALWAYS corresponds to its FIRST
+        # branch (checked before the nullable gates below — general
+        # unions carry nullable=False at field level)
+        branches, surface = rdesc[1], rdesc[2]
+        first = branches[0]
+        if first == "null":
+            if jdefault is not None:
+                raise ValueError(
+                    f"default for union at {path} must be null (first branch)"
+                )
+            return None
+        raw_list = (
+            raw_type
+            if isinstance(raw_type, list) and len(raw_type) == len(branches)
+            else None
+        )
+        v = _default_value(
+            first, False, jdefault, path, raw_list[0] if raw_list else None
+        )
+        if surface[0] == "struct":
+            row = [None] * len(surface[1])
+            row[surface[2][0]] = v
+            return tuple(row)
+        return v
     if jdefault is None:
         if not nullable:
             raise ValueError(f"null default for non-nullable {path}")
@@ -511,25 +889,42 @@ def _default_value(rdesc, nullable: bool, jdefault, path: str):
                     f"fixed default is {len(b)} bytes, schema says {rdesc[1]} at {path}"
                 )
             return b
+        raw_rec = _unwrap_union(raw_type) if raw_type is not None else None
         if kind == "array":
             if not isinstance(jdefault, list):
                 raise ValueError(f"array default must be a JSON array at {path}")
-            return [_default_value(rdesc[1], rdesc[2], x, path + "[]") for x in jdefault]
+            raw_items = raw_rec.get("items") if isinstance(raw_rec, dict) else None
+            return [
+                _default_value(rdesc[1], rdesc[2], x, path + "[]", raw_items)
+                for x in jdefault
+            ]
         if kind == "map":
             if not isinstance(jdefault, dict):
                 raise ValueError(f"map default must be a JSON object at {path}")
+            raw_vals = raw_rec.get("values") if isinstance(raw_rec, dict) else None
             return {
-                str(k): _default_value(rdesc[1], rdesc[2], v, path + "{}")
+                str(k): _default_value(rdesc[1], rdesc[2], v, path + "{}", raw_vals)
                 for k, v in jdefault.items()
             }
         if not isinstance(jdefault, dict):
             raise ValueError(f"record default must be a JSON object at {path}")
-        return tuple(
-            _default_value(d, n, jdefault.get(nm), f"{path}.{nm}")
-            if nm in jdefault
-            else _raise_default(path, nm)
-            for nm, d, n in rdesc[1]
+        raw_fields = (
+            {str(f.get("name")): f for f in raw_rec["fields"]}
+            if isinstance(raw_rec, dict) and isinstance(raw_rec.get("fields"), list)
+            else {}
         )
+        out = []
+        for nm, d, n in rdesc[1]:
+            rawf = raw_fields.get(nm, {})
+            if nm in jdefault:
+                out.append(_default_value(d, n, jdefault[nm], f"{path}.{nm}", rawf.get("type")))
+            elif "default" in rawf:
+                # spec / Java parser: a subfield absent from the record's
+                # JSON default object takes its OWN declared default
+                out.append(_default_value(d, n, rawf["default"], f"{path}.{nm}", rawf.get("type")))
+            else:
+                _raise_default(path, nm)
+        return tuple(out)
     if rdesc in ("long", "int"):
         if isinstance(jdefault, bool) or not isinstance(jdefault, int):
             raise ValueError(f"non-integer default for {rdesc} at {path}")
@@ -564,12 +959,25 @@ def _raise_default(path: str, name: str):
     raise ValueError(f"record default at {path} missing field {name!r}")
 
 
-def build_resolver(reader_schema: dict, writer_fields: list, path: str = "$"):
+def build_resolver(reader_schema: dict, writer_fields: list, path: str = "$",
+                   raw_names=None, reader_fields=None):
     """Schema resolution: -> fn(writer row tuple) -> reader row tuple,
     or None when the reader schema IS the writer schema (identity — the
     fast path skips the per-row rebuild). Raises ValueError when the
-    schemas cannot resolve."""
-    reader_fields = parse_schema(reader_schema)
+    schemas cannot resolve. Nested-record recursion passes the already-
+    parsed ``reader_fields`` down (re-parsing a nested record in a fresh
+    name table would break named-type references defined outside it)."""
+    if raw_names is None:
+        raw_names = _collect_raw_names(reader_schema)
+    if not isinstance(reader_schema, dict) or not isinstance(
+        reader_schema.get("fields"), list
+    ):
+        raise ValueError(
+            f"reader record schema at {path} is not a resolvable record "
+            f"(unresolved named-type reference?)"
+        )
+    if reader_fields is None:
+        reader_fields = parse_schema(reader_schema)
     raw = {str(f["name"]): f for f in reader_schema["fields"]}
     wmap = {name: (i, desc, null) for i, (name, desc, null) in enumerate(writer_fields)}
     steps = []
@@ -589,13 +997,23 @@ def build_resolver(reader_schema: dict, writer_fields: list, path: str = "$"):
         )
         if match is not None:
             widx, wdesc, wnull = wmap[match]
-            if wnull and not rnull:
+            r_union = isinstance(rdesc, tuple) and rdesc[0] == "union"
+            w_union = isinstance(wdesc, tuple) and wdesc[0] == "union"
+            if wnull and not rnull and not r_union:
+                # a reader UNION owns its null semantics per value (the
+                # resolver fn raises iff a null actually arrives and no
+                # null branch exists — Java's laziness); everything else
+                # keeps the strict build-time rejection
                 raise ValueError(
                     f"nullable writer field {match!r} cannot resolve into "
                     f"non-nullable reader field at {path}"
                 )
-            fn = _value_resolver(wdesc, rdesc, raw[rname]["type"], f"{path}.{rname}")
-            steps.append(("copy", widx, fn))
+            fn = _value_resolver(
+                wdesc, rdesc, raw[rname]["type"], f"{path}.{rname}", raw_names, rnull
+            )
+            # union transforms own None handling — always-call step
+            kind = "copyu" if (r_union or w_union) and fn is not None else "copy"
+            steps.append((kind, widx, fn))
         else:
             f = raw[rname]
             if "default" not in f:
@@ -603,7 +1021,10 @@ def build_resolver(reader_schema: dict, writer_fields: list, path: str = "$"):
                     f"reader field {rname!r} missing from writer schema "
                     f"and has no default at {path}"
                 )
-            steps.append(("const", _default_value(rdesc, rnull, f["default"], f"{path}.{rname}")))
+            steps.append(("const", _default_value(
+                rdesc, rnull, f["default"], f"{path}.{rname}",
+                _raw_deref(f.get("type"), raw_names)
+            )))
     identity = len(steps) == len(writer_fields) and all(
         s[0] == "copy" and s[1] == i and s[2] is None for i, s in enumerate(steps)
     )
@@ -616,6 +1037,8 @@ def build_resolver(reader_schema: dict, writer_fields: list, path: str = "$"):
             if s[0] == "copy":
                 v = row[s[1]]
                 out.append(v if v is None or s[2] is None else s[2](v))
+            elif s[0] == "copyu":
+                out.append(s[2](row[s[1]]))
             else:
                 out.append(s[1])
         return tuple(out)
@@ -679,6 +1102,41 @@ def _encode_value(prim: str, v) -> bytes:
     if prim == "boolean":
         return b"\x01" if v else b"\x00"
     if isinstance(prim, tuple):
+        if prim[0] == "union":
+            _, branches, surface = prim
+            if v is None:
+                try:
+                    return encode_long(branches.index("null"))
+                except ValueError:
+                    raise ValueError(
+                        "NULL for a union without a null branch"
+                    ) from None
+            if surface[0] == "value":
+                bidx = next(i for i, b in enumerate(branches) if b != "null")
+                return encode_long(bidx) + _encode_value(branches[bidx], v)
+            if surface[0] == "promote":
+                # int|long / float|double unions surface as ONE widened
+                # column; the writer deterministically emits the widest
+                # branch (always value-legal — the narrow branch's range
+                # is a subset)
+                bidx = branches.index(surface[1])
+                return encode_long(bidx) + _encode_value(surface[1], v)
+            nn, slots = surface[1], surface[2]
+            if isinstance(v, dict):
+                v = tuple(v.get(f"member{i}") for i in range(len(nn)))
+            if not isinstance(v, (tuple, list)) or len(v) != len(nn):
+                raise ValueError(
+                    f"union value needs a {len(nn)}-member tuple/list/dict "
+                    f"(member0..member{len(nn) - 1}), got {type(v).__name__}"
+                )
+            filled = [i for i, x in enumerate(v) if x is not None]
+            if len(filled) != 1:
+                raise ValueError(
+                    f"union struct value must set exactly one member, "
+                    f"got {len(filled)} of {len(nn)}"
+                )
+            slot = filled[0]
+            return encode_long(slots.index(slot)) + _encode_value(nn[slot], v[slot])
         if prim[0] == "enum":
             symbols = prim[1]
             try:
@@ -747,7 +1205,9 @@ def _encode_item(prim: str, nullable: bool, v, what: str) -> bytes:
         if v is None:
             return encode_long(0)
         return encode_long(1) + _encode_value(prim, v)
-    if v is None:
+    if v is None and not _union_has_null(prim):
+        # general-union items carry their own null branch — _encode_value
+        # writes it (or raises when the union has none)
         raise ValueError(f"NULL in non-nullable {what}")
     return _encode_value(prim, v)
 
@@ -760,7 +1220,7 @@ def encode_record(fields: list[tuple[str, str, bool]], row) -> bytes:
                 out += encode_long(0)
                 continue
             out += encode_long(1)
-        elif v is None:
+        elif v is None and not _union_has_null(prim):
             raise ValueError(f"NULL in non-nullable field {name!r}")
         out += _encode_value(prim, v)
     return bytes(out)
@@ -821,6 +1281,22 @@ def _read_value(prim: str, buf: bytes, pos: int):
             raise ValueError(f"bad boolean byte {buf[pos]}")
         return buf[pos] == 1, pos + 1
     if isinstance(prim, tuple):
+        if prim[0] == "union":
+            _, branches, surface = prim
+            idx, pos = read_long(buf, pos)
+            if not 0 <= idx < len(branches):
+                raise ValueError(
+                    f"union branch {idx} outside {len(branches)} branches"
+                )
+            b = branches[idx]
+            if b == "null":
+                return None, pos
+            v, pos = _read_value(b, buf, pos)
+            if surface[0] == "struct":
+                row = [None] * len(surface[1])
+                row[surface[2][idx]] = v
+                return tuple(row), pos
+            return v, pos  # value / promote surfaces: the scalar itself
         if prim[0] == "enum":
             idx, pos = read_long(buf, pos)
             symbols = prim[1]

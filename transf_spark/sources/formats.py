@@ -946,7 +946,11 @@ def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
     the spec's resolution rules (the extra field is decoded and dropped,
     the annotation passes through), so the declared census also proves
     the multi-vintage directory path on every run while its VALUES stay
-    identical to the uniform staging."""
+    identical to the uniform staging. Part 2 (round 12) writes a
+    MULTI-BRANCH-UNION vintage — `n_chars` as ["null","long","int"] —
+    which union resolution (promote surface -> the reader's nullable
+    long) folds back losslessly, so general-union decode+resolution is
+    also on the live census path every driver run."""
     from transf_spark.sources.avro_ocf import write_ocf
 
     def write(out: str) -> None:
@@ -966,6 +970,17 @@ def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
                 {"name": "n_chars", "type": ["null", {"type": "long", "doc": "chars"}]},
                 # writer-only column the reader schema drops at resolution
                 {"name": "vintage", "type": "long"},
+            ],
+        }
+        union_vintage = {
+            "type": "record",
+            "name": "document",
+            "fields": AVRO_DOCS_SCHEMA["fields"][:-1]
+            + [
+                # multi-branch union (round 12): surfaces as one widened
+                # long column; per-file resolution folds it back into the
+                # reader's ["null","long"] with identical values
+                {"name": "n_chars", "type": ["null", "long", "int"]},
             ],
         }
         sync = hashlib.md5(b"transf_avro_docs").digest()  # task closure tiny
@@ -989,7 +1004,7 @@ def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
                 )
             write_ocf(
                 os.path.join(out, f"part-{pid:04d}.avro"),
-                evolved if pid == 1 else schema,
+                {1: evolved, 2: union_vintage}.get(pid, schema),
                 rows,
                 sync,
                 # all three supported codecs in one directory — the reader
@@ -999,7 +1014,7 @@ def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
 
         docs.repartition(AVRO_WRITE_PARTS, "doc_id").foreachPartition(write_part)
 
-    tag = tables.staging_tag(sf_dir, "documents", extra="avro4")
+    tag = tables.staging_tag(sf_dir, "documents", extra="avro5")
     return tables.stage_once("/tmp/transf_spark_fmt_avro_", tag, write)
 
 

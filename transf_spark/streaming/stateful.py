@@ -365,11 +365,19 @@ _REASSEMBLY_ORACLE = """
 WITH c AS ({CHUNKS_FAULTY_SQL}),
 h AS ({HANDSHAKES_SQL}),
 bad AS (
-  SELECT transfer_id, filesize FROM h
+  -- DISTINCT pins the machine's one-output-per-transfer semantics against
+  -- duplicate HS frames (round-11 ADVICE): the machine emits ONE
+  -- rejected_handshake per transfer however many HS copies arrive, and the
+  -- chunk-to-good join below must not inflate 'copies'. DISTINCT is the
+  -- EXACT closed form here because HANDSHAKES_SQL derives filename and
+  -- filesize as pure functions of transfer_id (doc_id), so any duplicate
+  -- frame the events join could ever fan out is identical up to ts — a
+  -- transfer can never straddle bad and good.
+  SELECT DISTINCT transfer_id, filesize FROM h
   WHERE filename = '' OR filename LIKE '/%' OR filename LIKE '%..%'
 ),
 good AS (
-  SELECT transfer_id, filesize FROM h
+  SELECT DISTINCT transfer_id, filesize FROM h
   WHERE NOT (filename = '' OR filename LIKE '/%' OR filename LIKE '%..%')
 ),
 dedup AS (
