@@ -38,13 +38,14 @@ def test_ann_lsh_topk_recall_vs_bruteforce(spark):
     ann_set = {(r["q_id"], r["nn_id"]) for r in ann}
     bf_set = {(r["q_id"], r["nn_id"]) for r in bf}
     recall = len(ann_set & bf_set) / len(bf_set)
-    # deterministic: 0.58 on this fixture since the round-11
-    # LSH_ASSIGN_FLIPS=2 redundant indexing (0.30 at flips=0 with the
-    # round-5 hamming-2 multi-probe; 0.08 at hamming-1); bound leaves
+    # deterministic: 0.62 on this fixture since the round-12 unioned
+    # probe set (hamming<=2 fan + 3-bit flips over the query's 5 least-
+    # confident planes; 0.58 round-11 flips=2, 0.30 at flips=0 with the
+    # round-5 hamming-2 multi-probe, 0.08 at hamming-1); bound leaves
     # headroom for plan changes but catches a broken index (random
     # buckets at the same scanned fraction would find well under 0.3 of
     # true neighbors at TOP_K)
-    assert recall >= 0.4
+    assert recall >= 0.5
 
     # duplicate-candidate guard (LSH twin of the IVF check): redundant
     # index entries must never surface the same neighbor twice
