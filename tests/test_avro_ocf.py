@@ -78,16 +78,19 @@ def test_unsupported_schema_rejected():
         {"type": "record", "name": "r", "fields": [
             {"name": "x", "type": ["long", ["null", "string"]]}]},
         {"type": "record", "name": "r", "fields": [
+            {"name": "x", "type": ["null", ["string", "long"]]}]},
+        {"type": "record", "name": "r", "fields": [
             {"name": "x", "type": ["string", "string"]}]},
         {"type": "record", "name": "r", "fields": [
             {"name": "x", "type": ["int", "long", "int"]}]},
         {"type": "record", "name": "r", "fields": [{"name": "x", "type": ["null"]}]},
         {"type": "record", "name": "r", "fields": [{"name": "x", "type": []}]},
-        # container-of-container stays outside the declared subset
+        # container-of-container is SUPPORTED since round 12 (to
+        # MAX_SCHEMA_DEPTH); malformed container items stay rejected
         {"type": "record", "name": "r", "fields": [
-            {"name": "x", "type": {"type": "array", "items": {"type": "array", "items": "long"}}}]},
+            {"name": "x", "type": {"type": "array", "items": {"type": "array", "items": "enum"}}}]},
         {"type": "record", "name": "r", "fields": [
-            {"name": "x", "type": {"type": "map", "values": {"type": "map", "values": "long"}}}]},
+            {"name": "x", "type": {"type": "map", "values": {"type": "map"}}}]},
         # nested records / enum / fixed are SUPPORTED since round 11 —
         # but malformed ones stay rejected: empty record fields, empty or
         # duplicate enum symbols, negative fixed size
@@ -1344,6 +1347,12 @@ def test_staged_fixture_mixes_schema_vintages(spark):
         fields, _, _ = a.scan_header(f)
     nc = dict((n, (t, nl)) for n, t, nl in fields)["n_chars"]
     assert nc == (("union", ("null", "long", "int"), ("promote", "long")), False)
+    # all FIVE supported codecs really are in the directory (round 12)
+    codecs = set()
+    for p in parts:
+        with open(p, "rb") as f:
+            codecs.add(a.scan_header(f)[2])
+    assert codecs == set(a.CODECS)
 
 
 # ---------------------------------------------------------------------------
@@ -1978,6 +1987,223 @@ def test_named_reference_cross_implementation_with_java(spark, tmp_path):
             "b": {"x": rb[0], "y": rb[1]},
             "c": {"com.ex.pt": {"x": rc[0], "y": rc[1]}} if rc else None,
         })
+        dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(sch, payload)
+        dfw.append(reader.read(None, dec))
+    dfw.close()
+    assert list(a.read_ocf(open(p2, "rb").read())[1]) == rows
+
+
+# ---- bzip2 + xz codecs (round 12: the spec's remaining stdlib codecs) ------
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(ROW, max_size=20), st.sampled_from(["bzip2", "xz"]))
+def test_bzip2_xz_roundtrip_property(tmp_path_factory, rows, codec):
+    p = str(tmp_path_factory.mktemp("avro") / "c.avro")
+    a.write_ocf(p, SCHEMA, rows, SYNC, block_rows=7, codec=codec)
+    _, it = a.read_ocf(open(p, "rb").read())
+    assert list(it) == rows
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    codec=st.sampled_from(["bzip2", "xz"]),
+    pos=st.integers(0, 10_000),
+    mask=st.integers(1, 255),
+    cut=st.one_of(st.none(), st.integers(0, 10_000)),
+)
+def test_bzip2_xz_mutations_decode_or_valueerror(tmp_path_factory, codec, pos, mask, cut):
+    global _BZXZ_FUZZ
+    try:
+        cache = _BZXZ_FUZZ
+    except NameError:
+        cache = _BZXZ_FUZZ = {}
+    if codec not in cache:
+        p = str(tmp_path_factory.mktemp("avro") / "c.avro")
+        rows = [(i, f"t{i}" * 4, i / 3.0, bool(i % 2), bytes([i % 251] * 5))
+                for i in range(40)]
+        a.write_ocf(p, SCHEMA, rows, SYNC, block_rows=8, codec=codec)
+        cache[codec] = open(p, "rb").read()
+    mutated = bytearray(cache[codec])
+    mutated[pos % len(mutated)] ^= mask
+    if cut is not None:
+        mutated = mutated[: cut % len(mutated)]
+    try:
+        _, it = a.read_ocf(bytes(mutated))
+        list(it)
+    except ValueError:
+        pass
+
+
+def test_bzip2_xz_bombs_rejected():
+    """A block expanding past MAX_BLOCK_BYTES must ValueError, not OOM —
+    same guard class as the round-11 deflate bomb."""
+    import bz2 as _bz2
+    import lzma as _lzma
+
+    bomb = b"\x00" * (a.MAX_BLOCK_BYTES + 100)
+    with pytest.raises(ValueError, match="exceeds"):
+        a.decompress_block("bzip2", _bz2.compress(bomb))
+    with pytest.raises(ValueError, match="exceeds"):
+        a.decompress_block("xz", _lzma.compress(bomb, format=_lzma.FORMAT_XZ))
+    # trailing garbage after a valid stream is data corruption, not slack
+    ok = _bz2.compress(b"fine")
+    with pytest.raises(ValueError, match="trailing"):
+        a.decompress_block("bzip2", ok + b"junk")
+
+
+def test_bzip2_xz_cross_implementation_with_java(spark, tmp_path):
+    """Our bzip2/xz blocks must decode under the Java library's
+    commons-compress / xz-java codecs and vice versa (CodecFactory in
+    Spark's jars)."""
+    jvm = spark.sparkContext._jvm
+    rows = [(i, f"héllo-{i}" * 3, i * 0.5, i % 2 == 0, bytes([i % 256] * 4))
+            for i in range(60)]
+    sch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(SCHEMA))
+    for codec, factory in (("bzip2", "bzip2Codec"), ("xz", None)):
+        # ours -> Java
+        p1 = str(tmp_path / f"ours_{codec}.avro")
+        a.write_ocf(p1, SCHEMA, rows, SYNC, block_rows=16, codec=codec)
+        dfr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(p1), jvm.org.apache.avro.generic.GenericDatumReader()
+        )
+        got = []
+        while dfr.hasNext():
+            rec = dfr.next()
+            blob = rec.get("blob")
+            bb = blob.duplicate()
+            barr = bytearray()
+            while bb.hasRemaining():
+                barr.append(bb.get() & 0xFF)
+            got.append((rec.get("doc_id"), str(rec.get("text")),
+                        float(rec.get("score")), rec.get("flag"), bytes(barr)))
+        dfr.close()
+        assert got == rows, codec
+
+        # Java -> ours
+        if factory == "bzip2Codec":
+            cf = jvm.org.apache.avro.file.CodecFactory.bzip2Codec()
+        else:
+            cf = jvm.org.apache.avro.file.CodecFactory.xzCodec(6)
+        reader = jvm.org.apache.avro.generic.GenericDatumReader(sch)
+        dfw = jvm.org.apache.avro.file.DataFileWriter(
+            jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+        )
+        dfw.setCodec(cf)
+        p2 = str(tmp_path / f"theirs_{codec}.avro")
+        dfw.create(sch, jvm.java.io.File(p2))
+        for did, text, score, flag, blob in rows:
+            payload = json.dumps({
+                "doc_id": did, "score": score, "flag": flag,
+                "text": {"string": text},
+                "blob": {"bytes": blob.decode("latin-1")},
+            })
+            dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(sch, payload)
+            dfw.append(reader.read(None, dec))
+        dfw.close()
+        hdr_codec = a.scan_header(open(p2, "rb"))[2]
+        assert hdr_codec == codec
+        assert list(a.read_ocf(open(p2, "rb").read())[1]) == rows, codec
+
+
+# ---- nested containers (round 12: array-of-array / map-of-map) -------------
+
+NESTED_CONTAINER_SCHEMA = {
+    "type": "record",
+    "name": "nc",
+    "fields": [
+        {"name": "mat", "type": {"type": "array",
+                                 "items": {"type": "array", "items": "double"}}},
+        {"name": "mm", "type": {"type": "map",
+                                "values": {"type": "map", "values": "long"}}},
+        {"name": "am", "type": ["null", {"type": "array", "items": {
+            "type": "map", "values": ["null", "string"]}}]},
+    ],
+}
+
+_KEY = st.text(
+    st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=8
+)
+NESTED_ROW = st.tuples(
+    st.lists(st.lists(st.floats(allow_nan=False), max_size=4), max_size=4),
+    st.dictionaries(_KEY, st.dictionaries(
+        _KEY, st.integers(-(2**63), 2**63 - 1), max_size=3), max_size=3),
+    st.one_of(st.none(), st.lists(st.dictionaries(
+        _KEY, st.one_of(st.none(), st.text(max_size=10)), max_size=3), max_size=3)),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(NESTED_ROW, max_size=15))
+def test_nested_container_roundtrip_property(tmp_path_factory, rows):
+    p = str(tmp_path_factory.mktemp("avro") / "nc.avro")
+    a.write_ocf(p, NESTED_CONTAINER_SCHEMA, rows, SYNC, block_rows=4)
+    _, it = a.read_ocf(open(p, "rb").read())
+    assert list(it) == rows
+
+
+def test_nested_container_depth_cap():
+    deep = "long"
+    for _ in range(2 * a.MAX_SCHEMA_DEPTH + 2):
+        deep = {"type": "array", "items": deep}
+    with pytest.raises(ValueError, match="nests deeper"):
+        a.parse_schema({"type": "record", "name": "r",
+                        "fields": [{"name": "x", "type": deep}]})
+
+
+def test_nested_container_resolution_widens_inner_type(tmp_path):
+    """Resolution recurses through container-of-container: the innermost
+    float widens to the reader's double."""
+    w = {"type": "record", "name": "r", "fields": [
+        {"name": "m", "type": {"type": "array",
+                               "items": {"type": "array", "items": "float"}}}]}
+    r = {"type": "record", "name": "r", "fields": [
+        {"name": "m", "type": {"type": "array",
+                               "items": {"type": "array", "items": "double"}}}]}
+    p = str(tmp_path / "w.avro")
+    a.write_ocf(p, w, [([[1.5, 2.5], []],), ([],)], SYNC)
+    got = list(a.read_ocf(open(p, "rb").read(), reader_schema=r)[1])
+    assert got == [([[1.5, 2.5], []],), ([],)]
+
+
+def test_nested_container_cross_implementation_with_java(spark, tmp_path):
+    """array<array<double>> + map<string,map<string,long>> in both
+    directions against the Java library."""
+    jvm = spark.sparkContext._jvm
+    schema = {"type": "record", "name": "nc", "fields": [
+        {"name": "mat", "type": {"type": "array",
+                                 "items": {"type": "array", "items": "double"}}},
+        {"name": "mm", "type": {"type": "map",
+                                "values": {"type": "map", "values": "long"}}},
+    ]}
+    rows = [
+        ([[1.0, 2.0], [3.0]], {"a": {"x": 1, "y": 2}, "b": {}}),
+        ([], {}),
+        ([[0.25]], {"z": {"q": -(2**40)}}),
+    ]
+    p1 = str(tmp_path / "ours.avro")
+    a.write_ocf(p1, schema, rows, SYNC, block_rows=2)
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p1), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    got = []
+    while dfr.hasNext():
+        rec = dfr.next()
+        mat = [[float(x) for x in inner] for inner in rec.get("mat")]
+        mm = {str(k): {str(k2): v2 for k2, v2 in dict(v).items()}
+              for k, v in dict(rec.get("mm")).items()}
+        got.append((mat, mm))
+    dfr.close()
+    assert got == rows
+
+    sch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(sch)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    )
+    p2 = str(tmp_path / "theirs.avro")
+    dfw.create(sch, jvm.java.io.File(p2))
+    for mat, mm in rows:
+        payload = json.dumps({"mat": mat, "mm": mm})
         dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(sch, payload)
         dfw.append(reader.read(None, dec))
     dfw.close()

@@ -13,10 +13,11 @@ already proved out.
 Spec subset, declared honestly: records of primitive fields — ``long``,
 ``int``, ``float``, ``string``, ``double``, ``boolean``, ``bytes`` — each
 optionally nullable as the 2-branch union ``["null", T]``, plus ``array``
-and ``map`` whose items/values are primitives, nullable primitives, or
-records, plus NESTED RECORDS (recursive since round 11 — a record field
-may itself be a record, nullable or not, to ``MAX_SCHEMA_DEPTH``; nested
-records decode as tuples, matching Spark's struct rows). That covers the
+and ``map`` whose items/values are any subset type (primitives, nullable
+primitives, records, unions, and — round 12 — other containers), plus
+NESTED RECORDS (recursive since round 11 — a record field may itself be
+a record, nullable or not, to ``MAX_SCHEMA_DEPTH``; nested records
+decode as tuples, matching Spark's struct rows). That covers the
 documents/embeddings/TPC-H staging shapes this engine round-trips AND the
 struct-bearing shapes real pipelines write (array-of-structs token spans,
 nested metadata records). ``enum`` (decodes as the
@@ -26,7 +27,11 @@ REQUIRED codecs — deflate is a raw RFC 1951 stream per block, no zlib
 header/checksum, stdlib ``zlib`` with wbits=-15) plus ``snappy`` (the
 optional codec real deployments default to — from-spec pure-Python raw
 snappy, full-format decoder / literal-only encoder, Avro's trailing
-big-endian CRC32 framing verified per block).
+big-endian CRC32 framing verified per block) plus ``bzip2`` and ``xz``
+(round 12 — the spec's remaining stdlib-expressible optional codecs: one
+standard .bz2/.xz stream per block via stdlib ``bz2``/``lzma``,
+bomb-guarded like deflate, cross-tested against the Java
+commons-compress/xz-java codecs).
 GENERAL UNIONS (round 12): any union of distinct subset types decodes
 with the spark-avro module's public surface mapping — ``["null", T]`` /
 ``[T, "null"]`` as nullable T, exactly {int,long} as long and
@@ -38,9 +43,13 @@ spec's name rules) used as a type string resolves to that definition;
 TRUE RECURSION (a type referencing itself while still being defined)
 cannot expand to a finite descriptor and is REJECTED, like spark-avro's
 default ``recursiveFieldMaxDepth``.
-Array-of-array/map-of-map, unions directly inside unions (spec-invalid
-anyway), recursive types, and the zstd/bzip2/xz codecs are out of scope
-and REJECTED at schema/header parse, never mis-decoded.
+NESTED CONTAINERS (round 12): array-of-array / map-of-map / any
+container-of-container nest to ``MAX_SCHEMA_DEPTH`` — the token-level
+embedding-matrix and bbox-list shapes. Unions directly inside unions
+(spec-invalid anyway), recursive types, and the zstandard codec (the
+ONE remaining codec gap — no zstd module anywhere in this container,
+re-probed round 12) are out of scope and REJECTED at schema/header
+parse, never mis-decoded.
 Array/map decoding handles the spec's full block form (multiple blocks
 per value, negative counts carrying a byte-size prefix); the writer emits
 the common single-block form the Java library also writes. Dict-wrapped
@@ -77,8 +86,13 @@ MAGIC = b"Obj\x01"
 # the FULL format incl. copy elements; encoder emits the spec-legal
 # literal-only form), since no snappy Python lib ships in this
 # container. Avro's snappy framing appends a 4-byte BIG-ENDIAN CRC32 of
-# the uncompressed data to each block.
-CODECS = ("null", "deflate", "snappy")
+# the uncompressed data to each block. bzip2 + xz (round 12) are the
+# spec's remaining stdlib-expressible optional codecs: each block is one
+# standard .bz2 / .xz stream (no extra framing, no checksum suffix —
+# both formats carry their own integrity checks), matching the Java
+# library's commons-compress/xz-java implementations. Only zstandard
+# stays excluded — no zstd module anywhere in this container.
+CODECS = ("null", "deflate", "snappy", "bzip2", "xz")
 
 
 def _deflate_compress(buf: bytes) -> bytes:
@@ -240,6 +254,29 @@ def snappy_compress(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _bounded_decompress(decomp, buf: bytes, codec: str) -> bytes:
+    """Shared bomb-guarded drain for the incremental bz2/lzma decompressor
+    objects — same MAX_BLOCK_BYTES ceiling and ValueError contract as the
+    deflate path (a ~4 MB block can legally expand >1000x; a single
+    unbounded .decompress() would hand a hostile header a multi-GB
+    allocation)."""
+    try:
+        out = decomp.decompress(buf, MAX_BLOCK_BYTES + 1)
+    except Exception as e:  # bz2/lzma raise OSError/EOFError/LZMAError
+        raise ValueError(f"bad {codec} block: {e}") from None
+    if len(out) > MAX_BLOCK_BYTES:
+        raise ValueError(
+            f"{codec} block exceeds {MAX_BLOCK_BYTES} decompressed bytes"
+        )
+    if not decomp.eof:
+        raise ValueError(f"truncated {codec} block")
+    if decomp.unused_data:
+        raise ValueError(
+            f"{len(decomp.unused_data)} trailing bytes after {codec} stream"
+        )
+    return out
+
+
 def decompress_block(codec: str, buf: bytes) -> bytes:
     """Block payload -> record bytes under the file's declared codec."""
     if codec == "null":
@@ -255,6 +292,18 @@ def decompress_block(codec: str, buf: bytes) -> bytes:
         if zlib.crc32(data) != int.from_bytes(buf[-4:], "big"):
             raise ValueError("snappy block CRC32 mismatch")
         return data
+    if codec == "bzip2":
+        import bz2
+
+        return _bounded_decompress(bz2.BZ2Decompressor(), buf, codec)
+    if codec == "xz":
+        import lzma
+
+        # FORMAT_XZ pinned: the Java xz-java codec writes .xz container
+        # streams; FORMAT_AUTO would also accept raw/legacy .lzma
+        return _bounded_decompress(
+            lzma.LZMADecompressor(format=lzma.FORMAT_XZ), buf, codec
+        )
     raise ValueError(f"unsupported codec {codec!r}")
 
 _PRIMITIVES = ("long", "int", "float", "string", "double", "boolean", "bytes")
@@ -268,17 +317,27 @@ MAX_SCHEMA_DEPTH = 16
 
 def _parse_item_type(t, depth: int = 0, names=None, ns=None) -> tuple:
     """Array-item / map-value type: primitive, nullable primitive, a
-    (nullable) nested record, or a general union — no
-    array-of-array/map-of-map. -> (descriptor, nullable)."""
+    (nullable) nested record, a general union, or (round 12) another
+    container — array-of-array/map-of-map nest to MAX_SCHEMA_DEPTH, the
+    shapes token-level embedding matrices and bbox lists actually use.
+    -> (descriptor, nullable)."""
+    if depth > MAX_SCHEMA_DEPTH:
+        raise ValueError(f"schema nests deeper than {MAX_SCHEMA_DEPTH}")
     if isinstance(t, list):
         if len(t) == 2 and t[0] == "null":
             inner, inner_nullable = _parse_item_type(t[1], depth, names, ns)
-            if inner_nullable:
+            if inner_nullable or (isinstance(inner, tuple) and inner[0] == "union"):
+                # ['null', [...]] is a union containing a union —
+                # spec-invalid, same rejection as inside _parse_union
                 raise ValueError(f"unsupported nested union {t!r}")
             return inner, True
         return _parse_union(t, depth, names, ns), False
     if isinstance(t, dict):
         kind = t.get("type")
+        if kind == "array":
+            return ("array", *_parse_item_type(t.get("items"), depth + 1, names, ns)), False
+        if kind == "map":
+            return ("map", *_parse_item_type(t.get("values"), depth + 1, names, ns)), False
         if kind == "record":
             return ("record", tuple(_parse_record_fields(t, depth + 1, names, ns))), False
         if kind == "enum":
@@ -297,7 +356,8 @@ def _parse_item_type(t, depth: int = 0, names=None, ns=None) -> tuple:
     if t in _PRIMITIVES:
         return t, False
     raise ValueError(
-        f"unsupported item type {t!r} (subset: {_PRIMITIVES} + record/enum/fixed/union)"
+        f"unsupported item type {t!r} "
+        f"(subset: {_PRIMITIVES} + array/map/record/enum/fixed/union)"
     )
 
 
@@ -316,7 +376,9 @@ def _parse_field_type(t, depth: int = 0, names=None, ns=None) -> tuple:
     if isinstance(t, list):
         if len(t) == 2 and t[0] == "null":
             inner, inner_nullable = _parse_field_type(t[1], depth, names, ns)
-            if inner_nullable:
+            if inner_nullable or (isinstance(inner, tuple) and inner[0] == "union"):
+                # ['null', [...]] is a union containing a union —
+                # spec-invalid, same rejection as inside _parse_union
                 raise ValueError(f"unsupported nested union {t!r}")
             return inner, True
         # the 2-branch ['null', T] nullable form above keeps its dedicated
@@ -1386,7 +1448,7 @@ def decode_records(
 
 def write_ocf(path: str, schema: dict, rows, sync: bytes, block_rows: int = 1024,
               codec: str = "null") -> None:
-    """Write one Avro Object Container File (null or deflate codec)."""
+    """Write one Avro Object Container File (any codec in CODECS)."""
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
     if codec not in CODECS:
@@ -1414,6 +1476,14 @@ def write_ocf(path: str, schema: dict, rows, sync: bytes, block_rows: int = 1024
                     payload = raw
                 elif codec == "deflate":
                     payload = _deflate_compress(raw)
+                elif codec == "bzip2":
+                    import bz2
+
+                    payload = bz2.compress(raw)
+                elif codec == "xz":
+                    import lzma
+
+                    payload = lzma.compress(raw, format=lzma.FORMAT_XZ)
                 else:  # snappy: compressed stream + BE CRC32 of raw
                     payload = snappy_compress(raw) + zlib.crc32(raw).to_bytes(4, "big")
                 f.write(encode_long(n) + encode_long(len(payload)) + payload + sync)

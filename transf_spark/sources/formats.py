@@ -870,7 +870,7 @@ AVRO_DOCS_SCHEMA = {
         {"name": "n_chars", "type": ["null", "long"]},
     ],
 }
-AVRO_WRITE_PARTS = 4
+AVRO_WRITE_PARTS = 5
 
 
 AVRO_SPLIT_BYTES = 4 * 1024 * 1024  # target split payload size
@@ -935,11 +935,11 @@ def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
     the pure-Python codec (foreachPartition — the custom-sink shape; on a
     real cluster the open() targets shared storage instead of local /tmp,
     which single-host local mode makes equivalent). MIXED codecs by
-    partition (null / deflate / null / snappy — all three supported
-    codecs, round 11): a real landing directory holds files from
-    different writers, and the reader must dispatch per file off each
-    header's avro.codec, so the declared census round-trips every codec
-    in one query. MIXED schema
+    partition (null / deflate / xz / snappy / bzip2 — all FIVE supported
+    codecs since round 12; three in round 11): a real landing directory
+    holds files from different writers, and the reader must dispatch per
+    file off each header's avro.codec, so the declared census round-trips
+    every codec in one query. MIXED schema
     VINTAGES too (late round 11): part 1 writes an EVOLVED superset
     schema — an extra `vintage` long column and a `logicalType`-annotated
     `n_chars` — which the reader resolves back into AVRO_DOCS_SCHEMA per
@@ -1009,12 +1009,13 @@ def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
                 sync,
                 # all three supported codecs in one directory — the reader
                 # dispatches per file off each self-describing header
-                codec={0: "null", 1: "deflate", 2: "null", 3: "snappy"}[pid % 4],
+                codec={0: "null", 1: "deflate", 2: "xz", 3: "snappy",
+                       4: "bzip2"}[pid % 5],
             )
 
         docs.repartition(AVRO_WRITE_PARTS, "doc_id").foreachPartition(write_part)
 
-    tag = tables.staging_tag(sf_dir, "documents", extra="avro5")
+    tag = tables.staging_tag(sf_dir, "documents", extra="avro6")
     return tables.stage_once("/tmp/transf_spark_fmt_avro_", tag, write)
 
 
