@@ -2208,3 +2208,99 @@ def test_nested_container_cross_implementation_with_java(spark, tmp_path):
         dfw.append(reader.read(None, dec))
     dfw.close()
     assert list(a.read_ocf(open(p2, "rb").read())[1]) == rows
+
+
+def test_union_struct_surface_flows_through_spark_datasource(spark, tmp_path):
+    """A struct-surface union column must land as a Spark
+    struct<member0, member1> row through the Python DataSource API — the
+    same executor plumbing the live census uses, proving the spark-avro
+    member mapping is Spark-typable end to end (promote surfaces land as
+    plain widened columns on the same path)."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    schema = {"type": "record", "name": "u", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "sv", "type": ["null", "string", "long"]},
+        {"name": "pi", "type": ["int", "long"]},
+    ]}
+    rows = [
+        (1, ("a", None), 7),
+        (2, (None, 9), 2**40),
+        (3, None, -5),
+    ]
+    path = str(tmp_path / "u.avro")
+    a.write_ocf(path, schema, rows, SYNC, block_rows=2, codec="xz")
+
+    class UnionAvroTestSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "transf_union_avro_test"
+
+        def schema(self):
+            return "id long, sv struct<member0: string, member1: long>, pi long"
+
+        def reader(self, schema):
+            opts = self.options
+
+            class _R(DataSourceReader):
+                def partitions(self):
+                    from transf_spark.sources.avro_ocf import scan_block_index
+
+                    with open(opts["path"], "rb") as f:
+                        index = scan_block_index(f)
+                    return [InputPartition((opts["path"], tuple(index)))]
+
+                def read(self, partition):
+                    from transf_spark.sources.avro_ocf import read_block_range
+
+                    p, blocks = partition.value
+                    yield from read_block_range(p, list(blocks))
+
+            return _R()
+
+    spark.dataSource.register(UnionAvroTestSource)
+    df = (
+        spark.read.format("transf_union_avro_test")
+        .option("path", path)
+        .load()
+        .orderBy("id")
+    )
+    got = [
+        (r.id, (r.sv.member0, r.sv.member1) if r.sv is not None else None, r.pi)
+        for r in df.collect()
+    ]
+    assert got == rows
+
+
+def test_union_branch_reorder_resolution_matches_java(spark, tmp_path):
+    """Reader union = writer union with branches REORDERED (the classic
+    compatible evolution: wire indices shift, values must not): member
+    slots follow the READER's non-null order, Java-reader-parity-pinned."""
+    jvm = spark.sparkContext._jvm
+    w = {"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": ["null", "string", "long"]}]}
+    r = {"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": ["long", "null", "string"]}]}
+    rows = [(("a", None),), ((None, 9),), (None,), (("", None),)]
+    p = str(tmp_path / "w.avro")
+    a.write_ocf(p, w, rows, SYNC, block_rows=2)
+    ours = list(a.read_ocf(open(p, "rb").read(), reader_schema=r)[1])
+    # reader non-null order: long (member0), string (member1)
+    expect = [((None, "a"),), ((9, None),), (None,), ((None, ""),)]
+    assert ours == expect
+
+    rsch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(r))
+    rdr = jvm.org.apache.avro.generic.GenericDatumReader()
+    rdr.setExpected(rsch)
+    dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(p), rdr)
+    java = []
+    while dfr.hasNext():
+        v = dfr.next().get("x")
+        if v is None:
+            java.append((None,))
+        elif isinstance(v, int):
+            java.append(((v, None),))
+        else:
+            java.append(((None, str(v)),))
+    dfr.close()
+    assert java == expect
