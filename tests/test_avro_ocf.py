@@ -2304,3 +2304,130 @@ def test_union_branch_reorder_resolution_matches_java(spark, tmp_path):
             java.append(((None, str(v)),))
     dfr.close()
     assert java == expect
+
+
+def test_wide_union_roundtrip_and_linear_parse():
+    """A 26-branch union (wide event-type registries) parses, surfaces as
+    a 25-member struct, and round-trips — width is linear, only DEPTH is
+    capped."""
+    branches = ["null"] + [
+        {"type": "fixed", "name": f"f{i}", "size": i + 1} for i in range(25)
+    ]
+    schema = {"type": "record", "name": "w",
+              "fields": [{"name": "x", "type": branches}]}
+    fields = a.parse_schema(schema)
+    desc = fields[0][1]
+    assert desc[0] == "union" and len(desc[1]) == 26
+    assert desc[2][0] == "struct" and len(desc[2][1]) == 25
+    rows = []
+    for i in (0, 7, 24):
+        member = [None] * 25
+        member[i] = bytes([i]) * (i + 1)
+        rows.append((tuple(member),))
+    rows.append((None,))
+    buf = b"".join(a.encode_record(fields, r) for r in rows)
+    assert a.decode_records(fields, buf, len(rows)) == rows
+
+
+# ---- round-12 review regressions (union matching + namespace rules) --------
+
+def test_union_exact_branch_beats_promotion_matches_java(spark, tmp_path):
+    """Branch selection is two-pass like the Java ResolvingDecoder: the
+    structurally identical reader branch wins BEFORE any promotable one.
+    A writer 'string' into reader ['bytes','string'] must land in the
+    string member (one promotion-first pass put it in bytes)."""
+    jvm = spark.sparkContext._jvm
+    w = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "string"}]}
+    r = {"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": ["bytes", "string"]}]}
+    p = str(tmp_path / "w.avro")
+    a.write_ocf(p, w, [("hi",), ("",)], SYNC)
+    ours = list(a.read_ocf(open(p, "rb").read(), reader_schema=r)[1])
+    assert ours == [((None, "hi"),), ((None, ""),)]
+
+    rsch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(r))
+    rdr = jvm.org.apache.avro.generic.GenericDatumReader()
+    rdr.setExpected(rsch)
+    dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(p), rdr)
+    java = []
+    while dfr.hasNext():
+        v = dfr.next().get("x")
+        # Java yields the string branch (Utf8), not ByteBuffer
+        java.append(((None, str(v)),))
+    dfr.close()
+    assert java == ours
+
+
+def test_namespace_rules_match_java_parser():
+    """Round-12 review: name handling is namespace-exact, not bare-name
+    aliased — same accept/reject set as the Java Schema.Parser."""
+    # two same-bare-name records in different namespaces: spec-valid,
+    # including in a union, and identity resolution must not crash
+    two_ns = {"type": "record", "name": "top", "fields": [
+        {"name": "f0", "type": {"type": "record", "name": "A",
+                                "namespace": "y",
+                                "fields": [{"name": "q", "type": "long"}]}},
+        {"name": "f1", "type": {"type": "record", "name": "A",
+                                "namespace": "x",
+                                "fields": [{"name": "p", "type": "long"}]}}]}
+    assert a.build_resolver(two_ns, a.parse_schema(two_ns)) is None
+    in_union = {"type": "record", "name": "t", "fields": [{"name": "x", "type": [
+        {"type": "record", "name": "A", "namespace": "x",
+         "fields": [{"name": "p", "type": "long"}]},
+        {"type": "record", "name": "A", "namespace": "y",
+         "fields": [{"name": "q", "type": "long"}]}]}]}
+    assert a.parse_schema(in_union)[0][1][0] == "union"
+    # a union holding a definition AND a qualified reference to the same
+    # type is a duplicate (keyed on fullname either way)
+    with pytest.raises(ValueError, match="duplicate union branch"):
+        a.parse_schema({"type": "record", "name": "t", "namespace": "x",
+                        "fields": [
+            {"name": "a", "type": {"type": "record", "name": "A",
+                                   "fields": [{"name": "p", "type": "long"}]}},
+            {"name": "y", "type": ["A", "x.A"]}]})
+    # an unqualified reference resolves through the ENCLOSING namespace
+    # ONLY — a bare 'A' cannot bind to y.A from inside namespace x
+    with pytest.raises(ValueError, match="unsupported type 'A'"):
+        a.parse_schema({"type": "record", "name": "t", "namespace": "x",
+                        "fields": [
+            {"name": "a", "type": {"type": "record", "name": "A",
+                                   "namespace": "y",
+                                   "fields": [{"name": "p", "type": "long"}]}},
+            {"name": "b", "type": "A"}]})
+    # ...but binds fine when x.A is what the enclosing namespace defines
+    ok = {"type": "record", "name": "t", "namespace": "x", "fields": [
+        {"name": "a", "type": {"type": "record", "name": "A",
+                               "fields": [{"name": "p", "type": "long"}]}},
+        {"name": "b", "type": "A"}]}
+    assert a.parse_schema(ok)[1][1][0] == "record"
+
+
+def test_record_default_fallback_through_named_reference(tmp_path):
+    """Round-12 review: the subfield-own-default fallback works when the
+    record type is reached through a named reference (raw deref inside
+    _default_value)."""
+    w = {"type": "record", "name": "d", "fields": [{"name": "id", "type": "long"}]}
+    r = {"type": "record", "name": "d", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "qq", "type": {"type": "record", "name": "Q", "fields": [
+            {"name": "b", "type": "long", "default": 9}]},
+         "default": {"b": 1}},
+        {"name": "f1", "type": {"type": "record", "name": "W", "fields": [
+            {"name": "inner", "type": "Q", "default": {}}]},
+         "default": {}}]}
+    p = str(tmp_path / "d.avro")
+    a.write_ocf(p, w, [(1,), (2,)], SYNC)
+    got = list(a.read_ocf(open(p, "rb").read(), reader_schema=r)[1])
+    assert got == [(1, (1,), ((9,),)), (2, (1,), ((9,),))]
+
+
+def test_xz_dictionary_bomb_rejected():
+    """Round-12 review: a 60-byte block whose LZMA2 header demands a
+    1 GiB dictionary must ValueError at the memlimit, not malloc."""
+    import lzma as _lzma
+
+    bomb = _lzma.compress(
+        b"hi", filters=[{"id": _lzma.FILTER_LZMA2, "dict_size": 1 << 30}]
+    )
+    with pytest.raises(ValueError, match="bad xz block"):
+        a.decompress_block("xz", bomb)

@@ -145,9 +145,10 @@ def _correctness_history(root: str | None = None) -> dict[str, tuple[int, bool]]
 _SEMANTICS_CHANGED_IN: dict[str, int] = {
     "agg_approx_distinct": 5,  # r5: rows-only → oracle-checked error-bound invariant
     "agg_approx_percentile": 5,  # r5: rows-only → oracle-checked rank invariant
-    "stream_stateful_reassembly": 11,  # r11: rows-only → closed-form manifest
-    # oracle (the declared NoTimeout drain is deterministic, so the manifest
-    # is SQL-derivable; the r6 __summary__ row and batch_consistent stay)
+    "stream_stateful_reassembly": 12,  # r12: oracle's bad/good CTEs gained
+    # DISTINCT (dup-HS closed form; values identical on the 1:1 fixture,
+    # but the r11 green graded the pre-DISTINCT SQL — regrade).
+    # (was r11: rows-only → closed-form manifest oracle)
     "text_language_id": 6,  # r6: rows-only → invariant-census oracle
     "dedup_fuzzy_minhash": 6,  # r6: exact-family pre-pass + star (changes declared
     # values on any fixture bearing exact-duplicate texts; mirrored in oracle)
@@ -158,9 +159,12 @@ _SEMANTICS_CHANGED_IN: dict[str, int] = {
     "embedding_kmeans": 8,  # r8: rows-only cluster profile → invariant-census oracle
     "embedding_pca_project": 8,  # r8: rows-only pc0..pc7 → invariant-census oracle
     "multimodal_frame_sample": 8,  # r8: rows-only frame rows → invariant-census oracle
-    "similarity_ann_lsh": 11,  # r11: LSH_ASSIGN_FLIPS=2 redundant indexing +
-    # raised recall floor 0.15→0.25 (was r8: census plan restructure) —
-    # regrade on the new index
+    "similarity_ann_lsh": 12,  # r12: query-side least-confident multi-probe
+    # union + floor 0.25→0.35 (was r11: LSH_ASSIGN_FLIPS=2 + floor 0.25;
+    # r8: census plan restructure) — regrade on the new probe set
+    "scan_avro_roundtrip": 12,  # r12: staged census now cycles FIVE codecs
+    # (xz/bzip2 added) + a third multi-branch-union schema vintage — the
+    # r10 green graded 3-codec/2-vintage staging; regrade on the new path
     "similarity_ann_ivf": 11,  # r11: IVF_ASSIGN=2 redundant indexing + raised
     # recall floor 0.4→0.6 (census booleans stay TRUE, but the index plan and
     # floor both changed — regrade on the new code)

@@ -300,9 +300,21 @@ def decompress_block(codec: str, buf: bytes) -> bytes:
         import lzma
 
         # FORMAT_XZ pinned: the Java xz-java codec writes .xz container
-        # streams; FORMAT_AUTO would also accept raw/legacy .lzma
+        # streams; FORMAT_AUTO would also accept raw/legacy .lzma.
+        # memlimit: LZMA2 headers declare a dictionary size liblzma
+        # allocates BEFORE any output-ceiling check can run — a 60-byte
+        # hostile block can demand a 1 GiB+ dict (round-12 review; deflate
+        # and bz2 have fixed <=1 MiB windows, only xz has this hole). A
+        # legitimate stream never needs a dict larger than its
+        # uncompressed size, so 2x MAX_BLOCK_BYTES accepts every block an
+        # honest writer can produce; over it, liblzma raises and the
+        # contract ValueError fires.
         return _bounded_decompress(
-            lzma.LZMADecompressor(format=lzma.FORMAT_XZ), buf, codec
+            lzma.LZMADecompressor(
+                format=lzma.FORMAT_XZ, memlimit=2 * MAX_BLOCK_BYTES
+            ),
+            buf,
+            codec,
         )
     raise ValueError(f"unsupported codec {codec!r}")
 
@@ -452,16 +464,23 @@ def _union_surface(branches: tuple) -> tuple:
     return ("struct", nn, slots)
 
 
-def _branch_key(desc, raw):
+def _branch_key(desc, raw, ns=None):
     """Spec: a union may not contain two schemas of the same type, EXCEPT
-    named types (record/enum/fixed), which are distinguished by name."""
+    named types (record/enum/fixed), which are distinguished by FULLNAME
+    (two same-bare-name records in different namespaces are distinct;
+    a definition and a qualified reference to it are the same — both
+    keyed on the qualified name, round-12 review)."""
     if isinstance(desc, tuple):
         kind = desc[0]
         if kind in ("record", "enum", "fixed"):
             if isinstance(raw, dict) and isinstance(raw.get("name"), str):
-                return (kind, raw["name"])
-            if isinstance(raw, str):  # named-type reference
-                return (kind, raw)
+                try:
+                    full, _ = _fullname(raw, ns)
+                except ValueError:
+                    full = raw["name"]
+                return (kind, full)
+            if isinstance(raw, str):  # named-type reference — qualify
+                return (kind, raw if "." in raw or not ns else f"{ns}.{raw}")
             return (kind, None)  # anonymous named type: duplicates reject
         return kind
     return desc
@@ -484,7 +503,7 @@ def _parse_union(t: list, depth: int, names=None, ns=None) -> tuple:
             desc, nullable = _parse_field_type(b, depth + 1, names, ns)
             if nullable or (isinstance(desc, tuple) and desc[0] == "union"):
                 raise ValueError(f"union directly inside union {t!r}")
-            key = _branch_key(desc, b)
+            key = _branch_key(desc, b, ns)
         if key in keys:
             raise ValueError(f"duplicate union branch {key!r} in {t!r}")
         keys.add(key)
@@ -515,9 +534,11 @@ def _fullname(t: dict, enclosing_ns):
 
 def _register_named(t: dict, names, ns, desc):
     """Register a completed enum/fixed/record definition in the parse-time
-    name table (fullname AND, first-wins, the bare name for unqualified
-    back-references). Redefinition of a fullname rejects — the Java parser
-    does too, and silently shadowing would make references ambiguous."""
+    name table under its FULLNAME (round-12 review: a bare-name alias was
+    namespace-blind — an unqualified reference resolves through the
+    ENCLOSING namespace in _deref_name instead, matching the Java
+    parser). Redefinition of a fullname rejects — the Java parser does
+    too, and silently shadowing would make references ambiguous."""
     if names is None or not isinstance(t, dict):
         return desc
     full, _child_ns = _fullname(t, ns)
@@ -526,9 +547,6 @@ def _register_named(t: dict, names, ns, desc):
     if full in names:  # incl. a record of the same name still in progress
         raise ValueError(f"duplicate type name {full!r}")
     names[full] = desc
-    bare = full.rpartition(".")[2]
-    if bare != full:
-        names.setdefault(bare, desc)
     return desc
 
 
@@ -537,16 +555,21 @@ def _deref_name(t: str, names, ns):
     (callers fall through to the standard unsupported-type error), or
     raise on a reference to a type still being defined (true recursion —
     a self-referential record cannot expand to a finite descriptor, so it
-    is REJECTED honestly, like spark-avro's default recursiveFieldMaxDepth)."""
-    for cand in ((f"{ns}.{t}" if ns and "." not in t else t), t):
-        if cand in names:
-            desc = names[cand]
-            if desc is None:
-                raise ValueError(
-                    f"recursive named-type reference {t!r} is unsupported "
-                    f"(the type is still being defined)"
-                )
-            return desc
+    is REJECTED honestly, like spark-avro's default recursiveFieldMaxDepth).
+    Java name rules exactly: a dotted reference is absolute; an undotted
+    one qualifies with the ENCLOSING namespace (bare when there is none).
+    No cross-namespace fallback — Java rejects those schemas, and a
+    fallback bound references to types from unrelated namespaces
+    (round-12 review)."""
+    cand = t if "." in t or not ns else f"{ns}.{t}"
+    if cand in names:
+        desc = names[cand]
+        if desc is None:
+            raise ValueError(
+                f"recursive named-type reference {t!r} is unsupported "
+                f"(the type is still being defined)"
+            )
+        return desc
     return None
 
 
@@ -581,16 +604,15 @@ def _parse_record_fields(
     fields = schema.get("fields")
     if not isinstance(fields, list) or not fields:
         raise ValueError("record schema needs a non-empty fields list")
-    # register the record's name BEFORE its fields parse, as an
-    # in-progress marker: a reference from inside (true recursion) raises
-    # in _deref_name instead of "unsupported type"
+    # register the record's name BEFORE its fields parse (via
+    # _register_named with an in-progress None marker — one registration
+    # path for all three named kinds, round-12 review): a reference from
+    # inside (true recursion) raises in _deref_name, not "unsupported type"
     full = None
     if names is not None:
         full, ns = _fullname(schema, ns)
         if full is not None:
-            if full in names:
-                raise ValueError(f"duplicate type name {full!r}")
-            names[full] = None
+            _register_named(schema, names, ns, None)
     out = []
     for f in fields:
         if not isinstance(f, dict) or "name" not in f or "type" not in f:
@@ -603,9 +625,6 @@ def _parse_record_fields(
         raise ValueError("duplicate field names in record schema")
     if names is not None and full is not None:
         names[full] = ("record", tuple(out))
-        bare = full.rpartition(".")[2]
-        if bare != full:
-            names.setdefault(bare, ("record", tuple(out)))
     return out
 
 
@@ -685,6 +704,12 @@ def _value_resolver(wdesc, rdesc, raw_reader_type, path: str, raw_names=None,
                 )
             return None
         if kind == "record":
+            if wdesc == rdesc:
+                # identical nested records resolve to identity without
+                # walking the raw JSON — also keeps a bare ambiguous
+                # reference (see _raw_deref) from rejecting the unchanged-
+                # schema path it never needed to walk
+                return None
             raw_rec = _raw_deref(_unwrap_union(raw_reader_type), raw_names)
             inner = build_resolver(
                 raw_rec, list(wdesc[1]), path=path, raw_names=raw_names,
@@ -732,16 +757,34 @@ def _unwrap_union(raw_type):
 def _raw_deref(raw, raw_names):
     """A named-type REFERENCE in the raw reader JSON (a bare string that
     is not a primitive) -> the defining raw dict, so resolution can keep
-    walking fields/items through it."""
-    if isinstance(raw, str) and raw not in _PRIMITIVES and raw_names:
-        return raw_names.get(raw, raw)
-    return raw
+    walking fields/items through it. Dotted references look up the
+    fullname; undotted ones go through the bare index — the raw walk has
+    no enclosing-namespace context (unlike parse), so a bare name whose
+    spelling is shared by definitions in TWO namespaces is ambiguous
+    here and rejects with a clean ValueError instead of binding to
+    whichever definition was collected first (round-12 review: that
+    first-wins bind crashed with KeyError on the wrong record's
+    fields)."""
+    if not (isinstance(raw, str) and raw not in _PRIMITIVES and raw_names):
+        return raw
+    if raw in raw_names:  # fullname (or bare name in a namespace-free schema)
+        return raw_names[raw]
+    fulls = raw_names.get(("bare", raw))
+    if not fulls:
+        return raw
+    if len(fulls) > 1:
+        raise ValueError(
+            f"named-type reference {raw!r} is ambiguous across namespaces "
+            f"{sorted(fulls)} in the reader schema — qualify the reference"
+        )
+    return raw_names[next(iter(fulls))]
 
 
 def _collect_raw_names(raw, ns=None, out=None) -> dict:
     """Walk a raw reader schema once, mapping every DEFINED named type
-    (record/enum/fixed) to its raw JSON dict — fullname plus, first-wins,
-    the bare name. Built once per build_resolver entry; lookups never
+    (record/enum/fixed) to its raw JSON dict — keyed by fullname, plus a
+    ('bare', name) index of the fullnames sharing each bare spelling
+    (see _raw_deref). Built once per build_resolver entry; lookups never
     mutate it. Malformed corners are left for parse_schema to reject."""
     if out is None:
         out = {}
@@ -761,7 +804,7 @@ def _collect_raw_names(raw, ns=None, out=None) -> dict:
             out.setdefault(full, raw)
             bare = full.rpartition(".")[2]
             if bare != full:
-                out.setdefault(bare, raw)
+                out.setdefault(("bare", bare), set()).add(full)
     if kind == "record" and isinstance(raw.get("fields"), list):
         for f in raw["fields"]:
             if isinstance(f, dict):
@@ -822,9 +865,17 @@ def _union_resolver(wdesc, rdesc, raw_rtype, path, raw_names, r_nullable):
 
     def _match(wb, pth):
         """One writer branch -> fn(decoded value) -> surfaced reader value
-        (None = identity), or a deferred-error fn when nothing matches."""
+        (None = identity), or a deferred-error fn when nothing matches.
+        TWO passes, like the Java ResolvingDecoder's bestBranch (round-12
+        review: one promotion-first pass put a writer 'string' into a
+        reader ['bytes','string'] union's bytes member): first the
+        structurally IDENTICAL branch, only then the first branch
+        reachable by promotion/resolution."""
         for j, rb in enumerate(rbranches):
-            if rb == "null":
+            if rb == wb:
+                return _inject(r_slots[j])
+        for j, rb in enumerate(rbranches):
+            if rb == "null" or rb == wb:
                 continue
             try:
                 vf = _value_resolver(wb, rb, raw_list[j], pth, raw_names)
@@ -885,7 +936,8 @@ def _union_resolver(wdesc, rdesc, raw_rtype, path, raw_names, r_nullable):
     return fn
 
 
-def _default_value(rdesc, nullable: bool, jdefault, path: str, raw_type=None):
+def _default_value(rdesc, nullable: bool, jdefault, path: str, raw_type=None,
+                   raw_names=None):
     """Reader-field JSON default -> decoded Python value (spec encoding:
     bytes defaults are strings of codepoints 0-255; a nullable union's
     default applies to the first branch, i.e. must be null). ``raw_type``
@@ -911,7 +963,8 @@ def _default_value(rdesc, nullable: bool, jdefault, path: str, raw_type=None):
             else None
         )
         v = _default_value(
-            first, False, jdefault, path, raw_list[0] if raw_list else None
+            first, False, jdefault, path,
+            raw_list[0] if raw_list else None, raw_names
         )
         if surface[0] == "struct":
             row = [None] * len(surface[1])
@@ -951,13 +1004,17 @@ def _default_value(rdesc, nullable: bool, jdefault, path: str, raw_type=None):
                     f"fixed default is {len(b)} bytes, schema says {rdesc[1]} at {path}"
                 )
             return b
-        raw_rec = _unwrap_union(raw_type) if raw_type is not None else None
+        raw_rec = (
+            _raw_deref(_unwrap_union(raw_type), raw_names)
+            if raw_type is not None else None
+        )  # deref: the type may be a named reference (round-12 review)
         if kind == "array":
             if not isinstance(jdefault, list):
                 raise ValueError(f"array default must be a JSON array at {path}")
             raw_items = raw_rec.get("items") if isinstance(raw_rec, dict) else None
             return [
-                _default_value(rdesc[1], rdesc[2], x, path + "[]", raw_items)
+                _default_value(rdesc[1], rdesc[2], x, path + "[]", raw_items,
+                               raw_names)
                 for x in jdefault
             ]
         if kind == "map":
@@ -965,7 +1022,8 @@ def _default_value(rdesc, nullable: bool, jdefault, path: str, raw_type=None):
                 raise ValueError(f"map default must be a JSON object at {path}")
             raw_vals = raw_rec.get("values") if isinstance(raw_rec, dict) else None
             return {
-                str(k): _default_value(rdesc[1], rdesc[2], v, path + "{}", raw_vals)
+                str(k): _default_value(rdesc[1], rdesc[2], v, path + "{}",
+                                       raw_vals, raw_names)
                 for k, v in jdefault.items()
             }
         if not isinstance(jdefault, dict):
@@ -979,11 +1037,13 @@ def _default_value(rdesc, nullable: bool, jdefault, path: str, raw_type=None):
         for nm, d, n in rdesc[1]:
             rawf = raw_fields.get(nm, {})
             if nm in jdefault:
-                out.append(_default_value(d, n, jdefault[nm], f"{path}.{nm}", rawf.get("type")))
+                out.append(_default_value(d, n, jdefault[nm], f"{path}.{nm}",
+                                          rawf.get("type"), raw_names))
             elif "default" in rawf:
                 # spec / Java parser: a subfield absent from the record's
                 # JSON default object takes its OWN declared default
-                out.append(_default_value(d, n, rawf["default"], f"{path}.{nm}", rawf.get("type")))
+                out.append(_default_value(d, n, rawf["default"], f"{path}.{nm}",
+                                          rawf.get("type"), raw_names))
             else:
                 _raise_default(path, nm)
         return tuple(out)
@@ -1085,7 +1145,7 @@ def build_resolver(reader_schema: dict, writer_fields: list, path: str = "$",
                 )
             steps.append(("const", _default_value(
                 rdesc, rnull, f["default"], f"{path}.{rname}",
-                _raw_deref(f.get("type"), raw_names)
+                f.get("type"), raw_names
             )))
     identity = len(steps) == len(writer_fields) and all(
         s[0] == "copy" and s[1] == i and s[2] is None for i, s in enumerate(steps)

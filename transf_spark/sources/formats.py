@@ -1007,7 +1007,7 @@ def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
                 {1: evolved, 2: union_vintage}.get(pid, schema),
                 rows,
                 sync,
-                # all three supported codecs in one directory — the reader
+                # all five supported codecs in one directory — the reader
                 # dispatches per file off each self-describing header
                 codec={0: "null", 1: "deflate", 2: "xz", 3: "snappy",
                        4: "bzip2"}[pid % 5],
