@@ -2423,11 +2423,78 @@ def test_record_default_fallback_through_named_reference(tmp_path):
 
 def test_xz_dictionary_bomb_rejected():
     """Round-12 review: a 60-byte block whose LZMA2 header demands a
-    1 GiB dictionary must ValueError at the memlimit, not malloc."""
-    import lzma as _lzma
-
-    bomb = _lzma.compress(
-        b"hi", filters=[{"id": _lzma.FILTER_LZMA2, "dict_size": 1 << 30}]
+    1 GiB dictionary must ValueError at the memlimit, not malloc. The
+    fixture bytes are PINNED (lzma.compress(b"hi", filters=[{"id":
+    FILTER_LZMA2, "dict_size": 1<<30}])) — re-encoding them at test time
+    would itself allocate the gigabyte dictionary and OOM a
+    memory-capped CI container before the guard under test ever ran."""
+    bomb = bytes.fromhex(
+        "fd377a585a000004e6d6b44602002101240000005e1fc7f90100016869000000"
+        "fea93811bccaa54800011a02dc2ea57e1fb6f37d010000000004595a"
     )
     with pytest.raises(ValueError, match="bad xz block"):
         a.decompress_block("xz", bomb)
+
+
+def test_same_shape_union_branches_never_misplace(tmp_path):
+    """Round-12 review #2: descriptors are structural (no fullnames), so
+    selecting between two SAME-SHAPE named branches is name-information
+    this codec cannot express. Reading a file under its own schema is
+    index-driven and stays correct; any cross-schema resolution against
+    such a union REJECTS at build instead of silently putting the value
+    in the wrong member (which is what a shape-first match would do)."""
+    sch = {"type": "record", "name": "r", "fields": [{"name": "x", "type": [
+        "null",
+        {"type": "record", "name": "B", "fields": [{"name": "v", "type": "long"}]},
+        {"type": "record", "name": "A", "fields": [{"name": "v", "type": "long"}]}]}]}
+    p = str(tmp_path / "s.avro")
+    rows = [(((7,), None),), ((None, (9,)),), (None,)]
+    a.write_ocf(p, sch, rows, SYNC)
+    assert list(a.read_ocf(open(p, "rb").read())[1]) == rows
+    assert a.build_resolver(sch, a.parse_schema(sch)) is None
+    narrower = {"type": "record", "name": "r", "fields": [{"name": "x", "type": [
+        "null",
+        {"type": "record", "name": "A", "fields": [{"name": "v", "type": "long"}]}]}]}
+    with pytest.raises(ValueError, match="structurally identical"):
+        a.build_resolver(sch, a.parse_schema(narrower))
+    with pytest.raises(ValueError, match="structurally identical"):
+        list(a.read_ocf(open(p, "rb").read(), reader_schema=narrower)[1])
+
+
+def test_null_namespace_fallback_matches_java_parser():
+    """Round-12 review #2: Java's Names.get tries the enclosing namespace
+    THEN the null namespace — a namespace-free type referenced by bare
+    name from inside a namespaced record must bind (the enclosing-only
+    rule rejected Java-valid schemas); an unrelated namespace still
+    never binds."""
+    ok = {"type": "record", "name": "t", "fields": [
+        {"name": "a", "type": {"type": "fixed", "name": "F", "size": 4}},
+        {"name": "b", "type": {"type": "record", "name": "n.Box",
+                               "fields": [{"name": "f", "type": "F"}]}}]}
+    fields = a.parse_schema(ok)
+    assert fields[1][1] == ("record", (("f", ("fixed", 4), False),))
+
+
+def test_bare_reference_disambiguates_through_enclosing_namespace(tmp_path):
+    """Round-12 review #2: with x.A and y.A both defined, a bare 'A'
+    inside namespace x binds to x.A — including through REAL evolution
+    (reader adds a defaulted field), where the raw resolution walk needs
+    the same namespace context parse had."""
+    r = {"type": "record", "name": "top", "namespace": "x", "fields": [
+        {"name": "f0", "type": {"type": "record", "name": "A", "namespace": "y",
+                                "fields": [{"name": "q", "type": "long"}]}},
+        {"name": "fA", "type": {"type": "record", "name": "A", "fields": [
+            {"name": "p", "type": "long"},
+            {"name": "r", "type": "long", "default": 5}]}},
+        {"name": "b", "type": "A"}]}
+    w = {"type": "record", "name": "top", "namespace": "x", "fields": [
+        {"name": "f0", "type": {"type": "record", "name": "A", "namespace": "y",
+                                "fields": [{"name": "q", "type": "long"}]}},
+        {"name": "fA", "type": {"type": "record", "name": "A", "fields": [
+            {"name": "p", "type": "long"}, {"name": "r", "type": "long"}]}},
+        {"name": "b", "type": {"type": "record", "name": "A2",
+                               "fields": [{"name": "p", "type": "long"}]}}]}
+    p = str(tmp_path / "w.avro")
+    a.write_ocf(p, w, [((1,), (2, 3), (4,))], SYNC)
+    got = list(a.read_ocf(open(p, "rb").read(), reader_schema=r)[1])
+    assert got == [((1,), (2, 3), (4, 5))]

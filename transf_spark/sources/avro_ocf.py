@@ -464,12 +464,13 @@ def _union_surface(branches: tuple) -> tuple:
     return ("struct", nn, slots)
 
 
-def _branch_key(desc, raw, ns=None):
+def _branch_key(desc, raw, ns=None, names=None):
     """Spec: a union may not contain two schemas of the same type, EXCEPT
     named types (record/enum/fixed), which are distinguished by FULLNAME
     (two same-bare-name records in different namespaces are distinct;
-    a definition and a qualified reference to it are the same — both
-    keyed on the qualified name, round-12 review)."""
+    a definition and a reference to it — qualified or bare — are the
+    same, keyed on the name the definition registered under,
+    round-12 review)."""
     if isinstance(desc, tuple):
         kind = desc[0]
         if kind in ("record", "enum", "fixed"):
@@ -479,8 +480,11 @@ def _branch_key(desc, raw, ns=None):
                 except ValueError:
                     full = raw["name"]
                 return (kind, full)
-            if isinstance(raw, str):  # named-type reference — qualify
-                return (kind, raw if "." in raw or not ns else f"{ns}.{raw}")
+            if isinstance(raw, str):  # reference — key on the fullname it
+                for cand in _name_candidates(raw, ns):  # resolved through
+                    if names is not None and cand in names:
+                        return (kind, cand)
+                return (kind, raw)
             return (kind, None)  # anonymous named type: duplicates reject
         return kind
     return desc
@@ -503,7 +507,7 @@ def _parse_union(t: list, depth: int, names=None, ns=None) -> tuple:
             desc, nullable = _parse_field_type(b, depth + 1, names, ns)
             if nullable or (isinstance(desc, tuple) and desc[0] == "union"):
                 raise ValueError(f"union directly inside union {t!r}")
-            key = _branch_key(desc, b, ns)
+            key = _branch_key(desc, b, ns, names)
         if key in keys:
             raise ValueError(f"duplicate union branch {key!r} in {t!r}")
         keys.add(key)
@@ -550,26 +554,34 @@ def _register_named(t: dict, names, ns, desc):
     return desc
 
 
+def _name_candidates(t: str, ns) -> tuple:
+    """Java Names.get lookup order for a reference string: a dotted name
+    is absolute; an undotted one qualifies with the ENCLOSING namespace,
+    then falls back to the NULL namespace (avro-1.12 Schema.Names.get —
+    round-12 review: dropping the null-namespace fallback rejected
+    Java-valid schemas that reference a namespace-free type from inside a
+    namespaced scope). No other cross-namespace fallback exists: a bare
+    name never binds to a definition in an unrelated namespace."""
+    if "." in t or not ns:
+        return (t,)
+    return (f"{ns}.{t}", t)
+
+
 def _deref_name(t: str, names, ns):
     """Resolve a named-type reference string -> desc, None when unknown
     (callers fall through to the standard unsupported-type error), or
     raise on a reference to a type still being defined (true recursion —
     a self-referential record cannot expand to a finite descriptor, so it
-    is REJECTED honestly, like spark-avro's default recursiveFieldMaxDepth).
-    Java name rules exactly: a dotted reference is absolute; an undotted
-    one qualifies with the ENCLOSING namespace (bare when there is none).
-    No cross-namespace fallback — Java rejects those schemas, and a
-    fallback bound references to types from unrelated namespaces
-    (round-12 review)."""
-    cand = t if "." in t or not ns else f"{ns}.{t}"
-    if cand in names:
-        desc = names[cand]
-        if desc is None:
-            raise ValueError(
-                f"recursive named-type reference {t!r} is unsupported "
-                f"(the type is still being defined)"
-            )
-        return desc
+    is REJECTED honestly, like spark-avro's default recursiveFieldMaxDepth)."""
+    for cand in _name_candidates(t, ns):
+        if cand in names:
+            desc = names[cand]
+            if desc is None:
+                raise ValueError(
+                    f"recursive named-type reference {t!r} is unsupported "
+                    f"(the type is still being defined)"
+                )
+            return desc
     return None
 
 
@@ -667,7 +679,7 @@ _PROMOTIONS = {
 
 
 def _value_resolver(wdesc, rdesc, raw_reader_type, path: str, raw_names=None,
-                    r_nullable: bool = False):
+                    r_nullable: bool = False, rns=None):
     """-> value transform fn or None (identity) for one matched field;
     raises ValueError when the writer type cannot resolve into the
     reader type. ``raw_names`` derefs named-type references in the raw
@@ -676,7 +688,9 @@ def _value_resolver(wdesc, rdesc, raw_reader_type, path: str, raw_names=None,
     if (isinstance(wdesc, tuple) and wdesc[0] == "union") or (
         isinstance(rdesc, tuple) and rdesc[0] == "union"
     ):
-        return _union_resolver(wdesc, rdesc, raw_reader_type, path, raw_names, r_nullable)
+        return _union_resolver(
+            wdesc, rdesc, raw_reader_type, path, raw_names, r_nullable, rns
+        )
     if isinstance(wdesc, tuple) or isinstance(rdesc, tuple):
         if (
             not isinstance(wdesc, tuple)
@@ -710,20 +724,20 @@ def _value_resolver(wdesc, rdesc, raw_reader_type, path: str, raw_names=None,
                 # reference (see _raw_deref) from rejecting the unchanged-
                 # schema path it never needed to walk
                 return None
-            raw_rec = _raw_deref(_unwrap_union(raw_reader_type), raw_names)
+            raw_rec = _raw_deref(_unwrap_union(raw_reader_type), raw_names, rns)
             inner = build_resolver(
                 raw_rec, list(wdesc[1]), path=path, raw_names=raw_names,
-                reader_fields=list(rdesc[1]),
+                reader_fields=list(rdesc[1]), rns=rns,
             )
             return inner
         _, wi, winull = wdesc
         _, ri, rinull = rdesc
         if winull and not (rinull or _union_has_null(ri)):
             raise ValueError(f"nullable {kind} items cannot resolve into non-nullable at {path}")
-        raw_rec = _raw_deref(_unwrap_union(raw_reader_type), raw_names)
+        raw_rec = _raw_deref(_unwrap_union(raw_reader_type), raw_names, rns)
         raw_item = raw_rec.get("items") if kind == "array" else raw_rec.get("values")
         ipath = path + ("[]" if kind == "array" else "{}")
-        ifn = _value_resolver(wi, ri, raw_item, ipath, raw_names, rinull)
+        ifn = _value_resolver(wi, ri, raw_item, ipath, raw_names, rinull, rns)
         if ifn is None:
             return None
         if (isinstance(wi, tuple) and wi[0] == "union") or (
@@ -754,38 +768,30 @@ def _unwrap_union(raw_type):
     return raw_type
 
 
-def _raw_deref(raw, raw_names):
+def _raw_deref(raw, raw_names, rns=None):
     """A named-type REFERENCE in the raw reader JSON (a bare string that
     is not a primitive) -> the defining raw dict, so resolution can keep
-    walking fields/items through it. Dotted references look up the
-    fullname; undotted ones go through the bare index — the raw walk has
-    no enclosing-namespace context (unlike parse), so a bare name whose
-    spelling is shared by definitions in TWO namespaces is ambiguous
-    here and rejects with a clean ValueError instead of binding to
-    whichever definition was collected first (round-12 review: that
-    first-wins bind crashed with KeyError on the wrong record's
-    fields)."""
+    walking fields/items through it. ``rns`` is the ENCLOSING namespace
+    at the reference site, threaded through the raw walk exactly like
+    parse threads it (round-12 review: a namespace-blind lookup either
+    crashed on or falsely rejected schemas whose bare name exists in two
+    namespaces — parse had already disambiguated the reference, the raw
+    walk just needed the same context). Lookup order is Java's
+    Names.get: enclosing-namespace-qualified, then the null namespace."""
     if not (isinstance(raw, str) and raw not in _PRIMITIVES and raw_names):
         return raw
-    if raw in raw_names:  # fullname (or bare name in a namespace-free schema)
-        return raw_names[raw]
-    fulls = raw_names.get(("bare", raw))
-    if not fulls:
-        return raw
-    if len(fulls) > 1:
-        raise ValueError(
-            f"named-type reference {raw!r} is ambiguous across namespaces "
-            f"{sorted(fulls)} in the reader schema — qualify the reference"
-        )
-    return raw_names[next(iter(fulls))]
+    for cand in _name_candidates(raw, rns):
+        if cand in raw_names:
+            return raw_names[cand]
+    return raw
 
 
 def _collect_raw_names(raw, ns=None, out=None) -> dict:
     """Walk a raw reader schema once, mapping every DEFINED named type
-    (record/enum/fixed) to its raw JSON dict — keyed by fullname, plus a
-    ('bare', name) index of the fullnames sharing each bare spelling
-    (see _raw_deref). Built once per build_resolver entry; lookups never
-    mutate it. Malformed corners are left for parse_schema to reject."""
+    (record/enum/fixed) to its raw JSON dict, keyed by FULLNAME (lookups
+    qualify through the enclosing namespace in _raw_deref). Built once
+    per build_resolver entry; lookups never mutate it. Malformed corners
+    are left for parse_schema to reject."""
     if out is None:
         out = {}
     if isinstance(raw, list):
@@ -802,9 +808,6 @@ def _collect_raw_names(raw, ns=None, out=None) -> dict:
             full = None
         if full is not None:
             out.setdefault(full, raw)
-            bare = full.rpartition(".")[2]
-            if bare != full:
-                out.setdefault(("bare", bare), set()).add(full)
     if kind == "record" and isinstance(raw.get("fields"), list):
         for f in raw["fields"]:
             if isinstance(f, dict):
@@ -816,7 +819,7 @@ def _collect_raw_names(raw, ns=None, out=None) -> dict:
     return out
 
 
-def _union_resolver(wdesc, rdesc, raw_rtype, path, raw_names, r_nullable):
+def _union_resolver(wdesc, rdesc, raw_rtype, path, raw_names, r_nullable, rns=None):
     """Resolution when either side is a general union (spec §Schema
     Resolution): a writer branch's values match the FIRST reader branch
     they resolve into; a branch with NO matching reader branch defers to a
@@ -833,6 +836,24 @@ def _union_resolver(wdesc, rdesc, raw_rtype, path, raw_names, r_nullable):
         return None
     wu = isinstance(wdesc, tuple) and wdesc[0] == "union"
     ru = isinstance(rdesc, tuple) and rdesc[0] == "union"
+    # round-12 review: branch selection here is STRUCTURAL (descriptors
+    # carry no fullnames), but the Java reader selects between two
+    # same-shape named branches (record A{x:long} vs B{x:long}) by NAME —
+    # unexpressible in this codec. Identity resolution returned above, so
+    # reading a file under its own schema is unaffected; any OTHER
+    # resolution against a union holding structurally identical branches
+    # REJECTS at build instead of silently placing values in the wrong
+    # member.
+    for side, sdesc in (("writer", wdesc if wu else None),
+                        ("reader", rdesc if ru else None)):
+        if sdesc is not None:
+            nn_side = [b for b in sdesc[1] if b != "null"]
+            if len(set(nn_side)) != len(nn_side):
+                raise ValueError(
+                    f"{side} union at {path} holds structurally identical "
+                    f"branches; name-based branch selection is not "
+                    f"expressible in this codec's structural descriptors"
+                )
     wsurf = wdesc[2] if wu else ("value", wdesc)
     if ru:
         rbranches, rsurf = rdesc[1], rdesc[2]
@@ -878,7 +899,7 @@ def _union_resolver(wdesc, rdesc, raw_rtype, path, raw_names, r_nullable):
             if rb == "null" or rb == wb:
                 continue
             try:
-                vf = _value_resolver(wb, rb, raw_list[j], pth, raw_names)
+                vf = _value_resolver(wb, rb, raw_list[j], pth, raw_names, False, rns)
             except ValueError:
                 continue
             inj = _inject(r_slots[j])
@@ -937,7 +958,7 @@ def _union_resolver(wdesc, rdesc, raw_rtype, path, raw_names, r_nullable):
 
 
 def _default_value(rdesc, nullable: bool, jdefault, path: str, raw_type=None,
-                   raw_names=None):
+                   raw_names=None, rns=None):
     """Reader-field JSON default -> decoded Python value (spec encoding:
     bytes defaults are strings of codepoints 0-255; a nullable union's
     default applies to the first branch, i.e. must be null). ``raw_type``
@@ -964,7 +985,7 @@ def _default_value(rdesc, nullable: bool, jdefault, path: str, raw_type=None,
         )
         v = _default_value(
             first, False, jdefault, path,
-            raw_list[0] if raw_list else None, raw_names
+            raw_list[0] if raw_list else None, raw_names, rns
         )
         if surface[0] == "struct":
             row = [None] * len(surface[1])
@@ -1005,16 +1026,21 @@ def _default_value(rdesc, nullable: bool, jdefault, path: str, raw_type=None,
                 )
             return b
         raw_rec = (
-            _raw_deref(_unwrap_union(raw_type), raw_names)
+            _raw_deref(_unwrap_union(raw_type), raw_names, rns)
             if raw_type is not None else None
         )  # deref: the type may be a named reference (round-12 review)
+        if isinstance(raw_rec, dict):
+            try:
+                _, rns = _fullname(raw_rec, rns)
+            except ValueError:
+                pass
         if kind == "array":
             if not isinstance(jdefault, list):
                 raise ValueError(f"array default must be a JSON array at {path}")
             raw_items = raw_rec.get("items") if isinstance(raw_rec, dict) else None
             return [
                 _default_value(rdesc[1], rdesc[2], x, path + "[]", raw_items,
-                               raw_names)
+                               raw_names, rns)
                 for x in jdefault
             ]
         if kind == "map":
@@ -1023,7 +1049,7 @@ def _default_value(rdesc, nullable: bool, jdefault, path: str, raw_type=None,
             raw_vals = raw_rec.get("values") if isinstance(raw_rec, dict) else None
             return {
                 str(k): _default_value(rdesc[1], rdesc[2], v, path + "{}",
-                                       raw_vals, raw_names)
+                                       raw_vals, raw_names, rns)
                 for k, v in jdefault.items()
             }
         if not isinstance(jdefault, dict):
@@ -1038,12 +1064,12 @@ def _default_value(rdesc, nullable: bool, jdefault, path: str, raw_type=None,
             rawf = raw_fields.get(nm, {})
             if nm in jdefault:
                 out.append(_default_value(d, n, jdefault[nm], f"{path}.{nm}",
-                                          rawf.get("type"), raw_names))
+                                          rawf.get("type"), raw_names, rns))
             elif "default" in rawf:
                 # spec / Java parser: a subfield absent from the record's
                 # JSON default object takes its OWN declared default
                 out.append(_default_value(d, n, rawf["default"], f"{path}.{nm}",
-                                          rawf.get("type"), raw_names))
+                                          rawf.get("type"), raw_names, rns))
             else:
                 _raise_default(path, nm)
         return tuple(out)
@@ -1082,7 +1108,7 @@ def _raise_default(path: str, name: str):
 
 
 def build_resolver(reader_schema: dict, writer_fields: list, path: str = "$",
-                   raw_names=None, reader_fields=None):
+                   raw_names=None, reader_fields=None, rns=None):
     """Schema resolution: -> fn(writer row tuple) -> reader row tuple,
     or None when the reader schema IS the writer schema (identity — the
     fast path skips the per-row rebuild). Raises ValueError when the
@@ -1100,6 +1126,13 @@ def build_resolver(reader_schema: dict, writer_fields: list, path: str = "$",
         )
     if reader_fields is None:
         reader_fields = parse_schema(reader_schema)
+    try:
+        # references inside this record's fields resolve against ITS
+        # namespace (inherited through the enclosing one) — same rule the
+        # parse walk applies
+        _, rns = _fullname(reader_schema, rns)
+    except ValueError:
+        pass
     raw = {str(f["name"]): f for f in reader_schema["fields"]}
     wmap = {name: (i, desc, null) for i, (name, desc, null) in enumerate(writer_fields)}
     steps = []
@@ -1131,7 +1164,8 @@ def build_resolver(reader_schema: dict, writer_fields: list, path: str = "$",
                     f"non-nullable reader field at {path}"
                 )
             fn = _value_resolver(
-                wdesc, rdesc, raw[rname]["type"], f"{path}.{rname}", raw_names, rnull
+                wdesc, rdesc, raw[rname]["type"], f"{path}.{rname}",
+                raw_names, rnull, rns
             )
             # union transforms own None handling — always-call step
             kind = "copyu" if (r_union or w_union) and fn is not None else "copy"
@@ -1145,7 +1179,7 @@ def build_resolver(reader_schema: dict, writer_fields: list, path: str = "$",
                 )
             steps.append(("const", _default_value(
                 rdesc, rnull, f["default"], f"{path}.{rname}",
-                f.get("type"), raw_names
+                f.get("type"), raw_names, rns
             )))
     identity = len(steps) == len(writer_fields) and all(
         s[0] == "copy" and s[1] == i and s[2] is None for i, s in enumerate(steps)
