@@ -2498,3 +2498,37 @@ def test_bare_reference_disambiguates_through_enclosing_namespace(tmp_path):
     a.write_ocf(p, w, [((1,), (2, 3), (4,))], SYNC)
     got = list(a.read_ocf(open(p, "rb").read(), reader_schema=r)[1])
     assert got == [((1,), (2, 3), (4, 5))]
+
+
+def test_zero_byte_items_decode_and_forged_counts_reject(tmp_path):
+    """Round-12 soak finding: fixed(0) values cost ZERO wire bytes, so
+    (a) arrays/records of them are legal and must round-trip (the old
+    'each entry costs >= 1 byte' count bound falsely rejected them), and
+    (b) with no byte cost to bound them, forged counts must hit the
+    explicit MAX_ZERO_BYTE_ITEMS ceiling instead of allocating freely."""
+    s = {"type": "record", "name": "root", "fields": [
+        {"name": "c0", "type": "long"},
+        {"name": "c1", "type": {"type": "fixed", "name": "t1", "size": 0}},
+        {"name": "c2", "type": {"type": "array",
+                                "items": {"type": "fixed", "name": "t3", "size": 0}}}]}
+    rows = [(0, b"", [b"", b""]), (7, b"", []), (-1, b"", [b""] * 5)]
+    p = str(tmp_path / "z.avro")
+    a.write_ocf(p, s, rows, SYNC)
+    assert list(a.read_ocf(open(p, "rb").read())[1]) == rows
+
+    fields = a.parse_schema(s)
+    hostile = a.encode_long(1) + a.encode_long(10**9)
+    with pytest.raises(ValueError, match="zero-byte-item ceiling"):
+        a.decode_records(fields, hostile, 1)
+
+    zrec = a.parse_schema({"type": "record", "name": "z", "fields": [
+        {"name": "a", "type": {"type": "fixed", "name": "f0", "size": 0}}]})
+    with pytest.raises(ValueError, match="zero-byte-item ceiling"):
+        a.decode_records(zrec, b"", 10**9)
+    assert a.decode_records(zrec, b"", 3) == [(b"",)] * 3
+
+    # ordinary >=1-byte items keep the tighter size-aware bound
+    arr = a.parse_schema({"type": "record", "name": "n", "fields": [
+        {"name": "xs", "type": {"type": "array", "items": "long"}}]})
+    with pytest.raises(ValueError, match="bad array block count"):
+        a.decode_records(arr, a.encode_long(10**6) + b"\x02", 1)

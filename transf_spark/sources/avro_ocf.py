@@ -1384,6 +1384,39 @@ def encode_record(fields: list[tuple[str, str, bool]], row) -> bytes:
 
 # ---- primitive decoders ----------------------------------------------------
 
+# Ceiling on container/record counts whose element type can legally cost
+# ZERO wire bytes (fixed of size 0, records made only of those): with no
+# byte cost to bound them, a forged count is pure allocation — a million
+# zero-byte elements per block is far beyond any honest writer (the
+# values carry no information) and far below any allocation hazard.
+MAX_ZERO_BYTE_ITEMS = 1 << 20
+
+
+def _min_encoded_bytes(desc, nullable: bool) -> int:
+    """Static minimum wire size of one value of ``desc`` — the basis for
+    the hostile-count guards (a claimed element count must fit in the
+    remaining buffer at this floor). Memoization is unnecessary: called
+    once per container VALUE on a bounded-depth descriptor."""
+    if nullable:
+        return 1  # the union branch index; the null branch ends there
+    if isinstance(desc, tuple):
+        kind = desc[0]
+        if kind == "fixed":
+            return desc[1]
+        if kind == "enum":
+            return 1
+        if kind == "union":
+            # branch index (>=1 byte) + the cheapest branch (null = 0)
+            return 1 + min(
+                (0 if b == "null" else _min_encoded_bytes(b, False))
+                for b in desc[1]
+            )
+        if kind == "record":
+            return sum(_min_encoded_bytes(d, nl) for _, d, nl in desc[1])
+        return 1  # array/map: the 0 end-of-blocks varint
+    return {"double": 8, "float": 4}.get(desc, 1)
+
+
 def read_long(buf: bytes, pos: int) -> tuple[int, int]:
     z, shift = 0, 0
     while True:
@@ -1468,9 +1501,15 @@ def _read_value(prim: str, buf: bytes, pos: int):
             return _read_record(list(prim[1]), buf, pos)
         kind, item_prim, item_nullable = prim
         out_list = [] if kind == "array" else {}
-        # full spec block form: count per block (negative count carries a
-        # byte-size prefix for skip-ahead readers — we decode sequentially,
-        # so the size is read and discarded), 0 terminates
+        # hostile-count guard: an entry costs at least _min_encoded_bytes
+        # on the wire, EXCEPT zero-size-capable shapes (fixed of size 0,
+        # records of only those — round-12 soak finding: the old
+        # flat ">= 1 byte" bound falsely rejected legal array<fixed(0)>
+        # values), which get the explicit element cap instead so a forged
+        # count can't allocate unbounded Python objects from 0 bytes.
+        min_b = _min_encoded_bytes(item_prim, item_nullable)
+        if kind == "map":
+            min_b += 1  # the key costs >= 1 byte (its length varint)
         while True:
             n, pos = read_long(buf, pos)
             if n == 0:
@@ -1480,8 +1519,14 @@ def _read_value(prim: str, buf: bytes, pos: int):
                 _size, pos = read_long(buf, pos)
                 if _size < 0:
                     raise ValueError(f"bad {kind} block byte-size {_size}")
-            if n > len(buf) - pos:  # each entry costs >= 1 byte
-                raise ValueError(f"bad {kind} block count {n}")
+            if min_b > 0:
+                if n > (len(buf) - pos) // min_b:
+                    raise ValueError(f"bad {kind} block count {n}")
+            elif n > MAX_ZERO_BYTE_ITEMS:
+                raise ValueError(
+                    f"{kind} block count {n} exceeds the zero-byte-item "
+                    f"ceiling {MAX_ZERO_BYTE_ITEMS}"
+                )
             for _ in range(n):
                 if kind == "map":
                     klen, pos = read_long(buf, pos)
@@ -1529,6 +1574,19 @@ def _read_record(
 def decode_records(
     fields: list[tuple[str, str, bool]], buf: bytes, count: int
 ) -> list[tuple]:
+    # same hostile-count guard as the container loop in _read_value: a
+    # forged block header claiming 10^12 records of an (unusual but
+    # legal) zero-wire-byte row shape would otherwise spin and allocate
+    # for the full count before the trailing-bytes check ever ran
+    row_min = sum(_min_encoded_bytes(d, nl) for _, d, nl in fields)
+    if row_min > 0:
+        if count > len(buf) // row_min:
+            raise ValueError(f"bad record count {count} for {len(buf)}-byte block")
+    elif count > MAX_ZERO_BYTE_ITEMS:
+        raise ValueError(
+            f"record count {count} exceeds the zero-byte-item ceiling "
+            f"{MAX_ZERO_BYTE_ITEMS}"
+        )
     rows, pos = [], 0
     for _ in range(count):
         row, pos = _read_record(fields, buf, pos)
