@@ -2532,3 +2532,107 @@ def test_zero_byte_items_decode_and_forged_counts_reject(tmp_path):
         {"name": "xs", "type": {"type": "array", "items": "long"}}]})
     with pytest.raises(ValueError, match="bad array block count"):
         a.decode_records(arr, a.encode_long(10**6) + b"\x02", 1)
+
+
+# ---- round-13 ADVICE regression (definition-site namespace in deref) --------
+
+def test_deref_walk_uses_definition_site_namespace(spark, tmp_path):
+    """Round-13 ADVICE: after _raw_deref, the walk INTO a definition must
+    continue under the DEFINITION site's namespace, not the reference
+    site's. With null-ns leaf{x default 1} and b.leaf{x default 2}, a
+    null-ns 'inner' referencing bare 'leaf', and b.mid referencing
+    'inner': recomputing the namespace from the reference site re-bound
+    inner's bare 'leaf' to b.leaf — silently decoding x=2 where the Java
+    parser (Names.get binds through the definition site) yields x=1.
+    Both affected paths are pinned: default filling (reader-only field)
+    and the nested build_resolver walk (matched evolving field)."""
+    jvm = spark.sparkContext._jvm
+
+    # Path 1: reader-only field of type b.mid with default {} — the
+    # filled default walks mid -> inner -> leaf through two derefs.
+    writer1 = {"type": "record", "name": "top", "fields": [
+        {"name": "id", "type": "long"}]}
+    reader1 = {"type": "record", "name": "top", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "a", "type": {"type": "record", "name": "leaf", "fields": [
+            {"name": "x", "type": "long", "default": 1}]},
+         "default": {"x": 10}},
+        {"name": "b_", "type": {"type": "record", "name": "leaf",
+                                "namespace": "b", "fields": [
+            {"name": "x", "type": "long", "default": 2}]},
+         "default": {"x": 20}},
+        {"name": "c", "type": {"type": "record", "name": "inner", "fields": [
+            {"name": "l", "type": "leaf", "default": {}}]},
+         "default": {}},
+        {"name": "d", "type": {"type": "record", "name": "mid",
+                               "namespace": "b", "fields": [
+            {"name": "i", "type": "inner", "default": {}}]},
+         "default": {}}]}
+    p1 = str(tmp_path / "w1.avro")
+    a.write_ocf(p1, writer1, [(1,), (2,)], SYNC)
+    ours1 = list(a.read_ocf(open(p1, "rb").read(), reader_schema=reader1)[1])
+    assert ours1 == [(1, (10,), (20,), ((1,),), (((1,),),)),
+                     (2, (10,), (20,), ((1,),), (((1,),),))]
+
+    rsch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(reader1))
+    rdr = jvm.org.apache.avro.generic.GenericDatumReader()
+    rdr.setExpected(rsch)
+    dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(p1), rdr)
+    java1 = []
+    while dfr.hasNext():
+        rec = dfr.next()
+        java1.append((rec.get("id"),
+                      (rec.get("a").get("x"),),
+                      (rec.get("b_").get("x"),),
+                      ((rec.get("c").get("l").get("x"),),),
+                      (((rec.get("d").get("i").get("l").get("x"),),),)))
+    dfr.close()
+    assert java1 == ours1
+
+    # Path 2: matched evolving field — the nested build_resolver walk
+    # reads the ADDED subfield's default from the deref'd raw dict; the
+    # wrong twin would fill y=2 inside d instead of 1.
+    writer2 = {"type": "record", "name": "top", "fields": [
+        {"name": "a", "type": {"type": "record", "name": "leaf", "fields": [
+            {"name": "x", "type": "long"}]}},
+        {"name": "b_", "type": {"type": "record", "name": "leaf",
+                                "namespace": "b", "fields": [
+            {"name": "x", "type": "long"}]}},
+        {"name": "c", "type": {"type": "record", "name": "inner", "fields": [
+            {"name": "l", "type": "leaf"}]}},
+        {"name": "d", "type": {"type": "record", "name": "mid",
+                               "namespace": "b", "fields": [
+            {"name": "i", "type": "inner"}]}}]}
+    reader2 = {"type": "record", "name": "top", "fields": [
+        {"name": "a", "type": {"type": "record", "name": "leaf", "fields": [
+            {"name": "x", "type": "long"},
+            {"name": "y", "type": "long", "default": 1}]}},
+        {"name": "b_", "type": {"type": "record", "name": "leaf",
+                                "namespace": "b", "fields": [
+            {"name": "x", "type": "long"},
+            {"name": "y", "type": "long", "default": 2}]}},
+        {"name": "c", "type": {"type": "record", "name": "inner", "fields": [
+            {"name": "l", "type": "leaf"}]}},
+        {"name": "d", "type": {"type": "record", "name": "mid",
+                               "namespace": "b", "fields": [
+            {"name": "i", "type": "inner"}]}}]}
+    p2 = str(tmp_path / "w2.avro")
+    a.write_ocf(p2, writer2, [((5,), (6,), ((7,),), (((8,),),))], SYNC)
+    ours2 = list(a.read_ocf(open(p2, "rb").read(), reader_schema=reader2)[1])
+    assert ours2 == [((5, 1), (6, 2), ((7, 1),), (((8, 1),),))]
+
+    rsch2 = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(reader2))
+    rdr2 = jvm.org.apache.avro.generic.GenericDatumReader()
+    rdr2.setExpected(rsch2)
+    dfr2 = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(p2), rdr2)
+    java2 = []
+    while dfr2.hasNext():
+        rec = dfr2.next()
+        l = rec.get("c").get("l")
+        dl = rec.get("d").get("i").get("l")
+        java2.append(((rec.get("a").get("x"), rec.get("a").get("y")),
+                      (rec.get("b_").get("x"), rec.get("b_").get("y")),
+                      ((l.get("x"), l.get("y")),),
+                      (((dl.get("x"), dl.get("y")),),)))
+    dfr2.close()
+    assert java2 == ours2

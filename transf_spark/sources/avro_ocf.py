@@ -260,9 +260,14 @@ def _bounded_decompress(decomp, buf: bytes, codec: str) -> bytes:
     deflate path (a ~4 MB block can legally expand >1000x; a single
     unbounded .decompress() would hand a hostile header a multi-GB
     allocation)."""
+    import lzma
+
     try:
         out = decomp.decompress(buf, MAX_BLOCK_BYTES + 1)
-    except Exception as e:  # bz2/lzma raise OSError/EOFError/LZMAError
+    except (OSError, EOFError, ValueError, lzma.LZMAError) as e:
+        # the decompressors' documented corrupt-input errors only — a
+        # MemoryError (or a programming bug) must propagate as itself,
+        # not masquerade as corrupt input (round-13 ADVICE)
         raise ValueError(f"bad {codec} block: {e}") from None
     if len(out) > MAX_BLOCK_BYTES:
         raise ValueError(
@@ -724,20 +729,22 @@ def _value_resolver(wdesc, rdesc, raw_reader_type, path: str, raw_names=None,
                 # reference (see _raw_deref) from rejecting the unchanged-
                 # schema path it never needed to walk
                 return None
-            raw_rec = _raw_deref(_unwrap_union(raw_reader_type), raw_names, rns)
+            raw_rec, rec_ns = _raw_deref(
+                _unwrap_union(raw_reader_type), raw_names, rns
+            )
             inner = build_resolver(
                 raw_rec, list(wdesc[1]), path=path, raw_names=raw_names,
-                reader_fields=list(rdesc[1]), rns=rns,
+                reader_fields=list(rdesc[1]), rns=rec_ns,
             )
             return inner
         _, wi, winull = wdesc
         _, ri, rinull = rdesc
         if winull and not (rinull or _union_has_null(ri)):
             raise ValueError(f"nullable {kind} items cannot resolve into non-nullable at {path}")
-        raw_rec = _raw_deref(_unwrap_union(raw_reader_type), raw_names, rns)
+        raw_rec, rec_ns = _raw_deref(_unwrap_union(raw_reader_type), raw_names, rns)
         raw_item = raw_rec.get("items") if kind == "array" else raw_rec.get("values")
         ipath = path + ("[]" if kind == "array" else "{}")
-        ifn = _value_resolver(wi, ri, raw_item, ipath, raw_names, rinull, rns)
+        ifn = _value_resolver(wi, ri, raw_item, ipath, raw_names, rinull, rec_ns)
         if ifn is None:
             return None
         if (isinstance(wi, tuple) and wi[0] == "union") or (
@@ -770,28 +777,39 @@ def _unwrap_union(raw_type):
 
 def _raw_deref(raw, raw_names, rns=None):
     """A named-type REFERENCE in the raw reader JSON (a bare string that
-    is not a primitive) -> the defining raw dict, so resolution can keep
-    walking fields/items through it. ``rns`` is the ENCLOSING namespace
-    at the reference site, threaded through the raw walk exactly like
-    parse threads it (round-12 review: a namespace-blind lookup either
-    crashed on or falsely rejected schemas whose bare name exists in two
-    namespaces — parse had already disambiguated the reference, the raw
-    walk just needed the same context). Lookup order is Java's
+    is not a primitive) -> ``(defining raw dict, namespace for the walk
+    INTO it)``, so resolution can keep walking fields/items through the
+    definition under the DEFINITION site's namespace recorded by
+    _collect_raw_names — not the reference site's (round-13 ADVICE:
+    recomputing the child namespace from the reference-site ``rns`` made
+    a bare reference INSIDE a null-namespace definition bind a same-bare-
+    name type under the REFERENCING scope's namespace — Java's Names.get
+    binds through the definition site, so defaults/nested walks silently
+    used the wrong twin). An inline dict computes its child namespace
+    here (for it, reference site == definition site); anything else
+    passes ``rns`` through unchanged. Reference lookup order is Java's
     Names.get: enclosing-namespace-qualified, then the null namespace."""
-    if not (isinstance(raw, str) and raw not in _PRIMITIVES and raw_names):
-        return raw
-    for cand in _name_candidates(raw, rns):
-        if cand in raw_names:
-            return raw_names[cand]
-    return raw
+    if isinstance(raw, str) and raw not in _PRIMITIVES and raw_names:
+        for cand in _name_candidates(raw, rns):
+            if cand in raw_names:
+                return raw_names[cand]
+        return raw, rns
+    if isinstance(raw, dict):
+        try:
+            _, rns = _fullname(raw, rns)
+        except ValueError:
+            pass
+    return raw, rns
 
 
 def _collect_raw_names(raw, ns=None, out=None) -> dict:
     """Walk a raw reader schema once, mapping every DEFINED named type
-    (record/enum/fixed) to its raw JSON dict, keyed by FULLNAME (lookups
-    qualify through the enclosing namespace in _raw_deref). Built once
-    per build_resolver entry; lookups never mutate it. Malformed corners
-    are left for parse_schema to reject."""
+    (record/enum/fixed) to ``(its raw JSON dict, its definition-site
+    CHILD namespace)``, keyed by FULLNAME (lookups qualify through the
+    enclosing namespace in _raw_deref; the stored namespace is what bare
+    references INSIDE the definition resolve under — the spec's rule, see
+    _raw_deref). Built once per build_resolver entry; lookups never
+    mutate it. Malformed corners are left for parse_schema to reject."""
     if out is None:
         out = {}
     if isinstance(raw, list):
@@ -807,7 +825,7 @@ def _collect_raw_names(raw, ns=None, out=None) -> dict:
         except ValueError:
             full = None
         if full is not None:
-            out.setdefault(full, raw)
+            out.setdefault(full, (raw, ns))
     if kind == "record" and isinstance(raw.get("fields"), list):
         for f in raw["fields"]:
             if isinstance(f, dict):
@@ -1025,15 +1043,14 @@ def _default_value(rdesc, nullable: bool, jdefault, path: str, raw_type=None,
                     f"fixed default is {len(b)} bytes, schema says {rdesc[1]} at {path}"
                 )
             return b
-        raw_rec = (
-            _raw_deref(_unwrap_union(raw_type), raw_names, rns)
-            if raw_type is not None else None
-        )  # deref: the type may be a named reference (round-12 review)
-        if isinstance(raw_rec, dict):
-            try:
-                _, rns = _fullname(raw_rec, rns)
-            except ValueError:
-                pass
+        # deref: the type may be a named reference (round-12 review); the
+        # walk into it continues under the DEFINITION-site namespace that
+        # _raw_deref returns (round-13 ADVICE — recomputing it from the
+        # reference-site rns bound bare subfield references to the wrong
+        # same-bare-name twin)
+        raw_rec = None
+        if raw_type is not None:
+            raw_rec, rns = _raw_deref(_unwrap_union(raw_type), raw_names, rns)
         if kind == "array":
             if not isinstance(jdefault, list):
                 raise ValueError(f"array default must be a JSON array at {path}")
