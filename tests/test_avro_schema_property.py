@@ -1,9 +1,11 @@
-"""Composed-schema property test (round 12): random schemas over the FULL
-declared Avro subset — primitives, nullables, enums, fixed, nested records,
-nested containers, general unions, named-type references — with matching
-random rows, round-tripped through the codec. The per-feature suites pin
+"""Composed-schema property test (round 12; logical types round 13):
+random schemas over the FULL declared Avro subset — primitives,
+nullables, enums, fixed, nested records, nested containers, general
+unions, named-type references, logical types — with matching random
+rows, round-tripped through the codec. The per-feature suites pin
 each shape in isolation; this one exercises their COMPOSITIONS (a union of
-a map of a record holding a fixed, ...), where descriptor plumbing bugs
+a map of a record holding a fixed, an array of logical timestamps, ...),
+where descriptor plumbing bugs
 hide. Also pins the resolution-identity invariant: for every generated
 schema, build_resolver(schema, parse_schema(schema)) is None — identity
 must never degrade into a per-row transform (or worse, a rejection: the
@@ -11,6 +13,8 @@ round-12 review's namespace-aliasing crash was exactly this class)."""
 
 from __future__ import annotations
 
+import datetime as dt
+import decimal
 import hashlib
 
 from hypothesis import given, settings, strategies as st
@@ -29,18 +33,56 @@ _PRIM_VALUES = {
     "bytes": st.binary(max_size=10),
 }
 
+_EPOCH_D = dt.date(1970, 1, 1)
+_EPOCH_U = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+_EPOCH_N = dt.datetime(1970, 1, 1)
+
+# anonymous (non-fixed) logical types: raw JSON type -> value strategy;
+# ranges stay inside Python's year 1-9999 window, decimals are drawn as
+# unscaled ints at the schema's exact scale
+_LOGICAL_VALUES = {
+    ("int", "date"): st.integers(-100_000, 100_000).map(
+        lambda n: _EPOCH_D + dt.timedelta(days=n)),
+    ("long", "timestamp-millis"): st.integers(-(10**12), 10**13).map(
+        lambda n: _EPOCH_U + dt.timedelta(milliseconds=n)),
+    ("long", "timestamp-micros"): st.integers(-(10**15), 10**16).map(
+        lambda n: _EPOCH_U + dt.timedelta(microseconds=n)),
+    ("long", "local-timestamp-millis"): st.integers(-(10**12), 10**13).map(
+        lambda n: _EPOCH_N + dt.timedelta(milliseconds=n)),
+    ("long", "local-timestamp-micros"): st.integers(-(10**15), 10**16).map(
+        lambda n: _EPOCH_N + dt.timedelta(microseconds=n)),
+    ("bytes", "decimal"): st.integers(-(10**8) + 1, 10**8 - 1).map(
+        lambda n: decimal.Decimal(n).scaleb(-3)),
+}
+
 
 @st.composite
 def _type_and_values(draw, depth: int, ctr: list):
     """-> (raw type JSON, value strategy). ctr numbers named types so every
     generated name is unique (the parser rejects redefinition)."""
     prims = list(_PRIM_VALUES)
-    kinds = prims + (
+    kinds = prims + ["logical"] + (
         ["enum", "fixed", "record", "array", "map", "union"] if depth > 0 else ["enum", "fixed"]
     )
     kind = draw(st.sampled_from(kinds))
     if kind in _PRIM_VALUES:
         return kind, _PRIM_VALUES[kind]
+    if kind == "logical":
+        if draw(st.booleans()):
+            (und, lt), v = draw(st.sampled_from(sorted(
+                _LOGICAL_VALUES.items(), key=lambda kv: kv[0])))
+            t = {"type": und, "logicalType": lt}
+            if lt == "decimal":
+                t.update(precision=8, scale=3)
+            return t, v
+        # fixed-backed decimal (a NAMED logical type)
+        ctr[0] += 1
+        return (
+            {"type": "fixed", "name": f"t{ctr[0]}", "size": 5,
+             "logicalType": "decimal", "precision": 9, "scale": 2},
+            st.integers(-(10**9) + 1, 10**9 - 1).map(
+                lambda n: decimal.Decimal(n).scaleb(-2)),
+        )
     ctr[0] += 1
     name = f"t{ctr[0]}"
     if kind == "enum":

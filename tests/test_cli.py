@@ -87,15 +87,20 @@ def test_cli_avro_inspect(tmp_path, capsys):
 
     schema = {"type": "record", "name": "d", "fields": [
         {"name": "id", "type": "long"},
-        {"name": "tag", "type": ["null", "string"]}]}
+        {"name": "tag", "type": ["null", "string"]},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}}]}
     p = str(tmp_path / "x.avro")
-    a.write_ocf(p, schema, [(1, "a"), (2, None), (3, "c")],
+    ep = __import__("datetime").datetime(1970, 1, 1,
+                                         tzinfo=__import__("datetime").timezone.utc)
+    a.write_ocf(p, schema, [(1, "a", ep), (2, None, ep), (3, "c", ep)],
                 hashlib.md5(b"cli").digest(), block_rows=2, codec="snappy")
     ns = argparse.Namespace(path=p)
     assert cli.cmd_avro(ns) == 0
     out = capsys.readouterr().out
     assert "codec:   snappy" in out and "records: 3" in out and "blocks:  2" in out
     assert "tag: string (nullable)" in out
+    assert "spark:   id bigint, tag string, ts timestamp" in out
 
     bad = str(tmp_path / "bad.avro")
     open(bad, "wb").write(b"not avro at all")

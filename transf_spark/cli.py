@@ -134,7 +134,11 @@ def cmd_avro(args) -> int:
     (the DataSource reader's driver-side planning path, surfaced)."""
     import json as _json
 
-    from transf_spark.sources.avro_ocf import scan_block_index, scan_header
+    from transf_spark.sources.avro_ocf import (
+        scan_block_index,
+        scan_header,
+        spark_ddl,
+    )
 
     try:
         with open(args.path, "rb") as f:
@@ -153,6 +157,9 @@ def cmd_avro(args) -> int:
     for name, desc, nullable in fields:
         print(f"  {name}: {_json.dumps(desc) if not isinstance(desc, str) else desc}"
               f"{' (nullable)' if nullable else ''}")
+    # the Spark schema a DataSource over this file should declare —
+    # spark-avro's public type mapping incl. logical types (round 13)
+    print(f"spark:   {spark_ddl(fields)}")
     return 0
 
 

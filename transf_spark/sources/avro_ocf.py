@@ -50,15 +50,30 @@ embedding-matrix and bbox-list shapes. Unions directly inside unions
 ONE remaining codec gap — no zstd module anywhere in this container,
 re-probed round 12) are out of scope and REJECTED at schema/header
 parse, never mis-decoded.
+LOGICAL TYPES (round 13): spark-avro's public mapping — ``date`` (int),
+``timestamp-millis``/``timestamp-micros`` (long, instant semantics,
+surfaced as timezone-aware UTC datetimes), ``local-timestamp-millis``/
+``local-timestamp-micros`` (long, surfaced naive), and ``decimal`` over
+bytes or fixed (surfaced as ``decimal.Decimal``, two's-complement
+unscaled wire form, Java-minimal byte lengths) — decode TYPED and
+encode from the same Python types; ``spark_ddl`` maps parsed fields to
+the DataSource schema string (DateType/TimestampType/TimestampNTZType/
+DecimalType). Resolution: identical logical descriptors are identity; a
+logical writer folds back to a plain-underlying reader as the RAW wire
+value and a plain writer lifts into a logical reader (both exactly what
+the Java reader does — resolution is on underlying types, conversions
+come from the reader schema); DIFFERENT logical types REJECT at build
+(Java would silently reinterpret the raw count under the reader's unit,
+a 1000x shift). ``uuid``, ``time-*``, unknown names, and INVALID
+annotations fall back to the underlying type per spec — never mis-typed,
+never rejected for an annotation alone.
 Array/map decoding handles the spec's full block form (multiple blocks
 per value, negative counts carrying a byte-size prefix); the writer emits
 the common single-block form the Java library also writes. Dict-wrapped
 primitive schemas (``{"type": "string", ...annotations}`` — the spec's
 JSON-object form, which real writers emit with ``logicalType`` /
 ``avro.java.string`` / ``doc`` attributes) are accepted with the
-annotations passed through: per spec, a reader without a logical-type
-implementation falls back to the underlying primitive, so values decode
-as the raw type — never mis-typed.
+annotations passed through.
 
 Binary format essentials implemented here:
 - varint: little-endian 7-bit groups, high bit = continuation;
@@ -74,6 +89,8 @@ decode_pgm/decode_wav (fuzz-gated in tests/test_decoder_fuzz.py's family).
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import json
 import struct
 import zlib
@@ -325,6 +342,177 @@ def decompress_block(codec: str, buf: bytes) -> bytes:
 
 _PRIMITIVES = ("long", "int", "float", "string", "double", "boolean", "bytes")
 
+# ---- logical types (round 13) ----------------------------------------------
+#
+# spark-avro's PUBLIC Avro->Spark logical-type mapping, restated
+# (https://spark.apache.org/docs/latest/sql-data-sources-avro.html):
+# int+date -> DateType, long+timestamp-millis/micros -> TimestampType,
+# long+local-timestamp-millis/micros -> TimestampNTZType,
+# bytes/fixed+decimal(p,s) -> DecimalType(p,s); string+uuid stays a plain
+# string (the JVM reader surfaces it unconverted too). Everything else —
+# time-millis/micros, duration, unknown names — and any INVALID logical
+# annotation (wrong underlying type, bad decimal attributes) falls back
+# to the UNDERLYING type, the spec's rule ("implementations must ignore
+# the logical type and use the underlying Avro type" — Java's
+# LogicalTypes.fromSchemaIgnoreInvalid), so values are never mis-typed
+# and never rejected for an annotation alone.
+#
+# Descriptors: ("logical", ltype, underlying) for date/timestamps,
+# ("logical", "decimal", "bytes"|("fixed", size), precision, scale).
+# Values surface TYPED — datetime.date, timezone-aware datetime (UTC),
+# naive datetime for local-timestamps, decimal.Decimal — the shapes
+# Spark's Python DataSource API maps onto DateType/TimestampType/
+# TimestampNTZType/DecimalType columns (see spark_ddl).
+
+_TS_LOGICAL = ("timestamp-millis", "timestamp-micros",
+               "local-timestamp-millis", "local-timestamp-micros")
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+_EPOCH_NAIVE = _dt.datetime(1970, 1, 1)
+
+
+def _fixed_max_precision(size: int) -> int:
+    """Largest decimal precision a size-byte two's-complement unscaled
+    int can carry (the spec's fixed-decimal validity rule): the biggest
+    p with 10^p - 1 <= 2^(8*size-1) - 1."""
+    m = 2 ** (8 * size - 1) - 1
+    p = len(str(m))
+    if 10**p - 1 > m:
+        p -= 1
+    return p
+
+
+def _logical_desc(t: dict, underlying):
+    """Annotated schema dict -> logical descriptor, or the plain
+    underlying descriptor when the annotation is absent, unknown, or
+    invalid (see the mapping note above)."""
+    lt = t.get("logicalType")
+    if not isinstance(lt, str):
+        return underlying
+    if lt == "date" and underlying == "int":
+        return ("logical", "date", "int")
+    if lt in _TS_LOGICAL and underlying == "long":
+        return ("logical", lt, "long")
+    if lt == "decimal":
+        prec, scale = t.get("precision"), t.get("scale", 0)
+        if (
+            isinstance(prec, int) and not isinstance(prec, bool) and prec > 0
+            and isinstance(scale, int) and not isinstance(scale, bool)
+            and 0 <= scale <= prec
+        ):
+            if underlying == "bytes":
+                return ("logical", "decimal", "bytes", prec, scale)
+            if (
+                isinstance(underlying, tuple)
+                and underlying[0] == "fixed"
+                and underlying[1] > 0
+                and prec <= _fixed_max_precision(underlying[1])
+            ):
+                return ("logical", "decimal", underlying, prec, scale)
+    return underlying
+
+
+def _from_wire_logical(desc, v):
+    """Raw underlying value -> the typed surfaced value."""
+    lt = desc[1]
+    if lt != "decimal":
+        try:
+            if lt == "date":
+                return _EPOCH_DATE + _dt.timedelta(days=v)
+            if lt == "timestamp-millis":
+                return _EPOCH_UTC + _dt.timedelta(milliseconds=v)
+            if lt == "timestamp-micros":
+                return _EPOCH_UTC + _dt.timedelta(microseconds=v)
+            if lt == "local-timestamp-millis":
+                return _EPOCH_NAIVE + _dt.timedelta(milliseconds=v)
+            return _EPOCH_NAIVE + _dt.timedelta(microseconds=v)
+        except OverflowError:
+            # Python date/datetime cover years 1-9999; the wire long does
+            # not — outside values reject per the decode-or-ValueError
+            # contract instead of surfacing a wrapped/garbage timestamp
+            raise ValueError(
+                f"'{lt}' value {v} outside Python's representable range"
+            ) from None
+    prec, scale = desc[3], desc[4]
+    if len(v) == 0:
+        # Java's DecimalConversion builds BigInteger(bytes), which
+        # rejects an empty array — 0 must be encoded as b"\x00"
+        raise ValueError("decimal value needs at least one byte")
+    unscaled = int.from_bytes(v, "big", signed=True)
+    if len(str(abs(unscaled))) > prec:
+        # STRICTER than the Java conversion (which builds the BigDecimal
+        # unchecked): an over-precision wire value would silently
+        # overflow/null a Spark DecimalType(p,s) column downstream
+        raise ValueError(
+            f"decimal unscaled value {unscaled} exceeds precision {prec}"
+        )
+    # string construction is context-free EXACT (scaleb would round
+    # through the thread's default 28-digit context)
+    return _decimal.Decimal(f"{unscaled}E-{scale}")
+
+
+def _to_wire_logical(desc, v):
+    """Typed value -> the raw underlying value the wire encodes. Strict
+    on Python types: silently int()-ing a datetime (or accepting a naive
+    one for an instant-semantics timestamp) would write wrong data."""
+    lt = desc[1]
+    if lt == "date":
+        if not isinstance(v, _dt.date) or isinstance(v, _dt.datetime):
+            raise ValueError(f"'date' field needs a datetime.date, got {type(v).__name__}")
+        return (v - _EPOCH_DATE).days
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        if not isinstance(v, _dt.datetime) or v.tzinfo is None:
+            raise ValueError(
+                f"'{lt}' field needs a timezone-aware datetime, got {v!r}"
+            )
+        delta = v - _EPOCH_UTC
+    elif lt in ("local-timestamp-millis", "local-timestamp-micros"):
+        if not isinstance(v, _dt.datetime) or v.tzinfo is not None:
+            raise ValueError(f"'{lt}' field needs a naive datetime, got {v!r}")
+        delta = v - _EPOCH_NAIVE
+    else:  # decimal
+        prec, scale = desc[3], desc[4]
+        if not isinstance(v, _decimal.Decimal):
+            raise ValueError(
+                f"decimal field needs a decimal.Decimal, got {type(v).__name__}"
+            )
+        if not v.is_finite():
+            raise ValueError(f"non-finite decimal {v}")
+        sign, digits, exp = v.as_tuple()
+        n = int("".join(map(str, digits)) or "0")
+        if sign:
+            n = -n
+        e = exp + scale
+        if e >= 0:
+            unscaled = n * 10**e
+        else:
+            unscaled, r = divmod(n, 10**-e)
+            if r:
+                # Java's DecimalConversion rejects a scale mismatch too —
+                # rounding here would silently change the stored value
+                raise ValueError(f"decimal {v} does not fit scale {scale}")
+        if len(str(abs(unscaled))) > prec:
+            raise ValueError(f"decimal {v} exceeds precision {prec}")
+        und = desc[2]
+        if isinstance(und, tuple):  # fixed: size-pinned two's complement
+            try:
+                return unscaled.to_bytes(und[1], "big", signed=True)
+            except OverflowError:
+                raise ValueError(
+                    f"decimal {v} does not fit fixed({und[1]})"
+                ) from None
+        # bytes: MINIMAL two's complement — Java BigInteger.toByteArray
+        length = max(1, (unscaled.bit_length() + 7) // 8)
+        try:
+            return unscaled.to_bytes(length, "big", signed=True)
+        except OverflowError:
+            return unscaled.to_bytes(length + 1, "big", signed=True)
+    micros = (delta.days * 86400 + delta.seconds) * 10**6 + delta.microseconds
+    if lt.endswith("millis"):
+        # floor division — Java Instant.toEpochMilli's truncation
+        return micros // 1000
+    return micros
+
 # Schema recursion ceiling: a hostile header with thousands of nested
 # records would otherwise drive the parser (and the decoder) into Python
 # recursion-limit RecursionError — outside the decode-or-ValueError
@@ -360,12 +548,14 @@ def _parse_item_type(t, depth: int = 0, names=None, ns=None) -> tuple:
         if kind == "enum":
             return _register_named(t, names, ns, ("enum", _parse_enum_symbols(t))), False
         if kind == "fixed":
-            return _register_named(t, names, ns, ("fixed", _parse_fixed_size(t))), False
+            desc = _logical_desc(t, ("fixed", _parse_fixed_size(t)))
+            return _register_named(t, names, ns, desc), False
         if kind in _PRIMITIVES:
             # dict-wrapped primitive — spec-legal annotated form (see
-            # _parse_field_type); annotations pass through, values decode
-            # as the underlying primitive
-            return kind, False
+            # _parse_field_type); a SUPPORTED logical annotation maps to
+            # its typed descriptor, anything else passes through and
+            # values decode as the underlying primitive
+            return _logical_desc(t, kind), False
     if isinstance(t, str) and t not in _PRIMITIVES and names is not None:
         ref = _deref_name(t, names, ns)
         if ref is not None:
@@ -413,17 +603,20 @@ def _parse_field_type(t, depth: int = 0, names=None, ns=None) -> tuple:
         if kind == "enum":
             return _register_named(t, names, ns, ("enum", _parse_enum_symbols(t))), False
         if kind == "fixed":
-            return _register_named(t, names, ns, ("fixed", _parse_fixed_size(t))), False
+            desc = _logical_desc(t, ("fixed", _parse_fixed_size(t)))
+            return _register_named(t, names, ns, desc), False
         if kind in _PRIMITIVES:
             # The spec allows ANY schema as a JSON object {"type": name,
             # ...attributes}; real writers routinely emit dict-wrapped
-            # primitives carrying annotations — logicalType
-            # (timestamp-micros/date/decimal on long/int/bytes),
-            # avro.java.string, doc. Per spec, a reader that does not
-            # implement a logical type falls back to the UNDERLYING type,
-            # so annotations pass through and values decode as the raw
-            # primitive — never mis-typed, never rejected.
-            return kind, False
+            # primitives carrying annotations. SUPPORTED logical types
+            # (round 13: date / timestamp-millis/micros /
+            # local-timestamp-* / decimal — spark-avro's public mapping)
+            # parse to typed descriptors; per spec, everything else
+            # (time-*, uuid, unknown, invalid attributes) falls back to
+            # the UNDERLYING type, so annotations pass through and values
+            # decode as the raw primitive — never mis-typed, never
+            # rejected.
+            return _logical_desc(t, kind), False
         raise ValueError(
             f"unsupported complex type {t!r} (subset: array/map/record/enum/fixed)"
         )
@@ -476,6 +669,11 @@ def _branch_key(desc, raw, ns=None, names=None):
     a definition and a reference to it — qualified or bare — are the
     same, keyed on the name the definition registered under,
     round-12 review)."""
+    if isinstance(desc, tuple) and desc[0] == "logical":
+        # spec: logical annotations do not create union distinctness —
+        # two longs are duplicates whether or not one is a timestamp;
+        # a named decimal-fixed keys on its fullname like any fixed
+        desc = desc[2]
     if isinstance(desc, tuple):
         kind = desc[0]
         if kind in ("record", "enum", "fixed"):
@@ -654,6 +852,54 @@ def parse_schema(schema: dict) -> list[tuple[str, str, bool]]:
     return _parse_record_fields(schema, depth=0, names={})
 
 
+def _ddl_type(desc) -> str:
+    if isinstance(desc, tuple):
+        k = desc[0]
+        if k == "logical":
+            lt = desc[1]
+            if lt == "date":
+                return "date"
+            if lt in ("timestamp-millis", "timestamp-micros"):
+                return "timestamp"
+            if lt.startswith("local-timestamp"):
+                return "timestamp_ntz"
+            return f"decimal({desc[3]},{desc[4]})"
+        if k == "enum":
+            return "string"
+        if k == "fixed":
+            return "binary"
+        if k == "record":
+            inner = ",".join(f"{n}:{_ddl_type(d)}" for n, d, _ in desc[1])
+            return f"struct<{inner}>"
+        if k in ("array", "map"):
+            it = _ddl_type(desc[1])
+            return f"array<{it}>" if k == "array" else f"map<string,{it}>"
+        surf = desc[2]  # union
+        if surf[0] == "value":
+            return _ddl_type(surf[1])
+        if surf[0] == "promote":
+            return "bigint" if surf[1] == "long" else "double"
+        inner = ",".join(
+            f"member{i}:{_ddl_type(d)}" for i, d in enumerate(surf[1])
+        )
+        return f"struct<{inner}>"
+    return {
+        "long": "bigint", "int": "int", "float": "float", "double": "double",
+        "boolean": "boolean", "string": "string", "bytes": "binary",
+    }[desc]
+
+
+def spark_ddl(fields: list[tuple[str, str, bool]]) -> str:
+    """Parsed reader fields -> the Spark DDL schema string a DataSource
+    over this codec should declare — spark-avro's PUBLIC Avro->Spark
+    type mapping restated (enum -> string, fixed/bytes -> binary,
+    logical date/timestamp/decimal -> their typed columns, general
+    unions -> the member0..memberN struct). Field names are spec-legal
+    Avro names ([A-Za-z_][A-Za-z0-9_]*), so bare identifiers are safe
+    in DDL."""
+    return ", ".join(f"{name} {_ddl_type(desc)}" for name, desc, _ in fields)
+
+
 # ---- schema resolution (reader schema vs writer schema) ---------------------
 #
 # The spec's §Schema Resolution, over this codec's subset: fields match by
@@ -696,6 +942,43 @@ def _value_resolver(wdesc, rdesc, raw_reader_type, path: str, raw_names=None,
         return _union_resolver(
             wdesc, rdesc, raw_reader_type, path, raw_names, r_nullable, rns
         )
+    wl = isinstance(wdesc, tuple) and wdesc[0] == "logical"
+    rl = isinstance(rdesc, tuple) and rdesc[0] == "logical"
+    if wl or rl:
+        if wdesc == rdesc:
+            return None
+        if wl and rl:
+            # DIFFERENT logical types never cross-resolve here. The Java
+            # reader resolves on the UNDERLYING types and then applies
+            # the READER's conversion to the raw count — a ts-millis
+            # writer into a ts-micros reader silently shifts every value
+            # 1000x. Refusing at build is the honest restatement; the
+            # fold-back/lift paths below cover every lossless case.
+            raise ValueError(
+                f"cannot resolve writer logical type {wdesc[1]!r} into "
+                f"reader logical type {rdesc[1]!r} at {path}"
+            )
+        if wl:
+            # writer logical -> plain reader: the reader sees the RAW
+            # underlying value (Java parity — resolution is on underlying
+            # types and conversions come only from the READER schema, so
+            # a plain-long reader of a ts-micros file gets epoch micros)
+            base = _value_resolver(
+                wdesc[2], rdesc, raw_reader_type, path, raw_names,
+                r_nullable, rns,
+            )
+            if base is None:
+                return lambda v, _d=wdesc: _to_wire_logical(_d, v)
+            return lambda v, _d=wdesc, _b=base: _b(_to_wire_logical(_d, v))
+        # plain writer -> logical reader: resolve into the underlying,
+        # then the reader's declared conversion applies (Java parity —
+        # e.g. a plain-long vintage lifts into a ts-micros reader column)
+        base = _value_resolver(
+            wdesc, rdesc[2], raw_reader_type, path, raw_names, False, rns
+        )
+        if base is None:
+            return lambda v, _d=rdesc: _from_wire_logical(_d, v)
+        return lambda v, _d=rdesc, _b=base: _from_wire_logical(_d, _b(v))
     if isinstance(wdesc, tuple) or isinstance(rdesc, tuple):
         if (
             not isinstance(wdesc, tuple)
@@ -1025,6 +1308,14 @@ def _default_value(rdesc, nullable: bool, jdefault, path: str, raw_type=None,
         )
     if isinstance(rdesc, tuple):
         kind = rdesc[0]
+        if kind == "logical":
+            # spec: a logical-typed field's JSON default is written in
+            # the UNDERLYING type (days int, epoch long, byte-string) —
+            # validate it as such, then surface it typed like any
+            # decoded value
+            v = _default_value(rdesc[2], False, jdefault, path, None,
+                               raw_names, rns)
+            return _from_wire_logical(rdesc, v)
         if kind == "enum":
             if not isinstance(jdefault, str) or jdefault not in rdesc[1]:
                 raise ValueError(f"enum default {jdefault!r} not a symbol at {path}")
@@ -1275,6 +1566,8 @@ def _encode_value(prim: str, v) -> bytes:
     if prim == "boolean":
         return b"\x01" if v else b"\x00"
     if isinstance(prim, tuple):
+        if prim[0] == "logical":
+            return _encode_value(prim[2], _to_wire_logical(prim, v))
         if prim[0] == "union":
             _, branches, surface = prim
             if v is None:
@@ -1289,11 +1582,25 @@ def _encode_value(prim: str, v) -> bytes:
                 return encode_long(bidx) + _encode_value(branches[bidx], v)
             if surface[0] == "promote":
                 # int|long / float|double unions surface as ONE widened
-                # column; the writer deterministically emits the widest
-                # branch (always value-legal — the narrow branch's range
-                # is a subset)
-                bidx = branches.index(surface[1])
-                return encode_long(bidx) + _encode_value(surface[1], v)
+                # column; the writer deterministically emits the
+                # NARROWEST branch the value fits LOSSLESSLY (round-13
+                # ADVICE: the old widest-only emitter meant promote
+                # unions' narrow branches never appeared on a real wire,
+                # so the staged census only ever decoded the wide one).
+                # Either branch is value-legal; the decode surface
+                # pre-widens, so readers see identical values.
+                if surface[1] == "long":
+                    pick = "int" if -(2**31) <= int(v) < 2**31 else "long"
+                else:
+                    f = float(v)
+                    pick = "double"
+                    try:
+                        if struct.unpack("<f", struct.pack("<f", f))[0] == f:
+                            pick = "float"
+                    except OverflowError:
+                        pass
+                bidx = branches.index(pick)
+                return encode_long(bidx) + _encode_value(pick, v)
             nn, slots = surface[1], surface[2]
             if isinstance(v, dict):
                 v = tuple(v.get(f"member{i}") for i in range(len(nn)))
@@ -1418,6 +1725,8 @@ def _min_encoded_bytes(desc, nullable: bool) -> int:
         return 1  # the union branch index; the null branch ends there
     if isinstance(desc, tuple):
         kind = desc[0]
+        if kind == "logical":
+            return _min_encoded_bytes(desc[2], False)
         if kind == "fixed":
             return desc[1]
         if kind == "enum":
@@ -1487,6 +1796,9 @@ def _read_value(prim: str, buf: bytes, pos: int):
             raise ValueError(f"bad boolean byte {buf[pos]}")
         return buf[pos] == 1, pos + 1
     if isinstance(prim, tuple):
+        if prim[0] == "logical":
+            v, pos = _read_value(prim[2], buf, pos)
+            return _from_wire_logical(prim, v), pos
         if prim[0] == "union":
             _, branches, surface = prim
             idx, pos = read_long(buf, pos)

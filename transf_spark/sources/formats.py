@@ -941,16 +941,26 @@ def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
     file off each header's avro.codec, so the declared census round-trips
     every codec in one query. MIXED schema
     VINTAGES too (late round 11): part 1 writes an EVOLVED superset
-    schema — an extra `vintage` long column and a `logicalType`-annotated
-    `n_chars` — which the reader resolves back into AVRO_DOCS_SCHEMA per
-    the spec's resolution rules (the extra field is decoded and dropped,
-    the annotation passes through), so the declared census also proves
-    the multi-vintage directory path on every run while its VALUES stay
+    schema — an extra `vintage` long column and an annotated `n_chars` —
+    which the reader resolves back into AVRO_DOCS_SCHEMA per the spec's
+    resolution rules (the extra field is decoded and dropped, the
+    annotation passes through), so the declared census also proves the
+    multi-vintage directory path on every run while its VALUES stay
     identical to the uniform staging. Part 2 (round 12) writes a
     MULTI-BRANCH-UNION vintage — `n_chars` as ["null","long","int"] —
     which union resolution (promote surface -> the reader's nullable
-    long) folds back losslessly, so general-union decode+resolution is
-    also on the live census path every driver run."""
+    long) folds back losslessly; since round 13 the promote encoder
+    emits the NARROWEST fitting branch, so the int branch genuinely
+    appears on this file's wire (every n_chars fits int32) and
+    multi-branch wire decode+resolution runs on the live census path.
+    Part 3 (round 13) writes a LOGICAL-TYPE vintage — `n_chars` as
+    ["null", long+timestamp-micros] with datetime values — which the
+    typed decoder surfaces as timestamps and resolution folds back to
+    the reader's raw nullable long (the Java no-conversions reader's
+    view), so logical parse + typed encode/decode + fold-back all sit
+    on the live census path with values identical to the oracle's."""
+    import datetime as _dtm
+
     from transf_spark.sources.avro_ocf import write_ocf
 
     def write(out: str) -> None:
@@ -979,11 +989,26 @@ def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
             + [
                 # multi-branch union (round 12): surfaces as one widened
                 # long column; per-file resolution folds it back into the
-                # reader's ["null","long"] with identical values
+                # reader's ["null","long"] with identical values (and the
+                # round-13 narrowest-branch encoder puts the int branch
+                # on this file's wire — every n_chars fits int32)
                 {"name": "n_chars", "type": ["null", "long", "int"]},
             ],
         }
+        logical_vintage = {
+            "type": "record",
+            "name": "document",
+            "fields": AVRO_DOCS_SCHEMA["fields"][:-1]
+            + [
+                # logical-type vintage (round 13): written as TYPED
+                # timestamps (epoch micros = the n_chars count), decoded
+                # typed, folded back to the reader's raw nullable long
+                {"name": "n_chars", "type": ["null", {
+                    "type": "long", "logicalType": "timestamp-micros"}]},
+            ],
+        }
         sync = hashlib.md5(b"transf_avro_docs").digest()  # task closure tiny
+        epoch = _dtm.datetime(1970, 1, 1, tzinfo=_dtm.timezone.utc)
 
         def write_part(rows_iter) -> None:
             from pyspark import TaskContext
@@ -997,6 +1022,13 @@ def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
                     (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"], 2)
                     for r in rows_iter
                 )
+            elif pid == 3:
+                rows = (
+                    (r["doc_id"], r["text"], r["lang"], r["source"],
+                     None if r["n_chars"] is None
+                     else epoch + _dtm.timedelta(microseconds=r["n_chars"]))
+                    for r in rows_iter
+                )
             else:
                 rows = (
                     (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
@@ -1004,7 +1036,7 @@ def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
                 )
             write_ocf(
                 os.path.join(out, f"part-{pid:04d}.avro"),
-                {1: evolved, 2: union_vintage}.get(pid, schema),
+                {1: evolved, 2: union_vintage, 3: logical_vintage}.get(pid, schema),
                 rows,
                 sync,
                 # all five supported codecs in one directory — the reader
@@ -1015,7 +1047,7 @@ def _staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
 
         docs.repartition(AVRO_WRITE_PARTS, "doc_id").foreachPartition(write_part)
 
-    tag = tables.staging_tag(sf_dir, "documents", extra="avro6")
+    tag = tables.staging_tag(sf_dir, "documents", extra="avro7")
     return tables.stage_once("/tmp/transf_spark_fmt_avro_", tag, write)
 
 
@@ -1034,13 +1066,15 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the Apache Avro Java library in Spark's own jars) carried by
     the Python DataSource API that `scan_python_datasource` proved out.
     Documents stage as executor-written OCF files (one per hash
-    partition, MIXED codecs — null, deflate, AND snappy, all three
-    supported codecs in one directory; the reader dispatches per file
-    off the self-describing header), read back file-parallel through
-    the custom source, and the same census as the CSV/JSON/ORC/XML
-    twins must hash-match the raw-parquet oracle — NULL text,
-    empty-vs-NULL distinction, and every unicode byte must survive the
-    union-typed binary round-trip under every codec.
+    partition, MIXED codecs — all FIVE supported codecs in one
+    directory; the reader dispatches per file off the self-describing
+    header) and MIXED schema vintages (evolved superset, multi-branch
+    union with the int branch really on the wire, logical-typed
+    timestamp-micros folded back — see _staged_avro_dir), read back
+    file-parallel through the custom source, and the same census as
+    the CSV/JSON/ORC/XML twins must hash-match the raw-parquet oracle —
+    NULL text, empty-vs-NULL distinction, and every unicode byte must
+    survive the round-trip under every codec and vintage.
 
     Scale: BLOCK-granular splits keyed off the sync markers (the driver
     indexes block boundaries in O(blocks) seeks, executors decode
