@@ -84,6 +84,22 @@ def test_minhash_signature_stays_in_codegen(spark):
     assert st.codegen_spans >= 1
 
 
+def test_minhash_family_prepass_is_aggregate_not_window(spark):
+    """Round-13 (r12 verdict): the exact-duplicate pre-pass must compute
+    family representatives with a map-side-combinable groupBy(fp) +
+    join-back, NOT a partitionBy(fp) window — the window form lands
+    every copy of one duplicated text (full payload) in a single task,
+    an unsplittable straggler at 10^8-copy boilerplate scale, while a
+    skewed JOIN partition AQE can split. The only Window operators left
+    are the band-bucket valve's (keyed on band/band_hash, no text)."""
+    from transf_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(_q(spark, "dedup_fuzzy_minhash"))
+    for line in plan.splitlines():
+        if "Window" in line:
+            assert "fp#" not in line, "fp window is back:\n" + plan
+
+
 def test_watermark_late_drop_has_no_global_event_window(spark):
     """The high-water-mark prefix scan must not funnel all events through a
     single-partition window: the events-level running max partitions by
