@@ -370,9 +370,59 @@ def test_logical_encoder_strictness(tmp_path):
     assert got == [(EPOCH_U + dt.timedelta(milliseconds=1),)]
 
 
+def test_decimal_precision_bounds_and_hostile_fixed_size(tmp_path):
+    """Round-13 self-review regressions: (a) a hostile schema pairing a
+    multi-megabyte fixed with a decimal annotation must parse instantly
+    (the unclamped 2^(8*size-1) validity power was a parse-time DoS);
+    (b) precision above MAX_DECIMAL_PRECISION falls back to the
+    underlying type instead of arming CPython's int<->str digit limit;
+    (c) a cap-boundary 4096-digit decimal round-trips exactly."""
+    import time
+
+    t0 = time.monotonic()
+    f = a.parse_schema({"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": {"type": "fixed", "name": "f",
+                               "size": 64 * 1024 * 1024,
+                               "logicalType": "decimal",
+                               "precision": 38, "scale": 0}}]})
+    assert time.monotonic() - t0 < 1.0
+    assert f[0][1][:2] == ("logical", "decimal")  # still spec-valid -> typed
+
+    over = a.parse_schema({"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": a.MAX_DECIMAL_PRECISION + 1,
+                               "scale": 0}}]})
+    assert over[0][1] == "bytes"
+
+    cap = a.parse_schema({"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": a.MAX_DECIMAL_PRECISION,
+                               "scale": 0}}]})
+    v = decimal.Decimal(10 ** (a.MAX_DECIMAL_PRECISION - 1))
+    conv = a.build_conversions(cap)
+    raw = a.decode_records(cap, a.encode_record(cap, [v]), 1)
+    assert [conv(r) for r in raw] == [(v,)]
+
+    # (d) an over-precision WIRE value rejects at the typed surface via
+    # the arithmetic bound (no stringify of the hostile payload); the
+    # raw decode layer passes it through untouched (Java wire parity)
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": 4, "scale": 0}}]}
+    fields = a.parse_schema(sch)
+    wire = a.encode_long(3) + (10**4).to_bytes(3, "big", signed=True)
+    (rawrow,) = a.decode_records(fields, wire, 1)
+    assert rawrow == ((10**4).to_bytes(3, "big", signed=True),)
+    with pytest.raises(ValueError, match="exceeds"):
+        a.build_conversions(fields)(rawrow)
+
+
 def test_logical_out_of_range_wire_values_reject(tmp_path):
     """A wire long outside Python's year 1-9999 window must ValueError
-    (decode-or-ValueError contract), not overflow or wrap."""
+    when (and ONLY when) the schema the caller reads under declares the
+    logical type — a plain-underlying reader gets the raw long exactly
+    like Java's no-conversions reader (round-13 review: converting at
+    decode time under the WRITER schema killed the fold-back scan)."""
     plain = {"type": "record", "name": "r", "fields": [
         {"name": "x", "type": "long"}]}
     lt = {"type": "record", "name": "r", "fields": [
@@ -382,6 +432,50 @@ def test_logical_out_of_range_wire_values_reject(tmp_path):
     a.write_ocf(p, plain, [(2**62,)], SYNC)
     with pytest.raises(ValueError, match="representable range"):
         list(a.read_ocf(open(p, "rb").read(), reader_schema=lt)[1])
+
+    # the same sentinel in a LOGICAL-typed file folds back fine to a
+    # plain reader (Java wire parity) — assemble the file at the wire
+    # level, since the typed encoder rightly can't produce it
+    raw = open(p, "rb").read()
+    sch_json = json.dumps(lt, separators=(",", ":")).encode()
+    import io
+
+    f = io.BytesIO(raw)
+    a.scan_header(f)
+    body = raw[f.tell():]
+    head = a.MAGIC + a.encode_long(2)
+    for k, v in (("avro.codec", b"null"), ("avro.schema", sch_json)):
+        kb = k.encode()
+        head += a.encode_long(len(kb)) + kb + a.encode_long(len(v)) + v
+    head += a.encode_long(0) + raw[f.tell() - 16:f.tell()]
+    lt_file = head + body
+    # typed read of the out-of-range value rejects...
+    with pytest.raises(ValueError, match="representable range"):
+        list(a.read_ocf(lt_file)[1])
+    # ...but the plain-underlying fold-back surfaces the raw long
+    assert list(a.read_ocf(lt_file, reader_schema=plain)[1]) == [(2**62,)]
+
+
+def test_decimal_foldback_preserves_padded_wire_bytes(tmp_path):
+    """Round-13 review: a NON-minimal two's-complement decimal (legal —
+    Java only writes minimal, but the spec doesn't require it) folding
+    back to a plain-bytes reader must surface the wire bytes UNTOUCHED,
+    not a re-canonicalized minimal form."""
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": 4, "scale": 0}}]}
+    fields = a.parse_schema(sch)
+    padded = b"\x00\x01"  # two's complement for 1, padded
+    wire = a.encode_long(2) + padded
+    (rawrow,) = a.decode_records(fields, wire, 1)
+    assert rawrow == (padded,)  # raw layer: untouched
+    plain = a.parse_schema({"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": "bytes"}]})
+    tf = a.build_resolver({"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": "bytes"}]}, fields)
+    assert (tf(rawrow) if tf else rawrow) == (padded,)
+    # and the typed surface still reads it as Decimal(1)
+    assert a.build_conversions(fields)(rawrow) == (decimal.Decimal(1),)
 
 
 @settings(max_examples=40, deadline=None)
@@ -407,6 +501,37 @@ def test_logical_mutations_decode_or_valueerror(tmp_path_factory, pos, mask, cut
         list(a.read_ocf(bytes(buf))[1])
     except ValueError:
         pass
+
+
+def test_spark_ddl_rejects_over_38_decimal():
+    """Round-13 review: Spark's DecimalType caps at precision 38 — the
+    DDL helper must say so instead of emitting decimal(50,0) the JVM
+    parser rejects with a worse error; the CLI inspector degrades to a
+    note instead of crashing."""
+    import argparse
+    import hashlib as _h
+    import io
+    from contextlib import redirect_stdout
+
+    fields = a.parse_schema({"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": 50, "scale": 0}}]})
+    with pytest.raises(ValueError, match="cap"):
+        a.spark_ddl(fields)
+
+    from transf_spark import cli
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/wide.avro"
+        a.write_ocf(p, {"type": "record", "name": "r", "fields": [
+            {"name": "x", "type": {"type": "bytes", "logicalType": "decimal",
+                                   "precision": 50, "scale": 0}}]},
+                    [(decimal.Decimal(7),)], _h.md5(b"x").digest())
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert cli.cmd_avro(argparse.Namespace(path=p)) == 0
+        assert "not Spark-mappable" in buf.getvalue()
 
 
 def test_spark_ddl_mapping():
@@ -511,3 +636,32 @@ def test_logical_types_flow_through_spark_datasource(spark, tmp_path):
         (1, 2024, "2024-01-15 08:30:00.250", decimal.Decimal("399.98")),
         (2, 1969, None, decimal.Decimal("-0.10")),
     ]
+
+
+def test_staged_typed_fixture_is_logical(spark):
+    """The scan_avro_logical_typed staging really lands logical-typed
+    OCF files (ts/day/amount as timestamp-micros/date/decimal) across
+    its mixed codecs — pin the on-disk headers so the driver-graded
+    census keeps exercising the typed path."""
+    import glob
+    import os
+
+    from transf_spark.sources.formats import _staged_avro_typed_dir
+
+    d = _staged_avro_typed_dir(spark, "/root/testdata/sf0.001")
+    parts = sorted(glob.glob(os.path.join(d, "*.avro")))
+    assert len(parts) == 3
+    codecs = set()
+    for p in parts:
+        with open(p, "rb") as f:
+            fields, _, codec = a.scan_header(f)
+        codecs.add(codec)
+        by = {n: (t, nl) for n, t, nl in fields}
+        assert by["ts"] == (("logical", "timestamp-micros", "long"), True)
+        assert by["day"] == (("logical", "date", "int"), True)
+        assert by["amount"] == (("logical", "decimal", "bytes", 12, 2), True)
+        assert a.spark_ddl(fields) == (
+            "doc_id bigint, lang string, ts timestamp, day date, "
+            "amount decimal(12,2)"
+        )
+    assert codecs == {"null", "deflate", "snappy"}

@@ -159,7 +159,12 @@ def cmd_avro(args) -> int:
               f"{' (nullable)' if nullable else ''}")
     # the Spark schema a DataSource over this file should declare —
     # spark-avro's public type mapping incl. logical types (round 13)
-    print(f"spark:   {spark_ddl(fields)}")
+    try:
+        print(f"spark:   {spark_ddl(fields)}")
+    except ValueError as e:
+        # e.g. a decimal wider than Spark's 38-digit cap: the file is
+        # readable through the raw API, it just has no Spark column type
+        print(f"spark:   (not Spark-mappable: {e})")
     return 0
 
 

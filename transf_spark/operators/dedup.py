@@ -215,7 +215,7 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_id_b"),
         F.lit(1.0).alias("jaccard"),
     )
-    # text rides the fp window shuffle so shingles are computed for
+    # text rides the fp join-back exchange so shingles are computed for
     # REPRESENTATIVES ONLY — in the mass-dup regime the copies collapse
     # before the shingle explode even runs (a post-hoc shingles⋈reps join
     # instead re-shuffled the whole shingle stream; measured slower).

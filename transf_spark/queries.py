@@ -163,10 +163,10 @@ _SEMANTICS_CHANGED_IN: dict[str, int] = {
     # union + floor 0.25→0.35 (was r11: LSH_ASSIGN_FLIPS=2 + floor 0.25;
     # r8: census plan restructure) — regrade on the new probe set
     "scan_avro_roundtrip": 13,  # r13: logical-type vintage staged (part 3
-    # writes n_chars as timestamp-micros, typed decode + fold-back on the
-    # census path) + the promote encoder now emits the narrowest branch
-    # (part 2's int branch is really on the wire) — the r12 green graded
-    # the pre-logical staging; regrade on the new path
+    # writes n_chars as timestamp-micros from typed datetimes; the reader
+    # folds it back raw) + the promote encoder now emits the narrowest
+    # branch (part 2's int branch is really on the wire) — the r12 green
+    # graded the pre-logical staging; regrade on the new path
     "similarity_ann_ivf": 11,  # r11: IVF_ASSIGN=2 redundant indexing + raised
     # recall floor 0.4→0.6 (census booleans stay TRUE, but the index plan and
     # floor both changed — regrade on the new code)

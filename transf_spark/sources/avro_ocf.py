@@ -55,10 +55,16 @@ LOGICAL TYPES (round 13): spark-avro's public mapping — ``date`` (int),
 surfaced as timezone-aware UTC datetimes), ``local-timestamp-millis``/
 ``local-timestamp-micros`` (long, surfaced naive), and ``decimal`` over
 bytes or fixed (surfaced as ``decimal.Decimal``, two's-complement
-unscaled wire form, Java-minimal byte lengths) — decode TYPED and
+unscaled wire form, Java-minimal byte lengths) — surface TYPED and
 encode from the same Python types; ``spark_ddl`` maps parsed fields to
 the DataSource schema string (DateType/TimestampType/TimestampNTZType/
-DecimalType). Resolution: identical logical descriptors are identity; a
+DecimalType). ARCHITECTURE (Java's own model): wire decode and schema
+resolution operate on RAW underlying values throughout; the typed
+surface is a READER-schema-driven post-transform (``build_conversions``)
+composed last by the row-producing APIs — which is what makes fold-back
+total (a plain-underlying reader receives EVERY wire value untouched,
+including ones the typed surface cannot represent). Resolution:
+identical logical descriptors are identity; a
 logical writer folds back to a plain-underlying reader as the RAW wire
 value and a plain writer lifts into a logical reader (both exactly what
 the Java reader does — resolution is on underlying types, conversions
@@ -91,6 +97,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import decimal as _decimal
+import functools
 import json
 import struct
 import zlib
@@ -371,10 +378,27 @@ _EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
 _EPOCH_NAIVE = _dt.datetime(1970, 1, 1)
 
 
+# Declared precision ceiling for TYPED decimal decode: far beyond any
+# real schema (Spark's DecimalType caps at 38) yet safely inside
+# CPython's int<->str digit limit (4300), so value conversion never
+# trips it; a wider-precision annotation falls back to the underlying
+# type (raw bytes through, never mis-decoded). Also the clamp that keeps
+# _fixed_max_precision off a hostile multi-megabyte fixed size — the
+# unclamped 2^(8*size-1) would be a parse-time DoS.
+MAX_DECIMAL_PRECISION = 4096
+
+# 10^precision, cached: precision is schema-fixed (<= a handful of
+# distinct values per process) but the bound check runs per VALUE; the
+# small maxsize keeps a hostile many-schema stream from growing the
+# cache unboundedly.
+_pow10 = functools.lru_cache(maxsize=64)(lambda p: 10**p)
+
+
 def _fixed_max_precision(size: int) -> int:
     """Largest decimal precision a size-byte two's-complement unscaled
     int can carry (the spec's fixed-decimal validity rule): the biggest
-    p with 10^p - 1 <= 2^(8*size-1) - 1."""
+    p with 10^p - 1 <= 2^(8*size-1) - 1. Callers clamp ``size`` so the
+    power stays small."""
     m = 2 ** (8 * size - 1) - 1
     p = len(str(m))
     if 10**p - 1 > m:
@@ -396,7 +420,8 @@ def _logical_desc(t: dict, underlying):
     if lt == "decimal":
         prec, scale = t.get("precision"), t.get("scale", 0)
         if (
-            isinstance(prec, int) and not isinstance(prec, bool) and prec > 0
+            isinstance(prec, int) and not isinstance(prec, bool)
+            and 0 < prec <= MAX_DECIMAL_PRECISION
             and isinstance(scale, int) and not isinstance(scale, bool)
             and 0 <= scale <= prec
         ):
@@ -406,7 +431,10 @@ def _logical_desc(t: dict, underlying):
                 isinstance(underlying, tuple)
                 and underlying[0] == "fixed"
                 and underlying[1] > 0
-                and prec <= _fixed_max_precision(underlying[1])
+                # a 1707-byte fixed already holds > MAX_DECIMAL_PRECISION
+                # digits, so the clamp never tightens a real validity
+                # check — it only bounds the power
+                and prec <= _fixed_max_precision(min(underlying[1], 1707))
             ):
                 return ("logical", "decimal", underlying, prec, scale)
     return underlying
@@ -439,12 +467,17 @@ def _from_wire_logical(desc, v):
         # rejects an empty array — 0 must be encoded as b"\x00"
         raise ValueError("decimal value needs at least one byte")
     unscaled = int.from_bytes(v, "big", signed=True)
-    if len(str(abs(unscaled))) > prec:
-        # STRICTER than the Java conversion (which builds the BigDecimal
-        # unchecked): an over-precision wire value would silently
-        # overflow/null a Spark DecimalType(p,s) column downstream
+    # arithmetic bound, not len(str(...)): CPython's int->str digit
+    # limit would falsely ValueError a LEGAL high-precision value (and
+    # hand a hostile megabyte "decimal" a quadratic stringify). The
+    # power is cached per schema precision — this runs per VALUE.
+    # STRICTER than the Java conversion (which builds the BigDecimal
+    # unchecked): an over-precision wire value would silently
+    # overflow/null a Spark DecimalType(p,s) column downstream.
+    if abs(unscaled) >= _pow10(prec):
         raise ValueError(
-            f"decimal unscaled value {unscaled} exceeds precision {prec}"
+            f"decimal unscaled value of {len(v)} bytes exceeds "
+            f"precision {prec}"
         )
     # string construction is context-free EXACT (scaleb would round
     # through the thread's default 28-digit context)
@@ -491,7 +524,7 @@ def _to_wire_logical(desc, v):
                 # Java's DecimalConversion rejects a scale mismatch too —
                 # rounding here would silently change the stored value
                 raise ValueError(f"decimal {v} does not fit scale {scale}")
-        if len(str(abs(unscaled))) > prec:
+        if abs(unscaled) >= _pow10(prec):  # arithmetic bound, cached power
             raise ValueError(f"decimal {v} exceeds precision {prec}")
         und = desc[2]
         if isinstance(und, tuple):  # fixed: size-pinned two's complement
@@ -512,6 +545,90 @@ def _to_wire_logical(desc, v):
         # floor division — Java Instant.toEpochMilli's truncation
         return micros // 1000
     return micros
+
+
+def _conv_value_fn(desc):
+    """-> fn(raw decoded value) -> TYPED surfaced value for one
+    descriptor, or None when the descriptor contains no logical types
+    (the identity fast path — non-logical schemas pay nothing). Walks
+    records/containers/union surfaces; fns are None-transparent at the
+    positions decode can yield None."""
+    if not isinstance(desc, tuple):
+        return None
+    k = desc[0]
+    if k == "logical":
+        return lambda v, _d=desc: _from_wire_logical(_d, v)
+    if k == "record":
+        subs = [
+            (i, f)
+            for i, (_, d, _nl) in enumerate(desc[1])
+            if (f := _conv_value_fn(d)) is not None
+        ]
+        if not subs:
+            return None
+
+        def rec_fn(v, _subs=subs):
+            out = list(v)
+            for i, f in _subs:
+                if out[i] is not None:
+                    out[i] = f(out[i])
+            return tuple(out)
+
+        return rec_fn
+    if k in ("array", "map"):
+        f = _conv_value_fn(desc[1])
+        if f is None:
+            return None
+        if k == "array":
+            return lambda xs, _f=f: [x if x is None else _f(x) for x in xs]
+        return lambda m, _f=f: {
+            kk: (x if x is None else _f(x)) for kk, x in m.items()
+        }
+    if k == "union":
+        surface = desc[2]
+        if surface[0] == "value":
+            return _conv_value_fn(surface[1])
+        if surface[0] == "promote":
+            return None
+        fs = [_conv_value_fn(b) for b in surface[1]]
+        if not any(fs):
+            return None
+
+        def u_fn(v, _fs=fs):
+            if v is None:
+                return None
+            out = list(v)
+            for i, f in enumerate(_fs):
+                if f is not None and out[i] is not None:
+                    out[i] = f(out[i])
+            return tuple(out)
+
+        return u_fn
+    return None  # enum/fixed/plain carry no logical content
+
+
+def build_conversions(fields: list[tuple[str, str, bool]]):
+    """READER-schema-driven logical-type surface: -> fn(raw row tuple) ->
+    typed row tuple, or None when the schema has no logical types. Wire
+    decode and schema resolution both operate on RAW underlying values
+    (Java's model — conversions come only from the schema the caller
+    reads under); every row-producing API composes this LAST."""
+    subs = [
+        (i, f)
+        for i, (_, d, _nl) in enumerate(fields)
+        if (f := _conv_value_fn(d)) is not None
+    ]
+    if not subs:
+        return None
+
+    def row_fn(row: tuple) -> tuple:
+        out = list(row)
+        for i, f in subs:
+            if out[i] is not None:
+                out[i] = f(out[i])
+        return tuple(out)
+
+    return row_fn
 
 # Schema recursion ceiling: a hostile header with thousands of nested
 # records would otherwise drive the parser (and the decoder) into Python
@@ -863,6 +980,16 @@ def _ddl_type(desc) -> str:
                 return "timestamp"
             if lt.startswith("local-timestamp"):
                 return "timestamp_ntz"
+            if desc[3] > 38:
+                # Spark's DecimalType caps at precision 38 — emitting
+                # decimal(50,0) here would only move the failure into
+                # the JVM's DDL parser; reject with the real reason
+                # (the raw read_ocf API still reads such files fine,
+                # they just have no Spark column type)
+                raise ValueError(
+                    f"decimal({desc[3]},{desc[4]}) exceeds Spark's "
+                    f"DecimalType precision cap (38)"
+                )
             return f"decimal({desc[3]},{desc[4]})"
         if k == "enum":
             return "string"
@@ -945,6 +1072,9 @@ def _value_resolver(wdesc, rdesc, raw_reader_type, path: str, raw_names=None,
     wl = isinstance(wdesc, tuple) and wdesc[0] == "logical"
     rl = isinstance(rdesc, tuple) and rdesc[0] == "logical"
     if wl or rl:
+        # Resolution operates on RAW underlying values throughout (decode
+        # is raw; build_conversions applies the READER's typed surface
+        # after this transform — Java's model exactly). So:
         if wdesc == rdesc:
             return None
         if wl and rl:
@@ -959,26 +1089,20 @@ def _value_resolver(wdesc, rdesc, raw_reader_type, path: str, raw_names=None,
                 f"reader logical type {rdesc[1]!r} at {path}"
             )
         if wl:
-            # writer logical -> plain reader: the reader sees the RAW
-            # underlying value (Java parity — resolution is on underlying
-            # types and conversions come only from the READER schema, so
-            # a plain-long reader of a ts-micros file gets epoch micros)
-            base = _value_resolver(
+            # writer logical -> plain reader: pure underlying resolution;
+            # the reader sees the RAW wire value untouched (Java parity —
+            # a plain-long reader of a ts-micros file gets epoch micros,
+            # including values a typed surface couldn't represent)
+            return _value_resolver(
                 wdesc[2], rdesc, raw_reader_type, path, raw_names,
                 r_nullable, rns,
             )
-            if base is None:
-                return lambda v, _d=wdesc: _to_wire_logical(_d, v)
-            return lambda v, _d=wdesc, _b=base: _b(_to_wire_logical(_d, v))
-        # plain writer -> logical reader: resolve into the underlying,
-        # then the reader's declared conversion applies (Java parity —
-        # e.g. a plain-long vintage lifts into a ts-micros reader column)
-        base = _value_resolver(
+        # plain writer -> logical reader: resolve into the underlying;
+        # the reader's declared conversion is applied by
+        # build_conversions after this transform (Java parity)
+        return _value_resolver(
             wdesc, rdesc[2], raw_reader_type, path, raw_names, False, rns
         )
-        if base is None:
-            return lambda v, _d=rdesc: _from_wire_logical(_d, v)
-        return lambda v, _d=rdesc, _b=base: _from_wire_logical(_d, _b(v))
     if isinstance(wdesc, tuple) or isinstance(rdesc, tuple):
         if (
             not isinstance(wdesc, tuple)
@@ -1311,11 +1435,10 @@ def _default_value(rdesc, nullable: bool, jdefault, path: str, raw_type=None,
         if kind == "logical":
             # spec: a logical-typed field's JSON default is written in
             # the UNDERLYING type (days int, epoch long, byte-string) —
-            # validate it as such, then surface it typed like any
-            # decoded value
-            v = _default_value(rdesc[2], False, jdefault, path, None,
-                               raw_names, rns)
-            return _from_wire_logical(rdesc, v)
+            # validate and keep it RAW; build_conversions surfaces it
+            # typed exactly like a decoded value
+            return _default_value(rdesc[2], False, jdefault, path, None,
+                                  raw_names, rns)
         if kind == "enum":
             if not isinstance(jdefault, str) or jdefault not in rdesc[1]:
                 raise ValueError(f"enum default {jdefault!r} not a symbol at {path}")
@@ -1797,8 +1920,14 @@ def _read_value(prim: str, buf: bytes, pos: int):
         return buf[pos] == 1, pos + 1
     if isinstance(prim, tuple):
         if prim[0] == "logical":
-            v, pos = _read_value(prim[2], buf, pos)
-            return _from_wire_logical(prim, v), pos
+            # wire decode is ALWAYS raw-underlying; the typed conversion
+            # is a READER-schema-driven post-transform (build_conversions)
+            # — Java's model exactly, and what keeps fold-back to a
+            # plain reader total for every wire value (round-13 review:
+            # converting here, under the WRITER schema, made a plain
+            # reader reject a 2^62 timestamp-micros or padded decimal
+            # bytes that Java's no-conversions reader returns fine)
+            return _read_value(prim[2], buf, pos)
         if prim[0] == "union":
             _, branches, surface = prim
             idx, pos = read_long(buf, pos)
@@ -1989,7 +2118,9 @@ def read_ocf(data: bytes, reader_schema: dict | None = None):
 
     ``reader_schema`` resolves the file's writer schema into the given
     reader schema (spec §Schema Resolution — see ``build_resolver``);
-    the returned fields are then the READER's.
+    the returned fields are then the READER's. Logical types surface
+    TYPED per the fields the caller reads under (``build_conversions``,
+    composed after resolution — decode and resolution are raw).
     """
     import io
 
@@ -1998,13 +2129,15 @@ def read_ocf(data: bytes, reader_schema: dict | None = None):
     if reader_schema is not None:
         tf = build_resolver(reader_schema, fields)
         fields = parse_schema(reader_schema)
+    conv = build_conversions(fields)
 
     def rows():
         index = scan_block_index(io.BytesIO(data))
         for off, n, size in index:
             buf = decompress_block(codec, data[off : off + size])
             decoded = decode_records(wfields, buf, n)
-            yield from (map(tf, decoded) if tf is not None else decoded)
+            out = map(tf, decoded) if tf is not None else decoded
+            yield from (map(conv, out) if conv is not None else out)
 
     return fields, rows()
 
@@ -2129,10 +2262,17 @@ def read_block_range(
     with open(path, "rb") as f:
         fields, _, codec = scan_header(f)
         tf = build_resolver(reader_schema, fields) if reader_schema is not None else None
+        # typed logical surface comes from the schema the caller READS
+        # under (reader when given, else the file's own), after raw
+        # decode + raw resolution — see build_conversions
+        conv = build_conversions(
+            parse_schema(reader_schema) if reader_schema is not None else fields
+        )
         for off, n, size in blocks:
             f.seek(off)
             buf = f.read(size)
             if len(buf) != size:
                 raise ValueError("truncated block payload")
             decoded = decode_records(fields, decompress_block(codec, buf), n)
-            yield from (map(tf, decoded) if tf is not None else decoded)
+            out = map(tf, decoded) if tf is not None else decoded
+            yield from (map(conv, out) if conv is not None else out)
