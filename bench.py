@@ -163,6 +163,8 @@ HEADLINE = [
     "scan_python_datasource",
     # round-10 addition (Avro via the pure-Python OCF DataSource)
     "scan_avro_roundtrip",
+    # round-13 addition (logical types on the typed Spark surface)
+    "scan_avro_logical_typed",
 ]
 
 # Pinned like-for-like subset (round-10 verdict item 2): the round-over-round
