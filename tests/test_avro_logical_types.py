@@ -665,3 +665,35 @@ def test_staged_typed_fixture_is_logical(spark):
             "amount decimal(12,2)"
         )
     assert codecs == {"null", "deflate", "snappy"}
+
+
+def test_invalid_logical_default_rejects_at_build(tmp_path):
+    """Round-13 second review: an unrepresentable logical default (e.g.
+    a date int outside Python's year window, an empty decimal
+    byte-string) must reject when the resolver is BUILT — not per-row
+    mid-scan, and not never on an empty file."""
+    w = {"type": "record", "name": "r",
+         "fields": [{"name": "id", "type": "long"}]}
+    p = str(tmp_path / "w.avro")
+    a.write_ocf(p, w, [], SYNC)  # ZERO rows — the sharpest case
+    bad_date = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "d", "type": {"type": "int", "logicalType": "date"},
+         "default": 2**31 - 1}]}
+    with pytest.raises(ValueError, match="bad date default"):
+        a.read_ocf(open(p, "rb").read(), reader_schema=bad_date)
+    bad_dec = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "x", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": 4, "scale": 0},
+         "default": ""}]}
+    with pytest.raises(ValueError, match="bad decimal default"):
+        a.read_ocf(open(p, "rb").read(), reader_schema=bad_dec)
+    # a VALID logical default still reaches the typed surface
+    ok = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "d", "type": {"type": "int", "logicalType": "date"},
+         "default": 1}]}
+    a.write_ocf(p, w, [(7,)], SYNC)
+    assert list(a.read_ocf(open(p, "rb").read(), reader_schema=ok)[1]) == [
+        (7, dt.date(1970, 1, 2))]
