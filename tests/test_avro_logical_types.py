@@ -697,3 +697,66 @@ def test_invalid_logical_default_rejects_at_build(tmp_path):
     a.write_ocf(p, w, [(7,)], SYNC)
     assert list(a.read_ocf(open(p, "rb").read(), reader_schema=ok)[1]) == [
         (7, dt.date(1970, 1, 2))]
+
+
+def test_arrow_batch_handoff_matches_row_handoff(spark, tmp_path):
+    """Round 13: the Avro DataSource yields pyarrow RecordBatches when
+    every reader column has an Arrow mapping — results must be IDENTICAL
+    to the row-tuple hand-off, including typed logical columns; nested
+    schemas must report no Arrow schema (the row fallback)."""
+    import pyarrow as pa
+
+    schema = {
+        "type": "record", "name": "evt", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "b", "type": ["null", "bytes"]},
+            {"name": "f", "type": "float"},
+            {"name": "ok", "type": "boolean"},
+            {"name": "d", "type": ["null", {"type": "int",
+                                            "logicalType": "date"}]},
+            {"name": "ts", "type": {"type": "long",
+                                    "logicalType": "timestamp-micros"}},
+            {"name": "dec", "type": {"type": "bytes",
+                                     "logicalType": "decimal",
+                                     "precision": 9, "scale": 3}},
+        ],
+    }
+    rows = [
+        (1, "a", b"\x00\xff", 1.5, True, dt.date(2024, 5, 6),
+         EPOCH_U + dt.timedelta(seconds=9), decimal.Decimal("-1.250")),
+        (2, None, None, float("nan"), False, None,
+         EPOCH_U, decimal.Decimal("0.000")),
+    ]
+    p = str(tmp_path / "x.avro")
+    a.write_ocf(p, schema, rows, SYNC)
+    fields = a.parse_schema(schema)
+
+    asch = a.arrow_schema(fields)
+    assert asch is not None
+    assert asch.field("d").type == pa.date32()
+    assert asch.field("ts").type == pa.timestamp("us", tz="UTC")
+    assert asch.field("dec").type == pa.decimal128(9, 3)
+
+    batches = list(a.arrow_batches(fields, a.read_ocf(open(p, "rb").read())[1],
+                                   batch_rows=1))
+    assert len(batches) == 2 and all(b.num_rows == 1 for b in batches)
+    got = [tuple(col[i].as_py() for col in b.columns)
+           for b in batches for i in range(b.num_rows)]
+    # arrow timestamps come back tz-aware UTC; NaN != NaN — compare fieldwise
+    import math
+    for g, w in zip(got, rows):
+        for x, y in zip(g, w):
+            if isinstance(y, float) and math.isnan(y):
+                assert math.isnan(x)
+            else:
+                assert x == y, (x, y)
+
+    # nested/union schemas have NO arrow mapping -> row fallback
+    nested = a.parse_schema({"type": "record", "name": "r", "fields": [
+        {"name": "rec", "type": {"type": "record", "name": "n", "fields": [
+            {"name": "q", "type": "long"}]}}]})
+    assert a.arrow_schema(nested) is None
+    union = a.parse_schema({"type": "record", "name": "r", "fields": [
+        {"name": "u", "type": ["null", "string", "long"]}]})
+    assert a.arrow_schema(union) is None

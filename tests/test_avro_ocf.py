@@ -32,6 +32,23 @@ SCHEMA = {
 }
 SYNC = hashlib.md5(b"transf_avro_test").digest()
 
+
+def _drain_reader(reader, parts):
+    """Collect a DataSource reader's output as row tuples — the reader
+    yields pyarrow RecordBatches on the Arrow fast path (round 13) and
+    plain tuples on the nested-schema fallback."""
+    out = []
+    for part in parts:
+        for item in reader.read(part):
+            if hasattr(item, "num_rows"):  # pyarrow.RecordBatch
+                out.extend(
+                    tuple(col[i].as_py() for col in item.columns)
+                    for i in range(item.num_rows)
+                )
+            else:
+                out.append(item)
+    return out
+
 ROW = st.tuples(
     st.integers(min_value=-(2**63), max_value=2**63 - 1),
     st.one_of(st.none(), st.text(max_size=60)),
@@ -237,9 +254,7 @@ def test_reader_splits_one_file_into_many_partitions(monkeypatch, tmp_path):
     reader = formats._AvroDocsReader({"path": str(tmp_path)})
     parts = reader.partitions()
     assert len(parts) > 1, "single file must split under the byte target"
-    got = []
-    for part in parts:
-        got.extend(reader.read(part))
+    got = _drain_reader(reader, parts)
     assert sorted(got) == sorted(rows)
 
 
@@ -499,10 +514,7 @@ def test_split_packing_exact_boundary(monkeypatch, tmp_path):
     parts = reader.partitions()
     assert len(parts) == 4
     assert all(len(part.value[1]) == 5 for part in parts), "every split exactly 5 blocks"
-    got = []
-    for part in parts:
-        got.extend(reader.read(part))
-    assert got == rows
+    assert _drain_reader(reader, parts) == rows
 
 
 # ---- round-11 additions: float / array / map subset extension ---------------
@@ -2671,3 +2683,24 @@ def test_deref_walk_uses_definition_site_namespace(spark, tmp_path):
                       (((dl.get("x"), dl.get("y")),),)))
     dfr2.close()
     assert java2 == ours2
+
+
+def test_docs_reader_yields_arrow_batches(tmp_path):
+    """The flat docs schema must take the Arrow fast path (round 13) —
+    a silent regression to per-row tuples would still pass the value
+    tests while reinstating the pickling hand-off."""
+    from transf_spark.sources import formats
+
+    schema = {"type": "record", "name": "document", "fields": [
+        {"name": "doc_id", "type": ["null", "long"]},
+        {"name": "text", "type": ["null", "string"]},
+        {"name": "lang", "type": ["null", "string"]},
+        {"name": "source", "type": ["null", "string"]},
+        {"name": "n_chars", "type": ["null", "long"]}]}
+    p = str(tmp_path / "d.avro")
+    a.write_ocf(p, schema, [(1, "t", "en", "s", 1)], SYNC)
+    reader = formats._AvroDocsReader({"path": str(tmp_path)})
+    (part,) = reader.partitions()
+    items = list(reader.read(part))
+    assert len(items) == 1 and hasattr(items[0], "num_rows")
+    assert items[0].num_rows == 1

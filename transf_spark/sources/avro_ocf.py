@@ -623,6 +623,79 @@ def _conv_value_fn(desc):
     return None  # enum/fixed/plain carry no logical content
 
 
+def _arrow_type(desc):
+    """Descriptor -> pyarrow DataType for the Arrow-batch hand-off, or
+    None when the column is outside the fast path (nested records,
+    containers, union structs — those schemas fall back to row tuples)."""
+    import pyarrow as pa
+
+    if isinstance(desc, tuple):
+        if desc[0] == "logical":
+            lt = desc[1]
+            if lt == "date":
+                return pa.date32()
+            if lt in ("timestamp-millis", "timestamp-micros"):
+                return pa.timestamp("us", tz="UTC")
+            if lt.startswith("local-timestamp"):
+                return pa.timestamp("us")
+            if desc[3] <= 38:  # Spark's DecimalType cap
+                return pa.decimal128(desc[3], desc[4])
+            return None
+        if desc[0] == "enum":
+            return pa.string()
+        if desc[0] == "fixed":
+            return pa.binary()
+        return None
+    return {
+        "long": pa.int64(), "int": pa.int32(), "float": pa.float32(),
+        "double": pa.float64(), "boolean": pa.bool_(),
+        "string": pa.string(), "bytes": pa.binary(),
+    }.get(desc)
+
+
+def arrow_schema(fields: list[tuple[str, str, bool]]):
+    """Parsed fields -> pyarrow schema for the Arrow-batch hand-off, or
+    None when any column falls outside the fast path. Spark 4's Python
+    DataSource API consumes pyarrow.RecordBatch yields directly
+    (SPARK-48493), skipping per-row pickling between the Python source
+    and the JVM — the hand-off that dominates wide scans at scale."""
+    import pyarrow as pa
+
+    out = []
+    for name, desc, _nullable in fields:
+        t = _arrow_type(desc)
+        if t is None:
+            return None
+        out.append(pa.field(name, t, nullable=True))
+    return pa.schema(out)
+
+
+def arrow_batches(fields: list[tuple[str, str, bool]], rows, batch_rows: int = 8192):
+    """Row tuples -> pyarrow RecordBatches under ``arrow_schema(fields)``
+    (which the caller must have checked is not None). Batches bound
+    memory to ``batch_rows`` rows regardless of split size."""
+    import pyarrow as pa
+
+    schema = arrow_schema(fields)
+    types = [f.type for f in schema]
+    names = schema.names
+
+    def flush(buf):
+        cols = zip(*buf)
+        return pa.RecordBatch.from_arrays(
+            [pa.array(c, t) for c, t in zip(cols, types)], names=names
+        )
+
+    buf = []
+    for row in rows:
+        buf.append(row)
+        if len(buf) >= batch_rows:
+            yield flush(buf)
+            buf = []
+    if buf:
+        yield flush(buf)
+
+
 def _compose_row_transforms(tf, conv):
     """Resolution transform ∘ conversion transform -> one per-row fn (or
     the non-None one, or None) so row-producing loops run a single map."""
