@@ -245,3 +245,81 @@ def test_oracle_invariant_to_duplicate_handshake_frames(sf_dir):
     dup = sorted(con.execute(dup_sql).fetchall())
     assert base == dup
     assert base  # non-vacuous: the fixture produces a manifest
+
+
+def test_reassembly_parity_on_null_and_duplicate_fixture(spark, tmp_path):
+    """Round-13 review regressions, end to end on a REGENERATED-style
+    fixture: a NULL documents.source (the built filename would have gone
+    NULL — machine accepted str(None), oracle excluded it from both
+    ladder sides), a NULL n_chars (filesize NULL — int(NaN) aborted the
+    whole streaming query), and a DUPLICATED document row (duplicate HS
+    frames + duplicate chunks — the per-frame batch twins fanned out and
+    flipped batch_consistent on a correct run). With the fixture-level
+    COALESCE pins, the machine hardening and the deduped twins, the
+    declared stream query and its closed-form oracle must agree exactly,
+    hash-level, on this fixture."""
+    import hashlib
+    import shutil
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tests.oracle import compare
+    from transf_spark.queries import REGISTRY, _load_all_modules
+
+    src = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{src}/documents.parquet").slice(0, 40)
+    ids = t["doc_id"].to_pylist()
+
+    def pick(pred, used):
+        for i in ids:
+            if i not in used and pred(i):
+                return i
+        raise AssertionError("fixture subset lacks a doc for this case")
+
+    used: set = set()
+    good_name = lambda i: i % 31 and i % 29 and i % 23
+    a_id = pick(lambda i: i % 31 != 0, used)  # null source -> '/..' path
+    used.add(a_id)
+    b_id = pick(lambda i: good_name(i) and i % 37 != 1, used)  # null n_chars
+    used.add(b_id)
+    c_id = pick(lambda i: good_name(i) and i % 37 != 1 and i % 43 != 0, used)
+    used.add(c_id)  # duplicated document row -> duplicate HS + chunks
+
+    def nullify(tab, col, where_id):
+        mask = pc.equal(tab["doc_id"], where_id)
+        i = tab.schema.get_field_index(col)
+        typ = tab.column(i).type
+        return tab.set_column(
+            i, col, pc.if_else(mask, pa.scalar(None, type=typ), tab.column(i))
+        )
+
+    t = nullify(t, "source", a_id)
+    t = nullify(t, "n_chars", b_id)
+    t = pa.concat_tables([t, t.filter(pc.equal(t["doc_id"], c_id))])
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    shutil.copy(f"{src}/events.parquet", str(tmp_path / "events.parquet"))
+
+    _load_all_modules()
+    spec = REGISTRY["stream_stateful_reassembly"]
+    df = spec.fn(spark, str(tmp_path))
+
+    con = duckdb.connect()
+    for name in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{name}.parquet')"
+        )
+    problems = compare(df, con, spec.oracle)
+    assert not problems, "; ".join(problems)
+
+    # the injected paths really were exercised (fail LOUD if the fixture
+    # subset stops covering them): the null-source doc was rejected, and
+    # the duplicated doc produced exactly ONE manifest row
+    rows = {r["transfer_id"]: r for r in df.collect()}
+    sha = lambda i: hashlib.sha256(str(i).encode()).hexdigest()
+    assert rows[sha(a_id)]["status"] == "rejected_handshake"
+    assert sha(c_id) in rows and rows[sha(c_id)]["batch_consistent"]
+    assert all(r["batch_consistent"] for r in rows.values())

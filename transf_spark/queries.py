@@ -145,10 +145,13 @@ def _correctness_history(root: str | None = None) -> dict[str, tuple[int, bool]]
 _SEMANTICS_CHANGED_IN: dict[str, int] = {
     "agg_approx_distinct": 5,  # r5: rows-only → oracle-checked error-bound invariant
     "agg_approx_percentile": 5,  # r5: rows-only → oracle-checked rank invariant
-    "stream_stateful_reassembly": 12,  # r12: oracle's bad/good CTEs gained
-    # DISTINCT (dup-HS closed form; values identical on the 1:1 fixture,
-    # but the r11 green graded the pre-DISTINCT SQL — regrade).
-    # (was r11: rows-only → closed-form manifest oracle)
+    "stream_stateful_reassembly": 13,  # r13 review: NULL-free HS fields
+    # pinned in the fixture (both dialects), clamp-exact oracle cum
+    # (GREATEST(payload_len,0)), machine NaN/None hardening, and the
+    # batch twin deduped per transfer — values identical on current
+    # fixtures, but the oracle text + embedded cross-check changed;
+    # regrade on the new forms. (was r12: DISTINCT dup-HS closed form;
+    # r11: rows-only → closed-form manifest oracle)
     "text_language_id": 6,  # r6: rows-only → invariant-census oracle
     "dedup_fuzzy_minhash": 6,  # r6: exact-family pre-pass + star (changes declared
     # values on any fixture bearing exact-duplicate texts; mirrored in oracle)

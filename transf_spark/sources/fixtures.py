@@ -52,14 +52,24 @@ CHUNKS_FAULTY_SQL = f"""
 # fragment was unnest-and-chunking the whole corpus twice (round-5
 # review); nested WITH inside a CTE definition is valid DuckDB.
 
+# COALESCE pins NULL-free HS fields BY CONSTRUCTION in both dialects
+# (round-13 review): documents.source / n_chars are nullable in the
+# schema, and a regenerated fixture bearing NULLs would otherwise make
+# the two engines diverge three-valued-logic-wise (the oracle's
+# bad/good ladder excludes NULL filenames from BOTH sides while the
+# machine coerces to 'None' and accepts; a NULL filesize NaN-crashes
+# the pandas state machine). A NULL source folds into '' so the built
+# filename starts with '/' — an ABSOLUTE path every consumer already
+# rejects identically — and a NULL n_chars folds into filesize 0, the
+# fs <= 0 completes-at-first-chunk class the closed form already covers.
 HANDSHAKES_SQL = """
   SELECT sha256(CAST(d.doc_id AS VARCHAR)) AS transfer_id,
          d.doc_id,
          CASE WHEN d.doc_id % 31 = 0 THEN ''
-              WHEN d.doc_id % 29 = 0 THEN '/' || d.source || '/doc_' || CAST(d.doc_id AS VARCHAR) || '.txt'
-              WHEN d.doc_id % 23 = 0 THEN d.source || '/../doc_' || CAST(d.doc_id AS VARCHAR) || '.txt'
-              ELSE d.source || '/doc_' || CAST(d.doc_id AS VARCHAR) || '.txt' END AS filename,
-         CAST(CASE WHEN d.doc_id % 43 = 0 THEN d.n_chars - 10 ELSE d.n_chars END AS BIGINT) AS filesize,
+              WHEN d.doc_id % 29 = 0 THEN '/' || COALESCE(d.source, '') || '/doc_' || CAST(d.doc_id AS VARCHAR) || '.txt'
+              WHEN d.doc_id % 23 = 0 THEN COALESCE(d.source, '') || '/../doc_' || CAST(d.doc_id AS VARCHAR) || '.txt'
+              ELSE COALESCE(d.source, '') || '/doc_' || CAST(d.doc_id AS VARCHAR) || '.txt' END AS filename,
+         CAST(CASE WHEN d.doc_id % 43 = 0 THEN COALESCE(d.n_chars, 0) - 10 ELSE COALESCE(d.n_chars, 0) END AS BIGINT) AS filesize,
          e.ts AS ts
   FROM documents d JOIN events e ON e.event_id = d.doc_id
 """
@@ -112,23 +122,28 @@ def handshakes(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixtures."""
     docs = load_table(spark, sf_dir, "documents")
     events = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    # src0/nc0 mirror HANDSHAKES_SQL's COALESCEs — see the note there: a
+    # NULL source becomes an absolute (rejected) path, a NULL n_chars a
+    # filesize-0 transfer, identically in both dialects
+    src0 = F.coalesce(F.col("source"), F.lit(""))
+    nc0 = F.coalesce(F.col("n_chars"), F.lit(0))
     fname = (
         F.when(F.col("doc_id") % 31 == 0, F.lit(""))
         .when(
             F.col("doc_id") % 29 == 0,
-            F.concat(F.lit("/"), F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"), F.lit(".txt")),
+            F.concat(F.lit("/"), src0, F.lit("/doc_"), F.col("doc_id").cast("string"), F.lit(".txt")),
         )
         .when(
             F.col("doc_id") % 23 == 0,
-            F.concat(F.col("source"), F.lit("/../doc_"), F.col("doc_id").cast("string"), F.lit(".txt")),
+            F.concat(src0, F.lit("/../doc_"), F.col("doc_id").cast("string"), F.lit(".txt")),
         )
         .otherwise(
-            F.concat(F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"), F.lit(".txt"))
+            F.concat(src0, F.lit("/doc_"), F.col("doc_id").cast("string"), F.lit(".txt"))
         )
     )
     fsize = (
-        F.when(F.col("doc_id") % 43 == 0, F.col("n_chars") - 10)
-        .otherwise(F.col("n_chars"))
+        F.when(F.col("doc_id") % 43 == 0, nc0 - 10)
+        .otherwise(nc0)
         .cast("long")
     )
     return (

@@ -136,11 +136,21 @@ def transfer_state_machine(
         for _, row in hs.iterrows():
             if status != "NEW":
                 continue  # duplicate HS ignored
-            if _bad_filename(str(row["filename"])):
-                out_rows.append((transfer_id, "rejected_handshake", int(row["filesize"]), 0, 0))
+            # Defensive NULL handling for NON-fixture streams (round-13
+            # review; the declared fixture COALESCEs these away — see
+            # sources/fixtures.py): a missing filename is malformed
+            # (str() would coerce None to the accepted literal 'None'),
+            # and a missing filesize is 0, not an int(NaN) crash that
+            # aborts the whole query — pandas renders a null long column
+            # as float64 NaN here.
+            fn = row["filename"]
+            fs_raw = row["filesize"]
+            fs = 0 if pd.isna(fs_raw) else int(fs_raw)
+            if fn is None or pd.isna(fn) or _bad_filename(str(fn)):
+                out_rows.append((transfer_id, "rejected_handshake", fs, 0, 0))
                 status = "REJECTED"
             else:
-                status, filesize = "TRANSFERING", int(row["filesize"])
+                status, filesize = "TRANSFERING", fs
         for _, row in tr.iterrows():
             if status != "TRANSFERING":
                 n_rej += 1
@@ -388,9 +398,16 @@ dedup AS (
   GROUP BY c.transfer_id, c.seq, g.filesize
 ),
 numbered AS (
+  -- GREATEST(payload_len, 0): the machine clamps every chunk write to
+  -- >= 0 (the reference's size clamp), so the closed form's running sum
+  -- must clamp per chunk too — structurally unreachable today (lengths
+  -- come from length(), >= 0) but the raw SUM silently diverged from
+  -- the clamp the moment any fault injection produced a negative length
+  -- (round-13 review)
   SELECT transfer_id, seq, filesize, payload_len, copies,
          ROW_NUMBER() OVER (PARTITION BY transfer_id ORDER BY seq) AS rn,
-         SUM(payload_len) OVER (PARTITION BY transfer_id ORDER BY seq) AS cum
+         SUM(GREATEST(payload_len, 0))
+           OVER (PARTITION BY transfer_id ORDER BY seq) AS cum
   FROM dedup
 ),
 donept AS (
@@ -489,10 +506,20 @@ def stream_stateful_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drain session) — mixing DataFrames across sessions in one plan is
     # undefined behavior.
     dsession = out.sparkSession
+    # .distinct()/.dropDuplicates: the machine emits ONE row per
+    # transfer, but both batch twins are per-HS-FRAME upstream — a
+    # duplicate HS frame (a regenerated events fixture with a duplicate
+    # event_id fans the handshake join) would otherwise double-count
+    # n_rej_batch/n_done_batch and fan the left join's detail rows,
+    # flipping batch_consistent false on a correct run while the oracle
+    # (which defends with SELECT DISTINCT) still says TRUE (round-13
+    # review). Duplicate frames are byte-identical, so dedup by
+    # transfer_id is exact.
     bad_hs = (
         filter_path_security(dsession, sf_dir)
         .filter(F.col("verdict") != "accept")
         .select("transfer_id")
+        .distinct()
     )
     batch_done = (
         completion_manifest(dsession, sf_dir)
@@ -503,6 +530,7 @@ def stream_stateful_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("filesize").alias("b_filesize"),
             F.col("written").alias("b_written"),
         )
+        .dropDuplicates(["transfer_id"])
     )
     expected = batch_done.select(
         "transfer_id", "b_filesize", "b_written", F.lit("done").alias("b_status")
