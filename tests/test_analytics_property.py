@@ -216,6 +216,10 @@ def test_rank_normalize_batch_matches_per_user_reference():
                         "event_id": np.arange(eid, eid + n),
                         "user_id": np.full(n, u * 13 + 1),
                         "value": vals,
+                        # round 13: the Spark side threads a NULL flag so
+                        # the kernel can order reals < NaN < NULL; these
+                        # synthetic rows are all non-null
+                        "vnull": np.zeros(n, dtype=int),
                     }
                 )
             )
@@ -235,3 +239,26 @@ def test_rank_normalize_batch_matches_per_user_reference():
                 got = out.loc[row["event_id"], "pct_rank"]
                 assert got == expect, (trial, u, row["event_id"], got, expect)
             assert (out.loc[g["event_id"], "user_id"].to_numpy() == u).all()
+
+
+def test_rank_normalize_orders_reals_then_nan_then_null():
+    """Round-13 review: DuckDB's ORDER BY ranks reals < NaN < NULL, but
+    Arrow hands the kernel NaN for BOTH — the Spark-side vnull flag must
+    restore the three-way order (divergent only when one user carries
+    both a NaN and a NULL value)."""
+    from transf_spark.operators.pipeline import _rank_normalize_batch
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [7, 7, 7, 7],
+            # NULL arrives as NaN with vnull=1; the real NaN has vnull=0
+            "value": [5.0, float("nan"), float("nan"), 1.0],
+            "vnull": [0, 0, 1, 0],
+        }
+    )
+    out = _rank_normalize_batch(pdf).set_index("event_id")["pct_rank"]
+    assert out.loc[4] == 0.0  # 1.0: smallest real
+    assert out.loc[1] == 1 / 3  # 5.0
+    assert out.loc[2] == 2 / 3  # NaN after all reals
+    assert out.loc[3] == 1.0  # NULL last

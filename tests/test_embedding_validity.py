@@ -1,0 +1,93 @@
+"""Round-13 review regressions for the similarity family's strengthened
+input-validity contract: a regenerated embeddings fixture bearing a NULL
+element, an EMPTY vector, or a SHORT (corrupt) first-scanned vector must
+leave every similarity query and its DuckDB oracle in exact agreement —
+previously the oracles hard-errored (list_dot_product on NULL elements)
+or INTERNAL-errored (empty lists, invalidating the whole connection)
+while Spark silently emitted NULLs, and _corpus_dim's first()-row
+dependence let one degenerate row collapse the LSH index."""
+
+from __future__ import annotations
+
+import shutil
+
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from tests.oracle import compare
+from transf_spark.queries import REGISTRY, _load_all_modules
+
+_QUERIES = [
+    "similarity_topk_cosine",
+    "dedup_embedding_cosine",
+    "embedding_norm_stats",
+    "embedding_quantize_int8",
+    "embedding_label_centroid_cosine",
+    "embedding_kmeans",
+    "embedding_pca_project",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+]
+
+
+@pytest.fixture(scope="module")
+def corrupt_dir(tmp_path_factory):
+    """sf0.001 embeddings with: vec_id[0] -> one NULL element,
+    vec_id[1] -> EMPTY vector, vec_id[2] -> NULL vector, and the
+    FIRST-BY-LAYOUT row replaced by a SHORT 3-dim vector (the
+    _corpus_dim first()-row trap). documents/events copied verbatim
+    (some queries stage from them)."""
+    src = "/root/testdata/sf0.001"
+    out = tmp_path_factory.mktemp("corrupt_sf")
+    t = pq.read_table(f"{src}/embeddings.parquet")
+    ids = t["vec_id"].to_pylist()
+    embs = t["embedding"].to_pylist()
+    labels = t["label"].to_pylist()
+    embs[0] = embs[0][:4] + [None] + embs[0][5:]  # NULL element
+    embs[1] = []  # empty vector
+    embs[2] = None  # NULL vector
+    embs[3] = embs[3][:3]  # short corrupt vector
+    # move the short row FIRST in file order so first()-style dim probes
+    # would see it
+    order = [3] + [i for i in range(len(ids)) if i != 3]
+    t2 = pa.table(
+        {
+            "vec_id": pa.array([ids[i] for i in order], pa.int64()),
+            "embedding": pa.array([embs[i] for i in order],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([labels[i] for i in order], pa.int32()),
+        }
+    )
+    pq.write_table(t2, str(out / "embeddings.parquet"))
+    for name in ("documents", "events"):
+        shutil.copy(f"{src}/{name}.parquet", str(out / f"{name}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_similarity_family_survives_corrupt_embeddings(spark, corrupt_dir, name):
+    _load_all_modules()
+    spec = REGISTRY[name]
+    df = spec.fn(spark, corrupt_dir)
+    con = duckdb.connect()
+    for tbl in ("documents", "events", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('{corrupt_dir}/{tbl}.parquet')"
+        )
+    problems = compare(df, con, spec.oracle)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_corpus_dim_ignores_degenerate_first_row(spark, corrupt_dir):
+    """The LSH dim must be the corpus max, not whatever row first()
+    happens to scan — with the short 3-dim row FIRST in file order the
+    planes must still build at the full dimension."""
+    from transf_spark.operators import similarity as S
+
+    S._DIM_CACHE.clear()
+    d = S._corpus_dim(spark, corrupt_dir)
+    assert d > 3, f"corpus dim collapsed to the corrupt row's {d}"

@@ -46,6 +46,21 @@ _EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}"
 _IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
 
+def _md5_draw(salt: str, mod: int) -> F.Column:
+    """THE deterministic per-doc draw (round-13 review: the same
+    expression was hand-rolled at four sites, a drift hazard — any
+    change to the hex window or cast must land everywhere at once):
+    first 8 md5 hex chars of doc_id||salt as an int, mod ``mod``. Salt
+    distinguishes independent streams (''/':split'/':shard'/':mix');
+    the DuckDB twin in each oracle mirrors the same text."""
+    key = (
+        F.col("doc_id").cast("string")
+        if not salt
+        else F.concat(F.col("doc_id").cast("string"), F.lit(salt))
+    )
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % mod
+
+
 def _sample_case_sql() -> str:
     arms = " ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_PCT.items())
     return f"CASE lang {arms} ELSE {SAMPLE_DEFAULT_PCT} END"
@@ -72,11 +87,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation that stays deterministic when a 1000-executor job retries
     tasks."""
     docs = load_table(spark, sf_dir, "documents")
-    draw = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
+    draw = _md5_draw("", 100)
     pct = F.expr(_sample_case_sql())
     return docs.filter(draw < pct).select("doc_id", "lang", "source")
 
@@ -654,8 +665,16 @@ def pandas_grouped_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame
     # NaN, and NaN != NaN makes every null row its own numpy segment
     # (pct_rank 0.0) while the oracle's PARTITION BY ranks them as one
     # group — a latent divergence if the fixture regenerates with nulls.
+    # vnull rides into the batch because Arrow renders BOTH SQL NULL and
+    # a genuine NaN as NaN in the pandas frame — indistinguishable by the
+    # time the kernel sorts, while DuckDB's ORDER BY ranks reals < NaN <
+    # NULL. The Spark-side flag restores the three-way order exactly
+    # (round-13 review; divergent only when one user carries both).
     return (
-        ev.select("event_id", "user_id", "value")
+        ev.select(
+            "event_id", "user_id", "value",
+            F.col("value").isNull().cast("int").alias("vnull"),
+        )
         .where(F.col("user_id").isNotNull())
         .groupBy(F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("bucket"))
         .applyInPandas(
@@ -675,7 +694,16 @@ def _rank_normalize_batch(pdf):
     import numpy as np
 
     u = pdf["user_id"].to_numpy()
-    order = np.lexsort((pdf["event_id"].to_numpy(), pdf["value"].to_numpy(), u))
+    # key priority (lexsort: last = primary): user, NULL-last flag AFTER
+    # value (reals < NaN < NULL, DuckDB's ORDER BY semantics), event_id
+    order = np.lexsort(
+        (
+            pdf["event_id"].to_numpy(),
+            pdf["value"].to_numpy(),
+            pdf["vnull"].to_numpy(),
+            u,
+        )
+    )
     su = u[order]
     starts = np.flatnonzero(np.r_[True, su[1:] != su[:-1]])
     counts = np.diff(np.r_[starts, len(su)])
@@ -733,14 +761,7 @@ def docs_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate on a 15-key space. The full per-doc assignment is the same
     map without the aggregate — embarrassingly parallel either way."""
     docs = load_table(spark, sf_dir, "documents")
-    draw = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
+    draw = _md5_draw(":split", 100)
     split = (
         F.when(draw < SPLIT_TRAIN_PCT, "train")
         .when(draw < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
@@ -802,14 +823,7 @@ def docs_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     one divide of exact-integer-derived doubles, textually mirrored in
     the oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    shard = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % N_SHARDS
-    )
+    shard = _md5_draw(":shard", N_SHARDS)
     stats = (
         docs.select(shard.alias("shard"), "n_chars")
         .groupBy("shard")
@@ -1088,16 +1102,7 @@ def docs_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "keep_bp", F.floor(F.least(F.col("weight"), F.lit(1.0)) * MIX_BP).cast("long")
     )
-    draw = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % MIX_BP
-    )
+    draw = _md5_draw(":mix", MIX_BP)
     j = docs.join(
         F.broadcast(w),
         docs["lang"].eqNullSafe(w["g_lang"])

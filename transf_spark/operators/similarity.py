@@ -167,23 +167,57 @@ def _cosine_pairs_udf():
     return cos
 
 
-def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings widened to double — the module's shared input contract:
-    ``embedding IS NOT NULL`` (a vector-less row cannot participate in any
-    vector math; DuckDB's list_inner_product ERRORS on it outright, and a
-    None row makes the Arrow batch ragged in the numpy kernels — round-6
-    embeddings sweep). Every oracle mirrors the same predicate."""
+# The module's shared input-validity predicate, in BOTH dialects
+# (round-13 review strengthened it from bare IS NOT NULL): a NULL
+# vector, an EMPTY vector, or a vector with a NULL ELEMENT cannot
+# participate in vector math — DuckDB's list_dot_product hard-errors on
+# NULL elements and INTERNAL-errors on empty lists (invalidating the
+# whole oracle connection), while Spark silently emits NULL cosines —
+# so a regenerated fixture bearing one such row would diverge the
+# engines. Filtering identically on both sides keeps every
+# similarity query a pure function of the VALID vectors.
+_VALID_EMB_SQL = (
+    "embedding IS NOT NULL AND len(embedding) > 0 "
+    "AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+)
+_VALID_EMB_SPARK = (
+    "embedding IS NOT NULL AND size(embedding) > 0 "
+    "AND NOT exists(embedding, x -> x IS NULL)"
+)
+
+
+# PAIRWISE/projection ops additionally require the corpus's UNIFORM
+# dimension (the max over basic-valid vectors): DuckDB's list_dot_product
+# hard-errors on unequal lengths and Spark's zip_with NULL-pads, so a
+# single short corrupt vector would crash every pairwise oracle. The
+# per-vector profilers (norm_stats with its declared min_dim/max_dim,
+# quantize) deliberately keep the BASIC tier — mixed dims are their
+# subject matter, and each vector's math is self-consistent.
+_UNIFORM_EMB_SQL = (
+    f"{_VALID_EMB_SQL} AND len(embedding) = "
+    f"(SELECT MAX(len(embedding)) FROM embeddings WHERE {_VALID_EMB_SQL})"
+)
+
+
+def _emb_double(spark: SparkSession, sf_dir: str, uniform: bool = False) -> DataFrame:
+    """Embeddings widened to double — the module's shared input contract
+    (see _VALID_EMB_SQL above; ``uniform=True`` adds the pairwise tier's
+    max-dimension filter, _UNIFORM_EMB_SQL). Every oracle mirrors the
+    same predicate."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.filter(F.col("embedding").isNotNull()).select(
+    out = emb.filter(F.expr(_VALID_EMB_SPARK)).select(
         "vec_id", "label", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
     )
+    if uniform:
+        out = out.filter(F.size("v") == F.lit(_corpus_dim(spark, sf_dir)))
+    return out
 
 
 @register(
     "similarity_topk_cosine",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)),
     q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
     scored AS (
       SELECT q.q_id, e.vec_id AS nn_id,
@@ -241,7 +275,7 @@ def brute_topk_kernel(
 def _brute_topk(
     spark: SparkSession, sf_dir: str, *, kernel: bool, sample: bool = False
 ) -> DataFrame:
-    e = _emb_double(spark, sf_dir)
+    e = _emb_double(spark, sf_dir, uniform=True)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
@@ -271,7 +305,7 @@ def _brute_topk(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-               WHERE embedding IS NOT NULL)
+               WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0))
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
            list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
@@ -313,7 +347,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (parquet row-count pushdown) before any quadratic work is planned."""
     n_blocks = 8
     _guard_exact_allpairs(load_table(spark, sf_dir, "embeddings").count())
-    e = _emb_double(spark, sf_dir).withColumn(
+    e = _emb_double(spark, sf_dir, uniform=True).withColumn(
         "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
     )
     block_pairs = spark.range(n_blocks * n_blocks).select(
@@ -354,8 +388,15 @@ def _corpus_dim(spark: SparkSession, sf_dir: str) -> int:
 
     key = staging_tag(sf_dir, "embeddings")
     if key not in _DIM_CACHE:
-        row = _emb_double(spark, sf_dir).select(F.size("v").alias("d")).first()
-        if row is None or not row["d"] or row["d"] <= 0:
+        # MAX over the corpus, not first() (round-13 review): a single
+        # degenerate short first row would otherwise build the planes at
+        # the wrong dimension and NULL-fold the whole full-dim corpus
+        # into bucket 0 — the exact round-5 collapse the data-derived
+        # dim exists to prevent. One bounded 1-row aggregate per fixture
+        # fingerprint; corrupt SHORTER vectors then NULL-fold only
+        # THEMSELVES out of the index (graceful per-row degradation).
+        row = _emb_double(spark, sf_dir).agg(F.max(F.size("v")).alias("d")).first()
+        if row is None or row["d"] is None or row["d"] <= 0:
             # zero valid embeddings (all-NULL degenerate regeneration) — a
             # legitimate empty corpus, not an error: callers short-circuit
             # to empty top-k surfaces (round-9 advisory). NOT cached: a
@@ -414,7 +455,7 @@ def _bucketed(
     one row per vector carrying its primary bucket AND ``margin_order``
     (plane indices by ascending |dot|), so the caller can fan probes out
     over the vector's own least-confident planes."""
-    e = _emb_double(spark, sf_dir)
+    e = _emb_double(spark, sf_dir, uniform=True)
     planes = _planes_for_dim(_corpus_dim(spark, sf_dir))
     plane_arr = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
     d = e.withColumn("planes", plane_arr).withColumn(
@@ -562,6 +603,31 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_LSH_RECALL_FLOOR = 0.35
 
 
+# Sampled brute-force recall baseline, cached per (applicationId,
+# fixture fingerprint) like _IVF_CENTROIDS (round-13 review): BOTH ANN
+# censuses run every driver/bench round and each rebuilt the identical
+# heaviest similarity scan (ANN_RECALL_SAMPLE × corpus cosines). The
+# result is a BOUNDED sample × TOP_K (q_id, nn_id) set — a model-sized
+# driver collect, not data.
+_BF_BASELINE: dict[tuple[str, str], list] = {}
+
+
+def _bf_baseline_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = _ivf_cache_key(spark, sf_dir)
+    for dead in [k for k in _BF_BASELINE if k[0] != key[0]]:
+        del _BF_BASELINE[dead]
+    if key not in _BF_BASELINE:
+        _BF_BASELINE[key] = [
+            (r["q_id"], r["nn_id"])
+            for r in brute_topk_kernel(spark, sf_dir, sample=True)
+            .select("q_id", "nn_id")
+            .collect()
+        ]
+    return spark.createDataFrame(
+        _BF_BASELINE[key], schema="q_id long, nn_id long"
+    )
+
+
 def _ann_census(
     spark: SparkSession, sf_dir: str, ann: DataFrame, recall_floor: float
 ) -> DataFrame:
@@ -597,8 +663,8 @@ def _ann_census(
     aggregate → global census. The sentinel rows make coverage exact even
     for a query outside the recall sample whose probe set is legitimately
     empty (neither real side would emit it)."""
-    bf = brute_topk_kernel(spark, sf_dir, sample=True)
-    e = _emb_double(spark, sf_dir)
+    bf = _bf_baseline_cached(spark, sf_dir)
+    e = _emb_double(spark, sf_dir, uniform=True)
     sentinels = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.lit(None).cast("long").alias("nn_id"),
@@ -714,7 +780,7 @@ def _ann_census(
            TRUE AS ranks_contiguous,
            TRUE AS cosines_sorted,
            TRUE AS recall_above_floor
-    FROM embeddings WHERE vec_id % 100 = 0 AND embedding IS NOT NULL
+    FROM embeddings WHERE vec_id % 100 = 0 AND embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
     """,
     category="similarity",
     origin="EXT",
@@ -802,7 +868,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel; a probe reads ASSIGN*P/K of the index
     entries. The only exchange in the whole plan is the final per-query
     top-k window on q_id (plan-gated) — high cardinality, even spread."""
-    e = _emb_double(spark, sf_dir)
+    e = _emb_double(spark, sf_dir, uniform=True)
     key = _ivf_cache_key(spark, sf_dir)
     trained = _IVF_CENTROIDS.get(key)
     if trained is None:
@@ -895,7 +961,7 @@ ANN_IVF_RECALL_FLOOR = 0.6
            TRUE AS ranks_contiguous,
            TRUE AS cosines_sorted,
            TRUE AS recall_above_floor
-    FROM embeddings WHERE vec_id % 100 = 0 AND embedding IS NOT NULL
+    FROM embeddings WHERE vec_id % 100 = 0 AND embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
     """,
     category="similarity",
     origin="EXT",
@@ -988,7 +1054,7 @@ def _kmeans(spark: SparkSession, sf_dir: str, iters: int = KMEANS_ITERS):
     combinable recenter shuffle); inertia monotonicity is property-tested
     in tests/test_ann_recall.py. Empty clusters (possible k-means
     degeneracy) simply drop out of the centroid table."""
-    e = _emb_double(spark, sf_dir).select("vec_id", "v")
+    e = _emb_double(spark, sf_dir, uniform=True).select("vec_id", "v")
     seed_rows = (
         e.orderBy(F.md5(F.col("vec_id").cast("string")))
         .limit(KMEANS_K)
@@ -1048,7 +1114,7 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS k_bounded,
            TRUE AS assignment_optimal,
            TRUE AS inertia_monotone
-    FROM embeddings WHERE embedding IS NOT NULL
+    FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
     """,
     category="similarity/clustering",
     origin="EXT",
@@ -1098,7 +1164,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # previous-round inertia from the penultimate centroids the training
     # run already produced — ONE extra lazy assignment pass, not a second
     # full training run (same matrices, same value; round-8 trim)
-    e = _emb_double(spark, sf_dir).select("vec_id", "v")
+    e = _emb_double(spark, sf_dir, uniform=True).select("vec_id", "v")
     if prev_ids.size == 0:
         # zero valid embeddings — no penultimate centroids exist to assign
         # against (and the assign kernel cannot matmul a 0×d matrix)
@@ -1135,8 +1201,15 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             _vac(F.col("_k").between(1, KMEANS_K)).alias("k_bounded"),
             _vac(F.col("_opt") == 1).alias("assignment_optimal"),
             _vac(
+                # 1e-9 relative slack, not 1e-12 (round-13 review): the
+                # two inertia sums come from DIFFERENT plans with
+                # different partial-aggregation orders, and float
+                # summation noise grows ~sqrt(n)*eps — at large n a
+                # CONVERGED run (true difference ~0) would flip a
+                # 1e-12 gate on reduction order alone, while a genuine
+                # Lloyd regression moves inertia by far more than 1e-9
                 F.col("_inertia")
-                <= F.col("inertia_prev") * (1 + 1e-12) + 1e-12
+                <= F.col("inertia_prev") * (1 + 1e-9) + 1e-9
             ).alias("inertia_monotone"),
         )
     )
@@ -1150,7 +1223,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(embedding) AS BIGINT) AS dim,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0
     )
     SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
@@ -1193,7 +1266,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_quantize_int8",
     oracle="""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     q AS (
       SELECT vec_id, label, v,
              list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS qscale
@@ -1281,7 +1354,7 @@ def _pca_fit(spark: SparkSession, sf_dir: str):
     tiny even at d=4096, while n is the 100 TB axis and is touched
     exactly once. Returns (mean d-vector, components R×d row-major,
     explained-variance ratios desc)."""
-    e = _emb_double(spark, sf_dir).select("v")
+    e = _emb_double(spark, sf_dir, uniform=True).select("v")
 
     def partial(batches):
         n, s, xx = 0, None, None
@@ -1327,13 +1400,25 @@ def _pca_project(
     plan-gated)."""
     ct = comps.T  # d×R
     fields = ", ".join(f"pc{i} double" for i in range(PCA_COMPONENTS))
+    # a corpus of dimension d < PCA_COMPONENTS has only d eigenvectors —
+    # the declared pc0..pc7 surface keeps its shape with exact-zero
+    # higher coordinates instead of an IndexError deep inside the UDF
+    # (round-13 review; every vector lies in the d-dim span, so the
+    # missing components' coordinates ARE zero)
+    r_avail = ct.shape[1]
 
     @F.pandas_udf(f"struct<{fields}>")
     def project(v: pd.Series) -> pd.DataFrame:
         m = (_batch_matrix(v) - mean[None, :]) @ ct
-        return pd.DataFrame({f"pc{i}": m[:, i] for i in range(PCA_COMPONENTS)})
+        zeros = np.zeros(len(m))
+        return pd.DataFrame(
+            {
+                f"pc{i}": (m[:, i] if i < r_avail else zeros)
+                for i in range(PCA_COMPONENTS)
+            }
+        )
 
-    e = _emb_double(spark, sf_dir)
+    e = _emb_double(spark, sf_dir, uniform=True)
     return e.select("vec_id", "label", project("v").alias("p")).select(
         "vec_id", "label", "p.*"
     )
@@ -1361,7 +1446,7 @@ def pca_projection_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS evr_valid,
            TRUE AS variance_ordered,
            TRUE AS projections_centered
-    FROM embeddings WHERE embedding IS NOT NULL
+    FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
     """,
     category="similarity/decomposition",
     origin="EXT",
@@ -1447,7 +1532,7 @@ CENTROID_QUANT = 1_000_000
                AS qv
       FROM embeddings,
            LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
-      WHERE embedding IS NOT NULL
+      WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
     ),
     cent AS (
       SELECT label, pos,
@@ -1458,7 +1543,7 @@ CENTROID_QUANT = 1_000_000
       SELECT label, list(c ORDER BY pos) AS cv, CAST(MAX(n) AS BIGINT) AS n
       FROM (SELECT cent.label, cent.pos, cent.c, cnt.n
             FROM cent JOIN (SELECT label, COUNT(*) AS n FROM embeddings
-                            WHERE embedding IS NOT NULL GROUP BY label) cnt
+                            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) GROUP BY label) cnt
             USING (label))
       GROUP BY label
     )
@@ -1492,7 +1577,18 @@ def embedding_label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFra
     |labels| centroid arrays then self-join all-pairs, which is quadratic
     ONLY in label count (10 here; even 10⁵ labels is trivial) — corpus
     size touches nothing past the first aggregate."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # explicit shared-contract filter at the PAIRWISE (uniform) tier
+    # (round-13 review): posexplode silently drops NULL/empty vectors
+    # from the centroid sums — but the per-label n would still have
+    # counted them, and a ragged short vector would make the label
+    # centroids unequal-length (the pairwise cosine below hard-errors in
+    # DuckDB on that). The oracle filters with the same two-tier
+    # predicate.
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.expr(_VALID_EMB_SPARK))
+        .filter(F.size("embedding") == F.lit(_corpus_dim(spark, sf_dir)))
+    )
     comp = e.select(
         "label",
         F.posexplode(F.expr("transform(embedding, x -> cast(x AS double))")).alias(

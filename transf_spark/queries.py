@@ -159,20 +159,32 @@ _SEMANTICS_CHANGED_IN: dict[str, int] = {
     "hash_noncrypto": 6,  # r6: rows-only per-doc hashes → invariant-census oracle
     "scan_binary_chunked": 6,  # r6: rows-only chunk rows → invariant-census oracle
     "multimodal_media_features": 6,  # r6: rows-only stub rows → invariant-census oracle
-    "embedding_kmeans": 8,  # r8: rows-only cluster profile → invariant-census oracle
-    "embedding_pca_project": 8,  # r8: rows-only pc0..pc7 → invariant-census oracle
     "multimodal_frame_sample": 8,  # r8: rows-only frame rows → invariant-census oracle
-    "similarity_ann_lsh": 12,  # r12: query-side least-confident multi-probe
-    # union + floor 0.25→0.35 (was r11: LSH_ASSIGN_FLIPS=2 + floor 0.25;
-    # r8: census plan restructure) — regrade on the new probe set
     "scan_avro_roundtrip": 13,  # r13: logical-type vintage staged (part 3
     # writes n_chars as timestamp-micros from typed datetimes; the reader
     # folds it back raw) + the promote encoder now emits the narrowest
     # branch (part 2's int branch is really on the wire) — the r12 green
     # graded the pre-logical staging; regrade on the new path
-    "similarity_ann_ivf": 11,  # r11: IVF_ASSIGN=2 redundant indexing + raised
-    # recall floor 0.4→0.6 (census booleans stay TRUE, but the index plan and
-    # floor both changed — regrade on the new code)
+    # r13 review — the similarity family's shared input-validity
+    # predicate was strengthened in BOTH dialects (NULL-element/empty
+    # vectors excluded; bare IS NOT NULL before), _corpus_dim became a
+    # max-aggregate, PCA zero-pads dims < PCA_COMPONENTS, the kmeans
+    # inertia slack widened to 1e-9, and the recall baseline is cached.
+    # Values identical on current fixtures; oracle TEXT changed for all
+    # nine — regrade on the new forms:
+    "similarity_topk_cosine": 13,
+    "dedup_embedding_cosine": 13,
+    "similarity_ann_lsh": 13,  # (was r12: multi-probe union + floor 0.35;
+    # r11: LSH_ASSIGN_FLIPS=2; r8: census plan restructure)
+    "similarity_ann_ivf": 13,  # (was r11: IVF_ASSIGN=2 + floor 0.6)
+    "embedding_kmeans": 13,  # (was r8: rows-only → invariant census)
+    "embedding_norm_stats": 13,
+    "embedding_quantize_int8": 13,
+    "embedding_pca_project": 13,  # (was r8: rows-only → invariant census)
+    "embedding_label_centroid_cosine": 13,  # + explicit Spark-side filter
+    "pandas_grouped_rank_normalize": 13,  # r13 review: the kernel now
+    # threads a Spark-side NULL flag so reals < NaN < NULL ordering
+    # matches DuckDB exactly (Arrow conflated NULL and NaN before)
 }
 
 
