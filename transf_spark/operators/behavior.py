@@ -115,10 +115,14 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE s
              END)"""
     )
+    # coalesce(..., 0): over ZERO funnel-type events the global agg
+    # returns one row of NULL sums, but the oracle's scalar COUNT
+    # subqueries return 0 — a funnel with no participants has zero
+    # users at every step, not unknown (round-13 review)
     counts = per_user.select(chain.alias("s")).agg(
-        F.sum(F.col("s.t1").isNotNull().cast("long")).alias("n1"),
-        F.sum(F.col("s.t2").isNotNull().cast("long")).alias("n2"),
-        F.sum(F.col("s.t3").isNotNull().cast("long")).alias("n3"),
+        F.coalesce(F.sum(F.col("s.t1").isNotNull().cast("long")), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum(F.col("s.t2").isNotNull().cast("long")), F.lit(0)).alias("n2"),
+        F.coalesce(F.sum(F.col("s.t3").isNotNull().cast("long")), F.lit(0)).alias("n3"),
     )
     return counts.selectExpr(
         """stack(3,

@@ -185,6 +185,19 @@ _SEMANTICS_CHANGED_IN: dict[str, int] = {
     "pandas_grouped_rank_normalize": 13,  # r13 review: the kernel now
     # threads a Spark-side NULL flag so reals < NaN < NULL ordering
     # matches DuckDB exactly (Arrow conflated NULL and NaN before)
+    # r13 review (third pass): ts IS NOT NULL mirrored on both sides of
+    # the window-family queries (F.window/session_window silently DROP
+    # NULL-timestamp rows; the unfiltered oracles grouped them), the
+    # session/watermark oracles now compare at microsecond precision
+    # (make_timestamp(epoch_us(..)) — the ns-fixture mirror), and the
+    # funnel's global aggregate coalesces zero-participant counts to 0.
+    # Values identical on current fixtures; oracle text changed:
+    "stream_tumbling_window": 13,
+    "stream_sliding_window": 13,
+    "stream_session_window": 13,
+    "stream_watermark_late_drop": 13,
+    "stream_window_distinct_users": 13,
+    "events_funnel_steps": 13,
 }
 
 

@@ -29,8 +29,15 @@ _BUCKET5_SQL = "epoch_ms(CAST(floor(epoch_ms(ts) / 300000) AS BIGINT) * 300000)"
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2, 3
     """,
+    # ^ ts IS NOT NULL mirrored on BOTH sides (round-13 review): Spark's
+    # F.window/session_window silently DROP NULL-timestamp rows (the
+    # TimeWindowing rule injects isnotnull(ts)), while an unfiltered
+    # oracle groups them under a NULL window — a regenerated fixture
+    # with one NULL ts would diverge. Same mirror on the sliding,
+    # session, and distinct-users windows below.
     category="streaming/window",
     origin="R26",
 )
@@ -38,7 +45,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling windows × event_type. Same ``F.window`` plan runs
     under readStream with a watermark (tests); batch evaluation makes it
     oracle-checkable. Partial aggregation applies per micro-batch at scale."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -61,7 +68,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH starts AS (
       SELECT event_id, value,
              unnest([{_BUCKET5_SQL}, {_BUCKET5_SQL} - INTERVAL 5 MINUTE]) AS win_start
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT win_start, win_start + INTERVAL 10 MINUTE AS win_end,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -74,7 +81,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute windows sliding every 5 — each event lands in exactly two
     windows; the oracle enumerates both bucket starts explicitly."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
@@ -93,12 +100,22 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_session_window",
     oracle="""
-    WITH marked AS (
+    WITH e AS (
+      -- micro-truncated ts (make_timestamp(epoch_us(..))): the fixture
+      -- has shipped events.ts as TIMESTAMP(NANOS) before, and Spark
+      -- compares at microsecond precision (ts_ns div 1000) — raw ns
+      -- interval arithmetic here would merge a session Spark splits
+      -- when sub-microsecond residue tips a gap across the 30-minute
+      -- boundary (round-13 review). Identity under a micros fixture.
+      SELECT user_id, event_id, make_timestamp(epoch_us(ts)) AS ts
+      FROM events WHERE ts IS NOT NULL
+    ),
+    marked AS (
       SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
                        OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_start
-      FROM events
+      FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
@@ -124,7 +141,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``session_window``'s gap semantics (end = last event + gap; the gap
     predicate is ``>=`` — Spark's per-event ranges are half-open
     ``[ts, ts+gap)``, so two events exactly gap apart do NOT merge)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -338,13 +355,20 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_watermark_late_drop",
     oracle="""
+    WITH e AS (
+      -- micro-truncated ts: same ns-fixture mirror as the session
+      -- oracle (Spark compares at microsecond precision); NULL-ts rows
+      -- stay IN — both engines skip them in the running max and emit
+      -- is_late = false for them identically
+      SELECT event_id, make_timestamp(epoch_us(ts)) AS ts
+      FROM events WHERE event_id IS NOT NULL
+    )
     SELECT event_id, ts,
            CASE WHEN ts < MAX(ts) OVER (ORDER BY event_id
                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                          - INTERVAL 10 MINUTE
                 THEN true ELSE false END AS is_late
-    FROM events
-    WHERE event_id IS NOT NULL
+    FROM e
     """,
     # ^ event_id IS NOT NULL mirrored on both sides: arrival order is
     # BY event_id, so a null id has no place in the high-water-mark
@@ -451,7 +475,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS win_start,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
            TRUE AS within_bound
-    FROM events GROUP BY 1
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
     """,
     category="streaming/sketch",
     origin="EXT",
@@ -470,7 +494,7 @@ def stream_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: exact and sketch run as two separate single-shuffle window
     aggregates joined on the window key (broadcast — the per-hour row
     count is tiny next to the event corpus)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     win = F.window("ts", "1 hour").alias("w")
     exact = ev.groupBy(win).agg(F.countDistinct("user_id").alias("n_users"))
     approx = ev.groupBy(win).agg(
