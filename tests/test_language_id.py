@@ -56,3 +56,52 @@ def test_bigram_extraction_guards_short_texts(spark):
     # null text: greatest() skips the null length, substring(NULL,..) is
     # null, the length filter drops it — empty array, explode drops the doc
     assert rows[5] == []
+
+
+def test_census_survives_argmax_losing_language(spark, tmp_path):
+    """Round-13 review: Laplace-smoothed argmax does NOT guarantee every
+    trainable language is somebody's prediction — a tiny language whose
+    bigrams are relatively commoner inside a larger corpus loses the
+    argmax even on its own documents. The census's old exact equality
+    (n_langs_predicted == trainable count) hash-mismatched on such a
+    corpus; the anti-collapse floor boolean must stay green on it."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle import compare
+    from transf_spark.queries import REGISTRY, _load_all_modules
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "another english document with normal words", "en"),
+        (3, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "en"),  # 39 'aa' bigrams
+        (4, "der schnelle braune fuchs springt", "de"),
+        (5, "noch ein deutsches dokument hier", "de"),
+        (6, "aa", "zz"),  # zz's ONLY doc — argmax-predicted 'en'
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "lang": pa.array([d[2] for d in docs], pa.string()),
+            "source": pa.array(["s"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    _load_all_modules()
+    spec = REGISTRY["text_language_id"]
+    df = spec.fn(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    problems = compare(df, con, spec.oracle)
+    assert not problems, "; ".join(problems)
+    rows = {r["lang"]: r for r in df.collect()}
+    # the floor really is exercised: >= 2 languages predicted, all rows
+    # carry the TRUE boolean the oracle hashes
+    assert all(r["no_argmax_collapse"] for r in rows.values())

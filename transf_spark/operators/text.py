@@ -326,16 +326,22 @@ LANG_ID_ACC_FLOOR = 0.15
            CAST(SUM(CASE WHEN length(text) >= 2 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_predicted,
            CAST(0 AS BIGINT) AS n_out_of_domain,
-           CAST((SELECT COUNT(DISTINCT lang) FROM documents
-                 WHERE length(text) >= 2) AS BIGINT)
-             AS n_langs_predicted,
+           TRUE AS no_argmax_collapse,
            TRUE AS acc_above_floor
     FROM documents GROUP BY lang
     """,
-    # ^ n_langs_predicted counts TRAINABLE languages (those with at least
-    # one bigram-bearing doc): a language whose every text is NULL/short
-    # trains no profile and can never be predicted (round-6 degenerate-
-    # fixture sweep — an unqualified COUNT(DISTINCT lang) broke there)
+    # ^ no_argmax_collapse replaced the old exact n_langs_predicted ==
+    # trainable-language-count claim (round-13 review): Laplace-smoothed
+    # argmax does NOT guarantee every trainable language wins somewhere —
+    # a small language whose bigrams are relatively commoner inside a
+    # larger corpus can lose the argmax even on its own documents
+    # (concrete repro in the review), so the equality was a
+    # regeneration-latent hash mismatch. The honest invariant is the
+    # anti-collapse FLOOR the claim existed for: at least min(2,
+    # n_trainable) distinct languages are predicted — false exactly when
+    # the classifier degenerates to one answer on a multi-language
+    # corpus. (Trainable = >= 1 bigram-bearing doc; a language of only
+    # NULL/short texts trains no profile — round-6 degenerate sweep.)
     category="text-analysis",
     origin="EXT",
 )
@@ -353,10 +359,10 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       every bigram matches ≥1 profile by construction);
     - domain: predictions only ever name training languages
       (``n_out_of_domain`` = 0);
-    - no argmax collapse: all TRAINABLE languages (≥1 bigram-bearing doc
-      — a language of only NULL/short texts trains no profile) appear
-      somewhere as a prediction (``n_langs_predicted`` = that exact
-      count);
+    - no argmax collapse: at least min(2, trainable-language-count)
+      distinct languages appear as predictions
+      (``no_argmax_collapse`` — the exact every-trainable-language-
+      predicted form was unsound, see the oracle note);
     - signal: overall accuracy vs the ``lang`` column clears
       LANG_ID_ACC_FLOOR (see the floor's rationale above).
 
@@ -396,30 +402,47 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("predicted_lang").isNotNull(), F.col("n")).otherwise(0)
         ).alias("n_predicted"),
     )
-    globals_row = base.agg(
-        F.count_distinct("predicted_lang").alias("n_langs_predicted"),
-        F.sum(F.when(F.col("is_ood"), F.col("n")).otherwise(0)).alias(
-            "n_out_of_domain"
-        ),
-        (
-            # NULL predictions count as misses: they contribute n to the
-            # denominator but the when() arm (NULL == lang → NULL) sends
-            # them to otherwise(0) in the numerator
-            F.sum(
-                F.when(F.col("predicted_lang") == F.col("lang"), F.col("n")).otherwise(
-                    0
-                )
-            ).cast("double")
-            / F.sum("n")
-            >= F.lit(LANG_ID_ACC_FLOOR)
-        ).alias("acc_above_floor"),
+    # trainable-language count as a LAZY broadcast 1-row aggregate (the
+    # eager .count() form would run a job at DataFrame-construction —
+    # the round-6 isin(collect()) antipattern)
+    trainable = docs.filter(F.length("text") >= 2).agg(
+        F.count_distinct("lang").alias("_n_trainable")
+    )
+    globals_row = (
+        base.agg(
+            F.count_distinct("predicted_lang").alias("_n_langs_pred"),
+            F.sum(F.when(F.col("is_ood"), F.col("n")).otherwise(0)).alias(
+                "n_out_of_domain"
+            ),
+            (
+                # NULL predictions count as misses: they contribute n to
+                # the denominator but the when() arm (NULL == lang →
+                # NULL) sends them to otherwise(0) in the numerator
+                F.sum(
+                    F.when(
+                        F.col("predicted_lang") == F.col("lang"), F.col("n")
+                    ).otherwise(0)
+                ).cast("double")
+                / F.sum("n")
+                >= F.lit(LANG_ID_ACC_FLOOR)
+            ).alias("acc_above_floor"),
+        )
+        .crossJoin(F.broadcast(trainable))
+        .select(
+            (
+                F.col("_n_langs_pred")
+                >= F.least(F.lit(2), F.col("_n_trainable"))
+            ).alias("no_argmax_collapse"),
+            "n_out_of_domain",
+            "acc_above_floor",
+        )
     )
     return census.join(F.broadcast(globals_row)).select(
         "lang",
         "n_docs",
         "n_predicted",
         "n_out_of_domain",
-        "n_langs_predicted",
+        "no_argmax_collapse",
         "acc_above_floor",
     )
 

@@ -152,7 +152,11 @@ _SEMANTICS_CHANGED_IN: dict[str, int] = {
     # fixtures, but the oracle text + embedded cross-check changed;
     # regrade on the new forms. (was r12: DISTINCT dup-HS closed form;
     # r11: rows-only → closed-form manifest oracle)
-    "text_language_id": 6,  # r6: rows-only → invariant-census oracle
+    "text_language_id": 13,  # r13 review: the census's every-trainable-
+    # language-predicted EQUALITY was unsound (smoothed argmax doesn't
+    # guarantee a tiny language wins anywhere — concrete repro) —
+    # replaced by the anti-collapse floor boolean no_argmax_collapse.
+    # (was r6: rows-only → invariant-census oracle)
     "dedup_fuzzy_minhash": 6,  # r6: exact-family pre-pass + star (changes declared
     # values on any fixture bearing exact-duplicate texts; mirrored in oracle)
     "dedup_ngram_jaccard": 6,  # r6: shingle df-cap in both dialects (values unchanged)
