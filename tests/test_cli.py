@@ -100,7 +100,7 @@ def test_cli_avro_inspect(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "codec:   snappy" in out and "records: 3" in out and "blocks:  2" in out
     assert "tag: string (nullable)" in out
-    assert "spark:   id bigint, tag string, ts timestamp" in out
+    assert "spark:   `id` bigint, `tag` string, `ts` timestamp" in out
 
     bad = str(tmp_path / "bad.avro")
     open(bad, "wb").write(b"not avro at all")

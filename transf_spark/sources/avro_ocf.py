@@ -380,6 +380,13 @@ _PRIMITIVES = ("long", "int", "float", "string", "double", "boolean", "bytes")
 # LogicalTypes.fromSchemaIgnoreInvalid), so values are never mis-typed
 # and never rejected for an annotation alone.
 #
+# time-millis/micros in particular is a DELIBERATE raw mapping, not a
+# gap (round-14 probe): Spark has no TimeType, and spark-avro's own
+# published mapping surfaces time-millis as IntegerType and time-micros
+# as LongType — i.e. the raw midnight-offset count, exactly what the
+# underlying-type fallback yields here. A typed python datetime.time
+# surface would DIVERGE from the JVM reader, so we match it instead.
+#
 # Descriptors: ("logical", ltype, underlying) for date/timestamps,
 # ("logical", "decimal", "bytes"|("fixed", size), precision, scale).
 # Values surface TYPED — datetime.date, timezone-aware datetime (UTC),
@@ -503,7 +510,11 @@ def _from_wire_logical(desc, v):
 def _to_wire_logical(desc, v):
     """Typed value -> the raw underlying value the wire encodes. Strict
     on Python types: silently int()-ing a datetime (or accepting a naive
-    one for an instant-semantics timestamp) would write wrong data."""
+    one for an instant-semantics timestamp) would write wrong data.
+    Deliberately asymmetric with the decimal path on sub-unit precision:
+    decimals REJECT a scale mismatch (Java DecimalConversion parity) but
+    *-millis timestamps FLOOR sub-millisecond datetimes (Java
+    Instant.toEpochMilli parity) — documented at write_ocf."""
     lt = desc[1]
     if lt == "date":
         if not isinstance(v, _dt.date) or isinstance(v, _dt.datetime):
@@ -1095,7 +1106,7 @@ def _ddl_type(desc) -> str:
         if k == "fixed":
             return "binary"
         if k == "record":
-            inner = ",".join(f"{n}:{_ddl_type(d)}" for n, d, _ in desc[1])
+            inner = ",".join(f"`{n}`:{_ddl_type(d)}" for n, d, _ in desc[1])
             return f"struct<{inner}>"
         if k in ("array", "map"):
             it = _ddl_type(desc[1])
@@ -1106,7 +1117,7 @@ def _ddl_type(desc) -> str:
         if surf[0] == "promote":
             return "bigint" if surf[1] == "long" else "double"
         inner = ",".join(
-            f"member{i}:{_ddl_type(d)}" for i, d in enumerate(surf[1])
+            f"`member{i}`:{_ddl_type(d)}" for i, d in enumerate(surf[1])
         )
         return f"struct<{inner}>"
     return {
@@ -1120,10 +1131,13 @@ def spark_ddl(fields: list[tuple[str, str, bool]]) -> str:
     over this codec should declare — spark-avro's PUBLIC Avro->Spark
     type mapping restated (enum -> string, fixed/bytes -> binary,
     logical date/timestamp/decimal -> their typed columns, general
-    unions -> the member0..memberN struct). Field names are spec-legal
-    Avro names ([A-Za-z_][A-Za-z0-9_]*), so bare identifiers are safe
-    in DDL."""
-    return ", ".join(f"{name} {_ddl_type(desc)}" for name, desc, _ in fields)
+    unions -> the member0..memberN struct). Every field and struct
+    member name is backtick-quoted: spec-legal Avro names
+    ([A-Za-z_][A-Za-z0-9_]*) include SQL reserved words like 'from' or
+    'order', which Spark 4's parser rejects BARE when
+    spark.sql.ansi.enforceReservedKeywords is on — and backticks are
+    always legal for Avro-legal identifiers (they can't contain one)."""
+    return ", ".join(f"`{name}` {_ddl_type(desc)}" for name, desc, _ in fields)
 
 
 # ---- schema resolution (reader schema vs writer schema) ---------------------
@@ -1177,15 +1191,32 @@ def _value_resolver(wdesc, rdesc, raw_reader_type, path: str, raw_names=None,
         if wdesc == rdesc:
             return None
         if wl and rl:
-            # DIFFERENT logical types never cross-resolve here. The Java
-            # reader resolves on the UNDERLYING types and then applies
-            # the READER's conversion to the raw count — a ts-millis
-            # writer into a ts-micros reader silently shifts every value
-            # 1000x. Refusing at build is the honest restatement; the
-            # fold-back/lift paths below cover every lossless case.
+            if (
+                wdesc[1] == "decimal" and rdesc[1] == "decimal"
+                and wdesc[2] == rdesc[2]  # same underlying: bytes, or fixed of equal size
+                and wdesc[4] == rdesc[4]  # same scale
+                and rdesc[3] >= wdesc[3]  # reader precision >= writer's
+            ):
+                # Same-scale precision WIDENING — decimal(10,2) evolved to
+                # decimal(12,2) — is the common lossless schema evolution
+                # and Java's DecimalConversion resolves it fine: the raw
+                # unscaled two's-complement is identical and the READER's
+                # conversion (applied after this transform) re-scales with
+                # the same exponent, so identity is exact. Every writer
+                # value fits the wider reader bound by construction.
+                return None
+            # Any OTHER logical-descriptor pair never cross-resolves here.
+            # The Java reader resolves on the UNDERLYING types and then
+            # applies the READER's conversion to the raw count — a
+            # ts-millis writer into a ts-micros reader silently shifts
+            # every value 1000x, and a decimal scale (or precision-
+            # narrowing) change reinterprets or overflows the unscaled
+            # count. Refusing at build is the honest restatement; the
+            # fold-back/lift paths below cover the remaining lossless
+            # cases.
             raise ValueError(
-                f"cannot resolve writer logical type {wdesc[1]!r} into "
-                f"reader logical type {rdesc[1]!r} at {path}"
+                f"cannot resolve writer logical type {wdesc[1:]!r} into "
+                f"reader logical type {rdesc[1:]!r} at {path}"
             )
         if wl:
             # writer logical -> plain reader: pure underlying resolution;
@@ -2169,7 +2200,16 @@ def decode_records(
 
 def write_ocf(path: str, schema: dict, rows, sync: bytes, block_rows: int = 1024,
               codec: str = "null") -> None:
-    """Write one Avro Object Container File (any codec in CODECS)."""
+    """Write one Avro Object Container File (any codec in CODECS).
+
+    Logical-type encode is strict on Python types and on decimal
+    scale/precision (a mismatch raises — see _to_wire_logical), with ONE
+    deliberate lossy case: a datetime with sub-millisecond precision
+    written to a timestamp-millis/local-timestamp-millis field is
+    FLOORED to the millisecond (Java Instant.toEpochMilli parity — Java
+    truncates here too rather than raising, unlike its
+    DecimalConversion). Callers who need the write to be exactly
+    re-readable should use a *-micros field or pre-truncate."""
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
     if codec not in CODECS:
