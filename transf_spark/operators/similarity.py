@@ -659,10 +659,16 @@ def _ann_census(
     (a per-q-stats ⋈ hit-count ⋈ baseline-count fan-in re-derived both
     subtrees per branch: measured 147 s vs ~15 s of component work on a
     20k-vector probe): union {designated-query sentinels, ANN rows,
-    sampled baseline rows} → pair aggregate on (q_id, nn_id) → per-query
-    aggregate → global census. The sentinel rows make coverage exact even
-    for a query outside the recall sample whose probe set is legitimately
-    empty (neither real side would emit it)."""
+    sampled baseline rows} → ONE per-query aggregate → global census.
+    The sentinel rows make coverage exact even for a query outside the
+    recall sample whose probe set is legitimately empty (neither real
+    side would emit it). Round 14 folded the former (q_id, nn_id) pair
+    aggregate into the per-query one: hits are ``array_intersect`` of
+    the two sides' collect_set'd neighbor ids — same values (both sides
+    are distinct-per-query by construction; a duplicated ANN pair still
+    fails loudly through ranks_contiguous), one less exchange, and the
+    row counts are census-bounded (≤ queries × (k + sample)) so the
+    per-group sets stay tiny at any corpus scale."""
     bf = _bf_baseline_cached(spark, sf_dir)
     e = _emb_double(spark, sf_dir, uniform=True)
     sentinels = e.filter(F.col("vec_id") % 100 == 0).select(
@@ -684,57 +690,60 @@ def _ann_census(
         F.lit(0).alias("in_ann"),
         F.lit(1).alias("in_bf"),
     )
-    # groupBy keeps the sentinel's NULL nn_id as its own group per q_id —
-    # it can never merge with a real (q_id, nn_id) pair
-    pairs = (
-        sentinels.unionByName(a)
-        .unionByName(b)
-        .groupBy("q_id", "nn_id")
-        .agg(
-            F.max("in_ann").alias("in_ann"),
-            F.max("in_bf").alias("in_bf"),
-            F.max("rnk").alias("rnk"),
-            F.max("cosine").alias("cosine"),
-        )
-    )
     # NULL struct for sentinel/baseline-only rows — collect_list skips them
     ann_struct = F.when(F.col("in_ann") == 1, F.struct("rnk", "cosine"))
-    per_q = pairs.groupBy("q_id").agg(
-        F.sum("in_ann").alias("k_rows"),
-        F.min("rnk").alias("min_rnk"),
-        F.max("rnk").alias("max_rnk"),
-        F.count_distinct("rnk").alias("n_rnk"),
-        # cosines non-increasing when walked in rank order: sort the
-        # (rnk, cosine) structs by rank, then verify the cosine sequence
-        # equals its own descending sort
-        F.transform(
-            F.array_sort(F.collect_list(ann_struct)), lambda x: x["cosine"]
-        ).alias("by_rank"),
-        F.sum(F.col("in_ann") * F.col("in_bf")).alias("n_hits_q"),
-        F.sum("in_bf").alias("n_true_q"),
+    # ONE aggregate exchange: both sides' neighbor ids are distinct per
+    # query by construction (rank window / distinct baseline), so hits =
+    # |ann ∩ bf| falls out of collect_set + array_intersect without the
+    # former (q_id, nn_id) pre-aggregate; collect_set skips the NULL-id
+    # sentinel rows, and per-group set size is bounded by k + sample
+    per_q = (
+        sentinels.unionByName(a)
+        .unionByName(b)
+        .groupBy("q_id")
+        .agg(
+            F.sum("in_ann").alias("k_rows"),
+            # the sorted (rnk, cosine) struct list serves BOTH remaining
+            # rank checks: contiguity (the rnk sequence must equal
+            # 1..k_rows exactly — distinctness included, which also
+            # retires the count_distinct whose mixed-distinct rewrite
+            # forced a third aggregate level) and cosine ordering
+            F.array_sort(F.collect_list(ann_struct)).alias("by_rank_struct"),
+            F.collect_set(
+                F.when(F.col("in_ann") == 1, F.col("nn_id"))
+            ).alias("ann_ids"),
+            F.collect_set(
+                F.when(F.col("in_bf") == 1, F.col("nn_id"))
+            ).alias("bf_ids"),
+        )
     )
     per_q = per_q.select(
         "q_id",
         "k_rows",
-        "n_hits_q",
-        "n_true_q",
+        F.size(F.array_intersect("ann_ids", "bf_ids")).cast("long").alias("n_hits_q"),
+        F.size("bf_ids").cast("long").alias("n_true_q"),
         # 0..TOP_K, not 1..TOP_K: an empty probe set is legitimate sparse-
         # bucket behavior (a BROKEN index — all-empty — reds via the
         # recall floor instead)
         (F.col("k_rows").between(0, TOP_K)).alias("k_ok"),
         # contiguity 1..k_rows, not exactly TOP_K: a sparse probe set can
         # legitimately return fewer than k candidates; vacuous when empty
+        # (sequence(1, 0) is the descending [1, 0] — never equal to the
+        # empty list, so the k_rows == 0 arm must stay first)
         (
             (F.col("k_rows") == 0)
             | (
-                (F.col("min_rnk") == 1)
-                & (F.col("max_rnk") == F.col("k_rows"))
-                & (F.col("n_rnk") == F.col("k_rows"))
+                F.transform(F.col("by_rank_struct"), lambda x: x["rnk"])
+                == F.sequence(F.lit(1).cast("long"), F.col("k_rows"))
             )
         ).alias("ranks_ok"),
         (
-            F.col("by_rank")
-            == F.reverse(F.array_sort("by_rank"))
+            F.transform(F.col("by_rank_struct"), lambda x: x["cosine"])
+            == F.reverse(
+                F.array_sort(
+                    F.transform(F.col("by_rank_struct"), lambda x: x["cosine"])
+                )
+            )
         ).alias("sorted_ok"),
     )
     return per_q.agg(
