@@ -457,7 +457,19 @@ def _bucketed(
     over the vector's own least-confident planes."""
     e = _emb_double(spark, sf_dir, uniform=True)
     planes = _planes_for_dim(_corpus_dim(spark, sf_dir))
-    plane_arr = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    # ONE parsed literal-array expr, not N_PLANES x dim nested F.lit calls:
+    # the nested form cost ~0.64 s of py4j round trips PER BUILD (and
+    # _bucketed builds 2-3x per census) vs 5 ms for the string — repr(float)
+    # round-trips IEEE doubles exactly and the D-suffixed literal parses
+    # bit-identically (verified elementwise against the F.lit form).
+    plane_arr = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in p) + ")"
+            for p in planes
+        )
+        + ")"
+    )
     d = e.withColumn("planes", plane_arr).withColumn(
         "dots",
         F.expr(
