@@ -69,6 +69,47 @@ def props_k_gate(extracted: Column) -> Column:
     return F.when(F.col("props").rlike(PROPS_CANON_RE), extracted)
 
 
+# ---- degenerate-double guards for the events.value measure -----------------
+#
+# events.value is the one FREE-FORM double measure in the fixtures: unlike
+# the generator-bounded TPC-H money columns it carries no domain guarantee,
+# so a regenerated fixture could hold NaN/±Infinity/overflow doubles. The
+# round-14 degenerate-events device showed those split the engines two ways:
+# CAST to DECIMAL/BIGINT silently NULLs on Spark (ANSI off) but HARD-ERRORS
+# the DuckDB oracle, and percentile vs quantile_cont disagree on NaN
+# placement. Each guard below has a textually-mirrored SQL twin; NaN fails
+# a `<= bound` comparison in BOTH engines (each orders NaN above every
+# value), and ±Infinity/overflow fail the bound itself.
+
+# exact decimal(12,2)-representable range: anything inside round-trips the
+# cast on both engines; the first double past it rounds to 13 digits
+DEC_REPR_BOUND = "9999999999.99"
+
+SQL_DEC_VALUE_GUARDED = (
+    f"CASE WHEN value BETWEEN -{DEC_REPR_BOUND} AND {DEC_REPR_BOUND} "
+    f"THEN CAST(value AS DECIMAL(12,2)) END"
+)
+
+
+def dec_value_guarded() -> Column:
+    """Spark twin of SQL_DEC_VALUE_GUARDED — keep in lockstep."""
+    return F.when(
+        F.col("value").between(-9999999999.99, 9999999999.99),
+        F.col("value").cast(MONEY),
+    )
+
+
+# finite-double predicate (excludes NaN and ±Infinity), same text both
+# dialects — used where a quantile/sketch input must be finite for the
+# engines to agree on ordering/interpolation
+SQL_FINITE_VALUE = "(NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE))"
+
+
+def finite_value() -> Column:
+    """Spark twin of SQL_FINITE_VALUE — keep in lockstep."""
+    return F.expr(SQL_FINITE_VALUE)
+
+
 # SQL fragments for the DuckDB oracle mirroring dec/dsum/davg exactly.
 def sql_dec(expr: str) -> str:
     return f"CAST({expr} AS DECIMAL(12,2))"

@@ -18,7 +18,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from transf_spark.functions.exprs import PROPS_CANON_RE, dec, sql_props_k_gate
+from transf_spark.functions.exprs import (
+    PROPS_CANON_RE,
+    SQL_FINITE_VALUE,
+    dec,
+    finite_value,
+    sql_props_k_gate,
+)
 from transf_spark.queries import register
 from transf_spark.sources.tables import load_table
 
@@ -433,12 +439,15 @@ MAD_K = 3  # anomaly threshold: |x − median| > K · MAD
 @register(
     "events_anomaly_mad",
     oracle=f"""
-    WITH med AS (
-      SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+    WITH fin AS (
+      SELECT event_type, value FROM events WHERE {SQL_FINITE_VALUE}
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med FROM fin GROUP BY 1
     ),
     dev AS (
       SELECT e.event_type, ABS(e.value - m.med) AS adev
-      FROM events e JOIN med m USING (event_type)
+      FROM fin e JOIN med m USING (event_type)
     ),
     mad AS (
       SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
@@ -472,10 +481,17 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the swap-in when it does not: the MAD rule tolerates ~1% quantile
     error by construction."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(
+    # median and MAD are computed over FINITE values only, mirrored in the
+    # oracle's fin CTE (round-14 degenerate-events device): percentile vs
+    # quantile_cont disagree on NaN placement, and one ±Infinity drags
+    # every interpolated quantile. The final anomaly count still scans ALL
+    # rows — a non-finite value compares > threshold in BOTH engines (each
+    # orders NaN above all values), so it is consistently an anomaly.
+    fin = ev.filter(finite_value())
+    med = fin.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("median_value")
     )
-    dev = ev.join(F.broadcast(med), "event_type").select(
+    dev = fin.join(F.broadcast(med), "event_type").select(
         "event_type", (F.abs(F.col("value") - F.col("median_value"))).alias("adev")
     )
     mad = dev.groupBy("event_type").agg(

@@ -19,9 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from transf_spark.functions.exprs import (
+    SQL_DEC_VALUE_GUARDED,
     SQL_DISC_PRICE,
     davg,
     dec,
+    dec_value_guarded,
     disc_price,
     dsum,
     sql_davg,
@@ -504,14 +506,18 @@ def agg_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_skew_salted_two_stage",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           CAST(SUM({SQL_DEC_VALUE_GUARDED}) AS DOUBLE) AS sum_value,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
+           CAST(SUM({SQL_DEC_VALUE_GUARDED}) AS DOUBLE) / COUNT(*) AS avg_value
     FROM events
     GROUP BY event_type
     """,
+    # ^ guarded decimal cast (round-14 degenerate-events device): a
+    # NaN/Inf/overflow value silently NULLs under Spark's ANSI-off cast
+    # but hard-errors DuckDB — the representability predicate is stated
+    # in both dialects so the engines exclude exactly the same rows.
     category="aggregation/skew",
     origin="EXT",
 )
@@ -530,7 +536,7 @@ def agg_skew_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
         .groupBy("event_type", "salt")
         .agg(
-            F.sum(dec("value")).alias("psum"),
+            F.sum(dec_value_guarded()).alias("psum"),
             F.count(F.lit(1)).alias("pcnt"),
         )
     )
@@ -675,7 +681,9 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_full_outer",
-    oracle="""
+    # guarded decimal cast on the free-form measure — see
+    # agg_skew_salted_two_stage (round-14 degenerate-events device)
+    oracle=f"""
     SELECT COALESCE(u.user_id, c.c_custkey) AS key_id,
            COALESCE(u.n_events, 0) AS n_events,
            CAST(COALESCE(u.sum_value, 0.0) AS DOUBLE) AS sum_value,
@@ -684,7 +692,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.c_custkey IS NOT NULL AS has_account
     FROM (
       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             CAST(SUM({SQL_DEC_VALUE_GUARDED}) AS DOUBLE) AS sum_value
       FROM events GROUP BY user_id
     ) u
     FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey >= 5) c
@@ -705,7 +713,7 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") >= 5)
     u = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(dec("value")).cast("double").alias("sum_value"),
+        F.sum(dec_value_guarded()).cast("double").alias("sum_value"),
     )
     j = u.join(cust, u.user_id == cust.c_custkey, "full_outer")
     return j.select(

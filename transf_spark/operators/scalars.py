@@ -139,8 +139,9 @@ def scalar_net_validators(spark: SparkSession, sf_dir: str) -> DataFrame:
            date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS days_since,
            epoch_ms(CAST(floor(epoch_ms(ts) / 1000) AS BIGINT) * 1000) AS ts_sec,
            round(value, 1) AS val_round,
-           CAST(floor(value) AS BIGINT) AS val_floor,
-           round(ln(value + 1), 6) AS val_ln,
+           CASE WHEN value BETWEEN -9.0e18 AND 9.0e18
+                THEN CAST(floor(value) AS BIGINT) END AS val_floor,
+           CASE WHEN value > -1.0 THEN round(ln(value + 1), 6) END AS val_ln,
            value * value AS val_sq,
            pow(2, CAST(event_id % 10 AS INT)) AS pow2,
            ((CAST(event_id AS BIGINT) - 7) % 5 + 5) % 5 AS pmod5
@@ -170,9 +171,21 @@ def scalar_date_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("timestamp_ntz")
         .alias("ts_sec"),
         F.round("value", 1).alias("val_round"),
-        F.floor("value").cast("long").alias("val_floor"),
-        # round(…,6): JVM Math.log and C log can differ in the last ulp
-        F.round(F.log(F.col("value") + 1), 6).alias("val_ln"),
+        # int64-representability guard mirrored in BOTH dialects (round-14
+        # degenerate-events device): floor(NaN/±Inf/overflow) casts to
+        # BIGINT as 0/LONG_MAX under Spark's ANSI-off cast but HARD-ERRORS
+        # DuckDB; NaN fails the BETWEEN in both engines
+        F.when(
+            F.col("value").between(-9.0e18, 9.0e18),
+            F.floor("value").cast("long"),
+        ).alias("val_floor"),
+        # round(…,6): JVM Math.log and C log can differ in the last ulp.
+        # log-domain guard mirrored: Spark's log NULLs on value+1 <= 0
+        # where DuckDB's ln raises — the explicit predicate keeps both
+        # engines on the same rows (NaN passes > -1 in both and yields NaN)
+        F.when(
+            F.col("value") > -1.0, F.round(F.log(F.col("value") + 1), 6)
+        ).alias("val_ln"),
         # x*x, not pow(x,2): IEEE-exact on both engines; pow exercised on
         # exact powers of two where every libm agrees
         (F.col("value") * F.col("value")).alias("val_sq"),

@@ -196,12 +196,25 @@ _SEMANTICS_CHANGED_IN: dict[str, int] = {
     # (make_timestamp(epoch_us(..)) — the ns-fixture mirror), and the
     # funnel's global aggregate coalesces zero-participant counts to 0.
     # Values identical on current fixtures; oracle text changed:
-    "stream_tumbling_window": 13,
-    "stream_sliding_window": 13,
     "stream_session_window": 13,
     "stream_watermark_late_drop": 13,
     "stream_window_distinct_users": 13,
     "events_funnel_steps": 13,
+    # r14 degenerate-events device: the free-form events.value measure
+    # gained mirrored guards — a NaN/±Inf/overflow double CAST to
+    # DECIMAL/BIGINT silently NULLs under Spark's ANSI-off cast but
+    # HARD-ERRORS the DuckDB oracle, and percentile/quantile_cont (and
+    # the KLL sketch buffer itself) disagree on or reject NaN. Values
+    # identical on current (all-finite) fixtures; oracle TEXT changed:
+    "agg_skew_salted_two_stage": 14,  # guarded decimal cast, both dialects
+    "join_full_outer": 14,  # guarded decimal cast
+    "stream_tumbling_window": 14,  # guarded decimal cast (was r13 NULL-ts)
+    "stream_sliding_window": 14,  # guarded decimal cast (was r13 NULL-ts)
+    "stream_checkpoint_incremental": 14,  # guarded decimal cast
+    "scalar_date_math_suite": 14,  # int64-representability floor guard +
+    # explicit log-domain predicate (Spark NULLs on ln(<=0), DuckDB raises)
+    "events_anomaly_mad": 14,  # median/MAD over finite values only
+    "stream_kll_quantile_sketch": 14,  # finite filter before the sketch
 }
 
 

@@ -11,7 +11,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from transf_spark.functions.exprs import dec
+from transf_spark.functions.exprs import (
+    SQL_DEC_VALUE_GUARDED,
+    SQL_FINITE_VALUE,
+    dec,
+    dec_value_guarded,
+    finite_value,
+)
 from transf_spark.queries import register
 from transf_spark.session import drain_session
 from transf_spark.sources.tables import load_table
@@ -22,12 +28,12 @@ _BUCKET5_SQL = "epoch_ms(CAST(floor(epoch_ms(ts) / 300000) AS BIGINT) * 300000)"
 
 @register(
     "stream_tumbling_window",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('hour', ts) AS win_start,
            date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+           CAST(SUM({SQL_DEC_VALUE_GUARDED}) AS DOUBLE) AS sum_value
     FROM events
     WHERE ts IS NOT NULL
     GROUP BY 1, 2, 3
@@ -50,7 +56,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec("value")).cast("double").alias("sum_value"),
+            F.sum(dec_value_guarded()).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("win_start"),
@@ -72,9 +78,11 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT win_start, win_start + INTERVAL 10 MINUTE AS win_end,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+           CAST(SUM({SQL_DEC_VALUE_GUARDED}) AS DOUBLE) AS sum_value
     FROM starts GROUP BY 1, 2
     """,
+    # ^ guarded decimal cast on the free-form measure — see
+    # agg_skew_salted_two_stage (round-14 degenerate-events device)
     category="streaming/window",
     origin="R5-R9",
 )
@@ -86,7 +94,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec("value")).cast("double").alias("sum_value"),
+            F.sum(dec_value_guarded()).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("win_start"),
@@ -595,10 +603,12 @@ def stream_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_checkpoint_incremental",
-    oracle="""
+    # guarded decimal cast on the free-form measure — see
+    # agg_skew_salted_two_stage (round-14 degenerate-events device)
+    oracle=f"""
     SELECT phase,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+           CAST(SUM({SQL_DEC_VALUE_GUARDED}) AS DOUBLE) AS sum_value
     FROM (SELECT CASE WHEN event_id % 2 = 0 THEN 'initial' ELSE 'incremental' END
             AS phase, value
           FROM events WHERE event_id IS NOT NULL)
@@ -694,7 +704,9 @@ def stream_checkpoint_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
             .parquet(sink)
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum(dec("value")), F.lit(0).cast("decimal(22,2)")).alias("s"),
+                F.coalesce(
+                    F.sum(dec_value_guarded()), F.lit(0).cast("decimal(22,2)")
+                ).alias("s"),
             )
             .collect()[0]
         )
@@ -731,14 +743,19 @@ KLL_EPS = 0.0165
 
 @register(
     "stream_kll_quantile_sketch",
-    oracle="""
+    # finite-value filter mirrored in BOTH dialects (round-14
+    # degenerate-events device): a NaN reaching kll_sketch_agg_double
+    # yields a buffer kll_sketch_get_quantile_double REJECTS outright
+    # (Spark-side hard error), and NaN placement splits percentile vs
+    # quantile_cont even where both survive.
+    oracle=f"""
     SELECT date_trunc('hour', ts) AS win_start,
            date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            quantile_cont(value, 0.5) AS median_exact,
            TRUE AS q25_rank_ok, TRUE AS q50_rank_ok, TRUE AS q75_rank_ok
     FROM events
-    WHERE ts IS NOT NULL AND value IS NOT NULL
+    WHERE ts IS NOT NULL AND value IS NOT NULL AND {SQL_FINITE_VALUE}
     GROUP BY 1, 2
     """,
     category="streaming/sketch",
@@ -772,7 +789,7 @@ def stream_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     more bounded aggregate. No sort anywhere."""
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull() & finite_value())
         .select("ts", "value")
     )
     sk = ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
