@@ -131,7 +131,7 @@ def test_kmeans_inertia_monotone_and_assignment_optimal(spark):
     inertias = []
     assigned = None
     for iters in (1, 2, 3):
-        assigned, _, _ = s._kmeans(spark, SF, iters=iters)
+        assigned, _, _, _ = s._kmeans(spark, SF, iters=iters)
         from pyspark.sql import functions as F
 
         inertias.append(assigned.agg(F.sum("d2")).first()[0])
@@ -143,8 +143,8 @@ def test_kmeans_inertia_monotone_and_assignment_optimal(spark):
     # (round 8) is only sound if the matrices are identical
     import numpy as np
 
-    _, _, (p_ids, p_cent) = s._kmeans(spark, SF, iters=3)
-    _, cent2_df, _ = s._kmeans(spark, SF, iters=2)
+    _, _, _, (p_ids, p_cent) = s._kmeans(spark, SF, iters=3)
+    _, cent2_df, _, _ = s._kmeans(spark, SF, iters=2)
     rows2 = sorted(cent2_df.collect(), key=lambda r: r["c_id"])
     i2_ids = np.array([r["c_id"] for r in rows2])
     i2_cent = np.array([list(r["cv"]) for r in rows2])

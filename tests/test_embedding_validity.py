@@ -36,10 +36,15 @@ _QUERIES = [
 @pytest.fixture(scope="module")
 def corrupt_dir(tmp_path_factory):
     """sf0.001 embeddings with: vec_id[0] -> one NULL element,
-    vec_id[1] -> EMPTY vector, vec_id[2] -> NULL vector, and the
+    vec_id[1] -> EMPTY vector, vec_id[2] -> NULL vector, the
     FIRST-BY-LAYOUT row replaced by a SHORT 3-dim vector (the
-    _corpus_dim first()-row trap). documents/events copied verbatim
-    (some queries stage from them)."""
+    _corpus_dim first()-row trap), and (round 14) KEY degeneracy — a
+    NULL vec_id on a VALID vector (crashed the k-means/IVF seed
+    sample's driver-side sort before the validity contract gained the
+    key term), a duplicated vec_id (collapsed by the old
+    groupBy(vec_id) optimality re-check), and NULL/out-of-domain
+    labels. documents/events copied verbatim (some queries stage from
+    them)."""
     src = "/root/testdata/sf0.001"
     out = tmp_path_factory.mktemp("corrupt_sf")
     t = pq.read_table(f"{src}/embeddings.parquet")
@@ -50,6 +55,10 @@ def corrupt_dir(tmp_path_factory):
     embs[1] = []  # empty vector
     embs[2] = None  # NULL vector
     embs[3] = embs[3][:3]  # short corrupt vector
+    ids[5] = None  # NULL key on a valid vector (round-14 key probe)
+    ids[8] = ids[9]  # duplicate key across two distinct vectors
+    labels[6] = None
+    labels[7] = -1  # out-of-domain label
     # move the short row FIRST in file order so first()-style dim probes
     # would see it
     order = [3] + [i for i in range(len(ids)) if i != 3]

@@ -960,14 +960,17 @@ def test_quality_gate_report_single_pass(spark):
 def test_centroid_cosine_quadratic_only_in_labels(spark):
     """Label-centroid audit: the (label, pos) aggregate is the only
     corpus-sized work; the pairing join runs on the |labels|-row arrays
-    (tiny-side nested-loop is acceptable THERE and only there). vec_id
-    must be pruned from the embedding scan."""
+    (tiny-side nested-loop is acceptable THERE and only there). The scan
+    reads exactly the shared validity contract's columns: embedding,
+    label, and — since the round-14 key term — vec_id (an int64 beside
+    the dominant array column; the module-wide `vec_id IS NOT NULL`
+    input predicate is worth that read)."""
     df = _q(spark, "embedding_label_centroid_cosine")
     st = plan_stats(df)
     assert st.sort_merge_joins == 0
     assert st.nested_loop_joins <= 1  # the ≤|labels|² theta pairing only
     for cols in scan_columns(df):
-        assert cols == {"embedding", "label"}
+        assert cols == {"embedding", "label", "vec_id"}
 
 
 def test_text_lines_roundtrip_single_census_exchange(spark):

@@ -168,20 +168,26 @@ def _cosine_pairs_udf():
 
 
 # The module's shared input-validity predicate, in BOTH dialects
-# (round-13 review strengthened it from bare IS NOT NULL): a NULL
-# vector, an EMPTY vector, or a vector with a NULL ELEMENT cannot
-# participate in vector math — DuckDB's list_dot_product hard-errors on
-# NULL elements and INTERNAL-errors on empty lists (invalidating the
-# whole oracle connection), while Spark silently emits NULL cosines —
-# so a regenerated fixture bearing one such row would diverge the
-# engines. Filtering identically on both sides keeps every
-# similarity query a pure function of the VALID vectors.
+# (round-13 review strengthened it from bare IS NOT NULL; round-14 added
+# the key term): a NULL vector, an EMPTY vector, or a vector with a NULL
+# ELEMENT cannot participate in vector math — DuckDB's list_dot_product
+# hard-errors on NULL elements and INTERNAL-errors on empty lists
+# (invalidating the whole oracle connection), while Spark silently emits
+# NULL cosines — so a regenerated fixture bearing one such row would
+# diverge the engines. A NULL vec_id row is likewise invalid input: it
+# cannot be referenced in any output pair, and the round-14 key probe
+# showed one reaching the k-means/IVF seed sample crashes the driver-side
+# deterministic ordering (`sorted()` over collected ids, int vs None).
+# Filtering identically on both sides keeps every similarity query a
+# pure function of the VALID, IDENTIFIABLE vectors.
 _VALID_EMB_SQL = (
-    "embedding IS NOT NULL AND len(embedding) > 0 "
+    "vec_id IS NOT NULL "
+    "AND embedding IS NOT NULL AND len(embedding) > 0 "
     "AND len(list_filter(embedding, x -> x IS NULL)) = 0"
 )
 _VALID_EMB_SPARK = (
-    "embedding IS NOT NULL AND size(embedding) > 0 "
+    "vec_id IS NOT NULL "
+    "AND embedding IS NOT NULL AND size(embedding) > 0 "
     "AND NOT exists(embedding, x -> x IS NULL)"
 )
 
@@ -217,7 +223,7 @@ def _emb_double(spark: SparkSession, sf_dir: str, uniform: bool = False) -> Data
     "similarity_topk_cosine",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-               WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)),
+               WHERE {_UNIFORM_EMB_SQL}),
     q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
     scored AS (
       SELECT q.q_id, e.vec_id AS nn_id,
@@ -305,7 +311,7 @@ def _brute_topk(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-               WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0))
+               WHERE {_UNIFORM_EMB_SQL})
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
            list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
@@ -801,7 +807,7 @@ def _ann_census(
            TRUE AS ranks_contiguous,
            TRUE AS cosines_sorted,
            TRUE AS recall_above_floor
-    FROM embeddings WHERE vec_id % 100 = 0 AND embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+    FROM embeddings WHERE vec_id % 100 = 0 AND {_UNIFORM_EMB_SQL}
     """,
     category="similarity",
     origin="EXT",
@@ -976,13 +982,13 @@ ANN_IVF_RECALL_FLOOR = 0.6
 
 @register(
     "similarity_ann_ivf",
-    oracle="""
+    oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
            TRUE AS k_rows_bounded,
            TRUE AS ranks_contiguous,
            TRUE AS cosines_sorted,
            TRUE AS recall_above_floor
-    FROM embeddings WHERE vec_id % 100 = 0 AND embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+    FROM embeddings WHERE vec_id % 100 = 0 AND {_UNIFORM_EMB_SQL}
     """,
     category="similarity",
     origin="EXT",
@@ -1091,11 +1097,8 @@ def _kmeans(spark: SparkSession, sf_dir: str, iters: int = KMEANS_ITERS):
             [], "vec_id long, v array<double>, c_id long, d2 double"
         )
         empty_cent = spark.createDataFrame([], "c_id long, cv array<double>")
-        return (
-            empty_assigned,
-            empty_cent,
-            (np.zeros(0, dtype=np.int64), np.zeros((0, 0), dtype=np.float64)),
-        )
+        empty_mat = (np.zeros(0, dtype=np.int64), np.zeros((0, 0), dtype=np.float64))
+        return (empty_assigned, empty_cent, empty_mat, empty_mat)
     # c_id = 1..K in vec_id order (the row_number the DataFrame seed used)
     seed_rows = sorted(seed_rows, key=lambda r: r["vec_id"])
     ids = np.arange(1, len(seed_rows) + 1, dtype=np.int64)
@@ -1113,7 +1116,7 @@ def _kmeans(spark: SparkSession, sf_dir: str, iters: int = KMEANS_ITERS):
         [(int(i), [float(x) for x in row]) for i, row in zip(ids, cent)],
         "c_id long, cv array<double>",
     )
-    return assigned, cent_df, (prev_ids, prev_cent)
+    return assigned, cent_df, (ids, cent), (prev_ids, prev_cent)
 
 
 def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1121,7 +1124,7 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     useful per-row surface of the k-means run; cluster count / size-sum /
     non-negativity pinned in tests/test_ann_recall.py. The DECLARED query
     is the invariant census below."""
-    assigned, _, _ = _kmeans(spark, sf_dir)
+    assigned, _, _, _ = _kmeans(spark, sf_dir)
     return assigned.groupBy("c_id").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg("d2"), 6).alias("avg_d2"),
@@ -1130,12 +1133,12 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_kmeans",
-    oracle="""
+    oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs_total,
            TRUE AS k_bounded,
            TRUE AS assignment_optimal,
            TRUE AS inertia_monotone
-    FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+    FROM embeddings WHERE {_UNIFORM_EMB_SQL}
     """,
     category="similarity/clustering",
     origin="EXT",
@@ -1160,27 +1163,36 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
       the (KMEANS_ITERS-1)-round inertia — Lloyd's defining property.
 
     Plan: assignment is the shuffle-free vectorized map; the optimality
-    re-check fans each vector out against the K broadcast centroids (K=8
-    row blowup — the index-build audit, run once per trained index, not
-    per query) and folds per-vector, then one global aggregate; the
-    previous-round inertia attaches as a broadcast 1-row scalar. Per-
-    cluster surface: :func:`kmeans_cluster_profile`."""
-    assigned, cent_df, (prev_ids, prev_cent) = _kmeans(spark, sf_dir)
-    d2_jvm = F.expr(
-        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)),"
-        " cast(0.0 AS double), (acc, z) -> acc + z)"
+    re-check folds each vector against the K final centroids as a LITERAL
+    array in one map expression (round 14 — the previous broadcast
+    crossJoin + groupBy(vec_id) form both paid an exchange AND silently
+    collapsed two corpus rows sharing a duplicated vec_id, undercounting
+    coverage vs the oracle's row count; the K×d literal is the same
+    bounded driver material the assignment closure already ships), then
+    one global aggregate; the previous-round inertia attaches as a
+    broadcast 1-row scalar. Per-cluster surface:
+    :func:`kmeans_cluster_profile`."""
+    assigned, _cent_df, (_fin_ids, fin_cent), (prev_ids, prev_cent) = _kmeans(
+        spark, sf_dir
     )
-    per_vec = (
-        assigned.crossJoin(
-            F.broadcast(cent_df.select(F.col("c_id").alias("cc_id"), "cv"))
+    if fin_cent.size:
+        cent_lit = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{float(x)!r}D" for x in row) + ")"
+                for row in fin_cent
+            )
+            + ")"
         )
-        .select("vec_id", "c_id", "d2", d2_jvm.alias("d2c"))
-        .groupBy("vec_id")
-        .agg(
-            F.min("c_id").alias("c_id"),  # constant per vec_id
-            F.min("d2").alias("d2a"),  # constant per vec_id
-            F.min("d2c").alias("d2m"),
+        d2m = F.expr(
+            f"array_min(transform({cent_lit},"
+            " cv -> aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)),"
+            " cast(0.0 AS double), (acc, z) -> acc + z)))"
         )
+    else:
+        d2m = F.lit(None).cast("double")
+    per_vec = assigned.select(
+        "vec_id", "c_id", F.col("d2").alias("d2a"), d2m.alias("d2m")
     )
     # previous-round inertia from the penultimate centroids the training
     # run already produced — ONE extra lazy assignment pass, not a second
@@ -1238,13 +1250,13 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_norm_stats",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT label,
              CAST(len(embedding) AS BIGINT) AS dim,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0
+      FROM embeddings WHERE {_VALID_EMB_SQL}
     )
     SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
@@ -1285,9 +1297,9 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_quantize_int8",
-    oracle="""
+    oracle=f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-               WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+               WHERE {_VALID_EMB_SQL}),
     q AS (
       SELECT vec_id, label, v,
              list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS qscale
@@ -1461,13 +1473,13 @@ def pca_projection_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_pca_project",
-    oracle="""
+    oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            TRUE AS components_orthonormal,
            TRUE AS evr_valid,
            TRUE AS variance_ordered,
            TRUE AS projections_centered
-    FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+    FROM embeddings WHERE {_UNIFORM_EMB_SQL}
     """,
     category="similarity/decomposition",
     origin="EXT",
@@ -1553,7 +1565,7 @@ CENTROID_QUANT = 1_000_000
                AS qv
       FROM embeddings,
            LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
-      WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+      WHERE {_UNIFORM_EMB_SQL}
     ),
     cent AS (
       SELECT label, pos,
@@ -1564,7 +1576,7 @@ CENTROID_QUANT = 1_000_000
       SELECT label, list(c ORDER BY pos) AS cv, CAST(MAX(n) AS BIGINT) AS n
       FROM (SELECT cent.label, cent.pos, cent.c, cnt.n
             FROM cent JOIN (SELECT label, COUNT(*) AS n FROM embeddings
-                            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(embedding) = (SELECT MAX(len(embedding)) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0) GROUP BY label) cnt
+                            WHERE {_UNIFORM_EMB_SQL} GROUP BY label) cnt
             USING (label))
       GROUP BY label
     )

@@ -169,23 +169,30 @@ _SEMANTICS_CHANGED_IN: dict[str, int] = {
     # folds it back raw) + the promote encoder now emits the narrowest
     # branch (part 2's int branch is really on the wire) — the r12 green
     # graded the pre-logical staging; regrade on the new path
-    # r13 review — the similarity family's shared input-validity
-    # predicate was strengthened in BOTH dialects (NULL-element/empty
-    # vectors excluded; bare IS NOT NULL before), _corpus_dim became a
-    # max-aggregate, PCA zero-pads dims < PCA_COMPONENTS, the kmeans
-    # inertia slack widened to 1e-9, and the recall baseline is cached.
-    # Values identical on current fixtures; oracle TEXT changed for all
-    # nine — regrade on the new forms:
-    "similarity_topk_cosine": 13,
-    "dedup_embedding_cosine": 13,
-    "similarity_ann_lsh": 13,  # (was r12: multi-probe union + floor 0.35;
-    # r11: LSH_ASSIGN_FLIPS=2; r8: census plan restructure)
-    "similarity_ann_ivf": 13,  # (was r11: IVF_ASSIGN=2 + floor 0.6)
-    "embedding_kmeans": 13,  # (was r8: rows-only → invariant census)
-    "embedding_norm_stats": 13,
-    "embedding_quantize_int8": 13,
-    "embedding_pca_project": 13,  # (was r8: rows-only → invariant census)
-    "embedding_label_centroid_cosine": 13,  # + explicit Spark-side filter
+    # r14 key probe — the similarity family's shared input-validity
+    # predicate gained `vec_id IS NOT NULL` in BOTH dialects (a NULL-id
+    # row with a valid vector crashed the k-means/IVF seed sample's
+    # driver-side deterministic sort, and five censuses counted it where
+    # their outputs could never reference it); the nine oracles now
+    # INTERPOLATE the shared _VALID/_UNIFORM constants instead of
+    # inlining the predicate text, so the dialects can't drift again;
+    # embedding_kmeans's optimality re-check folds against a literal
+    # centroid array instead of the crossJoin+groupBy(vec_id) that
+    # silently collapsed duplicate-id corpus rows. Values identical on
+    # current fixtures (NULL-free unique ids); oracle TEXT changed for
+    # all nine — regrade on the new forms. (r13: NULL-element/empty
+    # vector exclusion, _corpus_dim max-aggregate, PCA zero-pad,
+    # inertia slack 1e-9, cached recall baseline.)
+    "similarity_topk_cosine": 14,
+    "dedup_embedding_cosine": 14,
+    "similarity_ann_lsh": 14,  # (was r13 validity; r12 multi-probe union
+    # + floor 0.35; r11 LSH_ASSIGN_FLIPS=2; r8 census plan restructure)
+    "similarity_ann_ivf": 14,  # (was r13; r11: IVF_ASSIGN=2 + floor 0.6)
+    "embedding_kmeans": 14,  # (was r13; r8: rows-only → invariant census)
+    "embedding_norm_stats": 14,
+    "embedding_quantize_int8": 14,
+    "embedding_pca_project": 14,  # (was r13; r8: rows-only → census)
+    "embedding_label_centroid_cosine": 14,  # (r13: + Spark-side filter)
     "pandas_grouped_rank_normalize": 13,  # r13 review: the kernel now
     # threads a Spark-side NULL flag so reals < NaN < NULL ordering
     # matches DuckDB exactly (Arrow conflated NULL and NaN before)
