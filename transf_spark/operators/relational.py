@@ -734,8 +734,13 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
            PERCENT_RANK() OVER w AS pct_rank,
            CUME_DIST() OVER w AS cume
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice NULLS FIRST, o_orderkey NULLS FIRST)
     """,
+    # ^ NULLS FIRST stated explicitly (round-14 degenerate-TPCH probe):
+    # Spark's ascending window default is NULLS FIRST, DuckDB's is NULLS
+    # LAST — one NULL o_totalprice would otherwise rank first on one
+    # engine and last on the other.
     category="window",
     origin="EXT",
 )
@@ -864,9 +869,14 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
            NTH_VALUE(o_orderdate, 2) OVER w AS second_order,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_orders
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
+    # ^ NULLS FIRST stated explicitly (round-14 degenerate-TPCH probe):
+    # Spark's ascending window default is NULLS FIRST, DuckDB's is NULLS
+    # LAST — a regenerated fixture with one NULL o_orderdate silently
+    # reorders the frame and flips first/nth_value between the engines.
     category="window",
     origin="EXT",
 )
@@ -1307,6 +1317,7 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
              CAST(l_quantity AS BIGINT) AS wt
       FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     ),
     ranked AS (
       SELECT l_returnflag, price, wt,
@@ -1337,9 +1348,17 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one l_returnflag shuffle shared by the running-weight window and
     the total window, then the threshold filter aggregates 3 rows. Weight
-    is integer, cum*2 >= tot avoids any float division."""
+    is integer, cum*2 >= tot avoids any float division.
+
+    NULL price/weight rows are excluded EXPLICITLY in both dialects
+    (round-14 degenerate-TPCH probe): a NULL price sorts NULLS FIRST in
+    Spark's window but NULLS LAST in DuckDB's, silently shifting the
+    cumulative crossing point — and a row with no price or no weight
+    cannot contribute to a weighted median anyway."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = li.select(
+    w = li.filter(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    ).select(
         "l_returnflag",
         dec("l_extendedprice").alias("price"),
         F.col("l_quantity").cast("long").alias("wt"),

@@ -222,6 +222,15 @@ _SEMANTICS_CHANGED_IN: dict[str, int] = {
     # explicit log-domain predicate (Spark NULLs on ln(<=0), DuckDB raises)
     "events_anomaly_mad": 14,  # median/MAD over finite values only
     "stream_kll_quantile_sketch": 14,  # finite filter before the sketch
+    # r14 degenerate-TPCH probe (NULL o_orderdate/o_totalprice/
+    # l_extendedprice): Spark's ascending window default is NULLS FIRST,
+    # DuckDB's is NULLS LAST — the ordering is now stated explicitly in
+    # the oracles, and the weighted median excludes NULL price/weight
+    # rows in both dialects. Values identical on current (NULL-free)
+    # fixtures; oracle text changed:
+    "window_percentile_suite": 14,
+    "window_value_suite": 14,
+    "agg_weighted_median": 14,
 }
 
 
