@@ -13,6 +13,12 @@ BY defaults to NULLS FIRST where DuckDB defaults to NULLS LAST, so one
 NULL sort key silently reordered ``window_percentile_suite`` /
 ``window_value_suite`` frames and shifted ``agg_weighted_median``'s
 cumulative crossing point. The other 59 queries were already mirrored.
+
+Complementary to tests/test_tpch_edges.py (round 6), which sweeps a
+MINIMAL hand-built 5-order fixture: there each order sits alone in its
+priority partition, so a NULL sort key could never change a rank — the
+split only reproduces when the NULL lands inside a POPULATED partition,
+which degrading the real sf0.001 tables in place guarantees.
 """
 
 from __future__ import annotations
