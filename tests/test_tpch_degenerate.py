@@ -50,7 +50,10 @@ def _tpch_queries() -> list[str]:
         except (OSError, TypeError):
             src = ""
         blob = src + (spec.oracle or "")
-        if "lineitem" in blob or "orders" in blob:
+        if any(t in blob for t in (
+            "lineitem", "orders", "customer", "supplier",
+            "p_partkey", "c_custkey", "s_suppkey",
+        )):
             names.append(name)
     return sorted(names)
 
@@ -86,8 +89,32 @@ def degenerate_tpch_dir(tmp_path_factory):
         str(out / "lineitem.parquet"),
     )
 
+    # dimensions degraded too (round-14 dims probe — caught the
+    # window_ntile_deciles decile-boundary shift on a NULL c_acctbal)
+    def _degrade(name, edits):
+        td = pq.read_table(f"{src}/{name}.parquet")
+        cd = {n: td[n].to_pylist() for n in td.schema.names}
+        for col, idx, val in edits:
+            if col in cd:
+                cd[col][idx] = val
+        pq.write_table(
+            pa.table({n: pa.array(cd[n], td.schema.field(n).type)
+                      for n in td.schema.names}),
+            str(out / f"{name}.parquet"),
+        )
+
+    _degrade("customer", [("c_name", 0, None), ("c_acctbal", 1, None),
+                          ("c_acctbal", 2, -999999.0),
+                          ("c_mktsegment", 3, None),
+                          ("c_nationkey", 4, None)])
+    _degrade("supplier", [("s_name", 0, None), ("s_acctbal", 1, None),
+                          ("s_nationkey", 2, None)])
+    _degrade("part", [("p_name", 0, None), ("p_brand", 1, None),
+                      ("p_type", 2, None), ("p_size", 3, None),
+                      ("p_retailprice", 4, None)])
+
     for name in _ALL_TABLES:
-        if name in ("orders", "lineitem"):
+        if name in ("orders", "lineitem", "customer", "supplier", "part"):
             continue
         shutil.copy(f"{src}/{name}.parquet", str(out / f"{name}.parquet"))
     return str(out)

@@ -1054,9 +1054,13 @@ NTILE_BUCKETS = 10  # deciles for window_ntile_deciles
       SELECT c_mktsegment, c_acctbal,
              ntile({NTILE_BUCKETS}) OVER (
                PARTITION BY c_mktsegment
-               ORDER BY c_acctbal, c_custkey) AS decile
+               ORDER BY c_acctbal NULLS FIRST, c_custkey NULLS FIRST) AS decile
       FROM customer
     )
+    -- NULLS FIRST stated explicitly (round-14 degenerate-dims probe):
+    -- Spark's ascending window default is NULLS FIRST, DuckDB's NULLS
+    -- LAST — one NULL c_acctbal inside a populated segment would shift
+    -- every decile boundary between the engines.
     SELECT c_mktsegment, CAST(decile AS INT) AS decile,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
            MIN(c_acctbal) AS min_bal,

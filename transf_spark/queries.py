@@ -231,6 +231,8 @@ _SEMANTICS_CHANGED_IN: dict[str, int] = {
     "window_percentile_suite": 14,
     "window_value_suite": 14,
     "agg_weighted_median": 14,
+    "window_ntile_deciles": 14,  # same class, customer dims probe: one
+    # NULL c_acctbal in a populated segment shifts every decile boundary
 }
 
 
