@@ -222,6 +222,47 @@ def materialize(df) -> int:
     ).collect()[0][0]
 
 
+# Fixed calibration probes (round-15 verdict item 2): the same-code bench
+# total swings with HOST speed (r14 measured 67.6-78.1 s across three
+# identical runs; the r13->r14 artifact moved 1.17x on untouched queries),
+# so every bench session measures two pinned workloads whose cost cannot
+# change with repo code — a pure-CPU codegen burn (spark.range + xxhash64
+# fold, zero IO) and a pinned full-column parquet scan of the fixture's
+# lineitem (page-cache read + decode; constant unless the driver
+# regenerates fixtures). Each runs min-of-CAL_REPS at session START and
+# END; the artifact carries both, plus host_factor = geomean of
+# min(start, end) / anchor. ANCHORS are pinned from the round-15
+# measurement session (min over several full sessions on a quiet host),
+# so host_factor ~ 1.0 means "r15-anchor-speed host"; a round whose
+# like_for_like moved 1.2x with host_factor 1.2 is flat code.
+# NOTE: the r10 like_for_like anchor (70.674 s) PREDATES calibration —
+# cross-round normalization is meaningful from r15 forward.
+CAL_RANGE_ROWS = 5_000_000_000  # ~0.77 s on the r15 anchor host — long
+# enough that per-task scheduling noise (~10 ms) is invisible, short
+# enough that 2×5 reps cost ~11 s per bench session
+CAL_REPS = 5
+CAL_RANGE_ANCHOR_SEC = 0.749  # min-of-5, r15 measurement session, local[32]
+CAL_SCAN_ANCHOR_SEC = 0.302  # sf0.1 lineitem full-column hash, same session
+
+
+def _calibrate(spark, sf_dir: str) -> dict:
+    rng, scan = float("inf"), float("inf")
+    ln = os.path.join(sf_dir, "lineitem.parquet")
+    for _ in range(CAL_REPS):
+        t0 = time.perf_counter()
+        spark.range(CAL_RANGE_ROWS).select(
+            F.sum(F.xxhash64("id")).alias("h")
+        ).collect()
+        rng = min(rng, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        df = spark.read.parquet(ln)
+        df.select(
+            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h")
+        ).collect()
+        scan = min(scan, time.perf_counter() - t0)
+    return {"range_sec": round(rng, 4), "scan_sec": round(scan, 4)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("transf_spark_bench")
@@ -259,6 +300,7 @@ def main() -> None:
                     pass
 
     prefault(sf_dir)
+    cal_start = _calibrate(spark, sf_dir)
 
     # Timed reps per query, report the min: round-3 triage showed ±26%
     # total drift between IDENTICAL back-to-back runs on this shared host
@@ -295,6 +337,23 @@ def main() -> None:
         return {name: round(v, 4) for name, v in t.items()}
 
     timings = run_set(sf_dir)
+    cal_end = _calibrate(spark, sf_dir)
+    # min over the session's two probe points — a burst inflating one end
+    # doesn't read as a slow host; a factor > 1 on BOTH ends is real
+    cal_rng = min(cal_start["range_sec"], cal_end["range_sec"])
+    cal_scan = min(cal_start["scan_sec"], cal_end["scan_sec"])
+    host_factor = round(
+        (
+            (cal_rng / CAL_RANGE_ANCHOR_SEC) * (cal_scan / CAL_SCAN_ANCHOR_SEC)
+        )
+        ** 0.5,
+        3,
+    )
+    calibration = {
+        "range_sec": round(cal_rng, 4),
+        "scan_sec": round(cal_scan, 4),
+        "host_factor": host_factor,
+    }
     total = round(sum(timings.values()), 3)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
@@ -326,9 +385,14 @@ def main() -> None:
     # publishing a partial sum that looks like a speedup.
     lfl = None
     if all(n in timings for n in LIKE_FOR_LIKE):
+        raw = round(sum(timings[n] for n in LIKE_FOR_LIKE), 3)
         lfl = {
             "n": len(LIKE_FOR_LIKE),
-            "sec": round(sum(timings[n] for n in LIKE_FOR_LIKE), 3),
+            "sec": raw,
+            # host-normalized total — divide out the calibration factor so
+            # round-over-round movement reads as code, not host (r15+ only:
+            # the r10 anchor predates calibration)
+            "calibrated_sec": round(raw / host_factor, 3) if host_factor > 0 else None,
             "r10_anchor_sec": LIKE_FOR_LIKE_R10_ANCHOR_SEC,
         }
 
@@ -340,6 +404,7 @@ def main() -> None:
         "sf": sf,
         "reps": REPS,
         "agg": "min",
+        "calibration": calibration,
     }
     if lfl:
         out["like_for_like"] = lfl
@@ -352,6 +417,9 @@ def main() -> None:
         "reps": REPS,
         "agg": "min",
         "like_for_like": {**lfl, "names": list(LIKE_FOR_LIKE)} if lfl else None,
+        # detail keeps BOTH probe points (start/end) — uneven ends flag a
+        # burst that the min already discounted
+        "calibration": {**calibration, "start": cal_start, "end": cal_end},
         # detail-file only (stdout line budget): per-pass wall totals for
         # noise diagnosis — bursty host ⇒ uneven passes, regression ⇒ all up
         # (copy: the optional scaling run below appends ITS passes to the

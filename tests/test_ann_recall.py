@@ -345,3 +345,42 @@ def test_ann_indexes_find_planted_structure(spark, tmp_path_factory):
         assert {q for q, _ in ann_set} == {q for q, _ in bf_set}
         recall = len(ann_set & bf_set) / len(bf_set)
         assert recall >= floor, f"{name} recall {recall:.3f} < {floor} on planted clusters"
+
+
+def test_ann_census_reds_on_duplicate_neighbor_at_distinct_ranks(spark, tmp_path):
+    """Round-15 ADVICE regression: the r14 pair-aggregate fold made
+    ranks_contiguous blind to a DUPLICATE nn_id at two DISTINCT ranks
+    (ranks still 1..k, so contiguity passed while the retired (q_id,
+    nn_id) pre-aggregate failed loudly) — exactly what a duplicated
+    vec_id corpus row can produce through the ROW_NUMBER top-k. The
+    census must red the flag via the size(ann_ids) == k_rows conjunct,
+    and stay green on the distinct-neighbor twin."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from transf_spark.operators import similarity as S
+
+    out = str(tmp_path)
+    vecs = [[float((s * 7 + i) % 5 - 2) for i in range(8)] for s in range(6)]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([100, 200, 1, 2, 3, 4], pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0, 1, 0, 1, 0, 1], pa.int32()),
+            }
+        ),
+        f"{out}/embeddings.parquet",
+    )
+
+    def census(rows):
+        ann = spark.createDataFrame(
+            rows, "q_id long, nn_id long, rnk long, cosine double"
+        )
+        return S._ann_census(spark, out, ann, recall_floor=0.0).first()
+
+    good = [(100, 1, 1, 0.9), (100, 2, 2, 0.8), (200, 3, 1, 0.7)]
+    assert census(good)["ranks_contiguous"] is True
+    # same neighbor surfaced at ranks 1 AND 2 — contiguity alone passes
+    dup = [(100, 1, 1, 0.9), (100, 1, 2, 0.8), (200, 3, 1, 0.7)]
+    assert census(dup)["ranks_contiguous"] is False

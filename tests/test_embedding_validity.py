@@ -42,9 +42,12 @@ def corrupt_dir(tmp_path_factory):
     NULL vec_id on a VALID vector (crashed the k-means/IVF seed
     sample's driver-side sort before the validity contract gained the
     key term), a duplicated vec_id (collapsed by the old
-    groupBy(vec_id) optimality re-check), and NULL/out-of-domain
-    labels. documents/events copied verbatim (some queries stage from
-    them)."""
+    groupBy(vec_id) optimality re-check), NULL/out-of-domain labels,
+    and (round 15) NON-FINITE elements — NaN/±Inf, which pre-fix gave
+    NaN cosines that DuckDB ranks FIRST under DESC while the Spark
+    kernel sinks to -inf, and NaN centroid means that crashed the
+    kmeans literal plan build ('nanD'). documents/events copied
+    verbatim (some queries stage from them)."""
     src = "/root/testdata/sf0.001"
     out = tmp_path_factory.mktemp("corrupt_sf")
     t = pq.read_table(f"{src}/embeddings.parquet")
@@ -59,6 +62,10 @@ def corrupt_dir(tmp_path_factory):
     ids[8] = ids[9]  # duplicate key across two distinct vectors
     labels[6] = None
     labels[7] = -1  # out-of-domain label
+    # round-15 finite-element probe: one NaN, one +Inf, one -Inf element
+    embs[10] = embs[10][:2] + [float("nan")] + embs[10][3:]
+    embs[11] = embs[11][:1] + [float("inf")] + embs[11][2:]
+    embs[12] = embs[12][:6] + [float("-inf")] + embs[12][7:]
     # move the short row FIRST in file order so first()-style dim probes
     # would see it
     order = [3] + [i for i in range(len(ids)) if i != 3]
@@ -89,6 +96,28 @@ def test_similarity_family_survives_corrupt_embeddings(spark, corrupt_dir, name)
         )
     problems = compare(df, con, spec.oracle)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_dlit_non_finite_and_edge_doubles_roundtrip(spark):
+    """Round-15 ADVICE: the literal-array builder must emit parseable SQL
+    for NON-FINITE doubles (plain ``repr(float)!r + 'D'`` produced the
+    unresolvable tokens 'nanD'/'infD' and crashed the plan build) and stay
+    bit-exact on the finite edge cases the fast path relies on (subnormal
+    min, -0.0, max double)."""
+    import math
+
+    from transf_spark.operators.similarity import _dlit_matrix
+
+    vals = [
+        [float("nan"), float("inf"), float("-inf")],
+        [5e-324, -0.0, 1.7976931348623157e308],
+    ]
+    (m,) = spark.sql(f"SELECT {_dlit_matrix(vals)} AS m").first()
+    assert math.isnan(m[0][0])
+    assert m[0][1] == float("inf") and m[0][2] == float("-inf")
+    assert m[1][0] == 5e-324
+    assert m[1][1] == 0.0 and math.copysign(1.0, m[1][1]) == -1.0
+    assert m[1][2] == 1.7976931348623157e308
 
 
 def test_corpus_dim_ignores_degenerate_first_row(spark, corrupt_dir):

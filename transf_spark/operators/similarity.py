@@ -179,16 +179,29 @@ def _cosine_pairs_udf():
 # showed one reaching the k-means/IVF seed sample crashes the driver-side
 # deterministic ordering (`sorted()` over collected ids, int vs None).
 # Filtering identically on both sides keeps every similarity query a
-# pure function of the VALID, IDENTIFIABLE vectors.
+# pure function of the VALID, IDENTIFIABLE vectors. Round 15 added the
+# FINITE-element term (the ADVICE's deeper alternative): a NaN/±Inf
+# element is exactly as unusable in vector math as a NULL one — the
+# Spark cosine kernel defensively sinks a non-finite result to -inf
+# while DuckDB's list_dot_product propagates NaN, which then ranks
+# FIRST under ORDER BY cosine DESC (both engines order NaN above all
+# doubles) — a one-element fixture regeneration would diverge every
+# top-k, and NaN centroid means crashed the kmeans literal fold before
+# _dlit. `x BETWEEN -3.5e38 AND 3.5e38` excludes NaN and ±Inf
+# IDENTICALLY in both engines (NaN compares greater than everything in
+# both, so the upper bound fails; verified live in both) and admits
+# every finite float32 (max ±3.4028e38 — the fixture column's type).
 _VALID_EMB_SQL = (
     "vec_id IS NOT NULL "
     "AND embedding IS NOT NULL AND len(embedding) > 0 "
-    "AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+    "AND len(list_filter(embedding, x -> x IS NULL)) = 0 "
+    "AND len(list_filter(embedding, x -> NOT (x BETWEEN -3.5e38 AND 3.5e38))) = 0"
 )
 _VALID_EMB_SPARK = (
     "vec_id IS NOT NULL "
     "AND embedding IS NOT NULL AND size(embedding) > 0 "
-    "AND NOT exists(embedding, x -> x IS NULL)"
+    "AND NOT exists(embedding, x -> x IS NULL) "
+    "AND NOT exists(embedding, x -> NOT (x BETWEEN -3.5e38 AND 3.5e38))"
 )
 
 
@@ -412,6 +425,40 @@ def _corpus_dim(spark: SparkSession, sf_dir: str) -> int:
     return _DIM_CACHE[key]
 
 
+def _dlit(x) -> str:
+    """One SQL DOUBLE literal token for an IEEE double. ``repr(float)`` +
+    the ``D`` suffix round-trips every FINITE double bit-exactly (verified
+    elementwise against the F.lit form, incl. 5e-324 and -0.0), but the
+    D-suffix grammar has NO non-finite spelling — ``float('nan')!r`` would
+    emit the unparseable token ``nanD`` and crash the PLAN BUILD (round-15
+    ADVICE: centroids are means of embedding elements, and the validity
+    predicate excludes NULL elements but not NaN/±Inf ones — the F.lit /
+    broadcast-DataFrame forms these literal strings replaced handled
+    non-finite doubles without crashing). Non-finite values emit the
+    documented CAST('NaN'/'Infinity' AS DOUBLE) forms Spark SQL parses."""
+    f = float(x)
+    if f != f:
+        return "CAST('NaN' AS DOUBLE)"
+    if f == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if f == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{f!r}D"
+
+
+def _dlit_matrix(rows) -> str:
+    """array(array(...)) SQL literal over a 2-D float matrix via _dlit —
+    the shared builder for the LSH plane table and the kmeans centroid
+    fold (ONE parsed expr, not rows×dim nested F.lit py4j round trips)."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_dlit(x) for x in row) + ")" for row in rows
+        )
+        + ")"
+    )
+
+
 def _planes_for_dim(dim: int) -> list:
     """Deterministic seeded hyperplanes at the corpus's observed dimension —
     derived from the data like every other kernel in this file. A fixed
@@ -465,17 +512,9 @@ def _bucketed(
     planes = _planes_for_dim(_corpus_dim(spark, sf_dir))
     # ONE parsed literal-array expr, not N_PLANES x dim nested F.lit calls:
     # the nested form cost ~0.64 s of py4j round trips PER BUILD (and
-    # _bucketed builds 2-3x per census) vs 5 ms for the string — repr(float)
-    # round-trips IEEE doubles exactly and the D-suffixed literal parses
-    # bit-identically (verified elementwise against the F.lit form).
-    plane_arr = F.expr(
-        "array("
-        + ", ".join(
-            "array(" + ", ".join(f"{float(x)!r}D" for x in p) + ")"
-            for p in planes
-        )
-        + ")"
-    )
+    # _bucketed builds 2-3x per census) vs 5 ms for the string — see _dlit
+    # for the bit-exactness + non-finite handling contract.
+    plane_arr = F.expr(_dlit_matrix(planes))
     d = e.withColumn("planes", plane_arr).withColumn(
         "dots",
         F.expr(
@@ -683,10 +722,17 @@ def _ann_census(
     side would emit it). Round 14 folded the former (q_id, nn_id) pair
     aggregate into the per-query one: hits are ``array_intersect`` of
     the two sides' collect_set'd neighbor ids — same values (both sides
-    are distinct-per-query by construction; a duplicated ANN pair still
-    fails loudly through ranks_contiguous), one less exchange, and the
+    are distinct-per-query by construction), one less exchange, and the
     row counts are census-bounded (≤ queries × (k + sample)) so the
-    per-group sets stay tiny at any corpus scale."""
+    per-group sets stay tiny at any corpus scale. ``ranks_contiguous``
+    also pins neighbor DISTINCTNESS explicitly (round-15 ADVICE:
+    contiguity alone only catches a duplicate nn_id at the SAME rank —
+    a duplicated corpus vec_id can emit the same neighbor at two
+    distinct ranks with ranks still 1..k, which the retired (q_id,
+    nn_id) pre-aggregate failed loudly and the folded form silently
+    accepted): size(ann_ids) == k_rows, i.e. the collect_set'd
+    neighbor ids must be exactly as many as the raw ANN rows — a
+    repeated or NULL nn_id shrinks the set and reds the flag."""
     bf = _bf_baseline_cached(spark, sf_dir)
     e = _emb_double(spark, sf_dir, uniform=True)
     sentinels = e.filter(F.col("vec_id") % 100 == 0).select(
@@ -747,12 +793,17 @@ def _ann_census(
         # contiguity 1..k_rows, not exactly TOP_K: a sparse probe set can
         # legitimately return fewer than k candidates; vacuous when empty
         # (sequence(1, 0) is the descending [1, 0] — never equal to the
-        # empty list, so the k_rows == 0 arm must stay first)
+        # empty list, so the k_rows == 0 arm must stay first). The
+        # size(ann_ids) conjunct pins neighbor distinctness — see the
+        # docstring's round-15 note
         (
             (F.col("k_rows") == 0)
             | (
-                F.transform(F.col("by_rank_struct"), lambda x: x["rnk"])
-                == F.sequence(F.lit(1).cast("long"), F.col("k_rows"))
+                (F.size("ann_ids") == F.col("k_rows"))
+                & (
+                    F.transform(F.col("by_rank_struct"), lambda x: x["rnk"])
+                    == F.sequence(F.lit(1).cast("long"), F.col("k_rows"))
+                )
             )
         ).alias("ranks_ok"),
         (
@@ -1176,14 +1227,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir
     )
     if fin_cent.size:
-        cent_lit = (
-            "array("
-            + ", ".join(
-                "array(" + ", ".join(f"{float(x)!r}D" for x in row) + ")"
-                for row in fin_cent
-            )
-            + ")"
-        )
+        cent_lit = _dlit_matrix(fin_cent)
         d2m = F.expr(
             f"array_min(transform({cent_lit},"
             " cv -> aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)),"

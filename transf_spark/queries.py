@@ -183,16 +183,27 @@ _SEMANTICS_CHANGED_IN: dict[str, int] = {
     # all nine — regrade on the new forms. (r13: NULL-element/empty
     # vector exclusion, _corpus_dim max-aggregate, PCA zero-pad,
     # inertia slack 1e-9, cached recall baseline.)
-    "similarity_topk_cosine": 14,
-    "dedup_embedding_cosine": 14,
-    "similarity_ann_lsh": 14,  # (was r13 validity; r12 multi-probe union
-    # + floor 0.35; r11 LSH_ASSIGN_FLIPS=2; r8 census plan restructure)
-    "similarity_ann_ivf": 14,  # (was r13; r11: IVF_ASSIGN=2 + floor 0.6)
-    "embedding_kmeans": 14,  # (was r13; r8: rows-only → invariant census)
-    "embedding_norm_stats": 14,
-    "embedding_quantize_int8": 14,
-    "embedding_pca_project": 14,  # (was r13; r8: rows-only → census)
-    "embedding_label_centroid_cosine": 14,  # (r13: + Spark-side filter)
+    # r15 ADVICE (both halves of its either/or): the shared embedding
+    # validity predicate gained a FINITE-element term in BOTH dialects
+    # (a NaN element yields a NaN cosine that DuckDB ranks FIRST under
+    # DESC while the Spark kernel sinks it to -inf — a latent top-k
+    # split on any regenerated fixture; NaN centroid means also crashed
+    # the kmeans/LSH literal plan build pre-_dlit), and the ANN census's
+    # ranks_contiguous flag now pins neighbor DISTINCTNESS explicitly
+    # (size(ann_ids) == k_rows — the r14 pair-aggregate fold silently
+    # tolerated a duplicate nn_id at two distinct ranks). Values
+    # identical on current all-finite fixtures; oracle TEXT changed for
+    # all nine (the interpolated _VALID/_UNIFORM constants):
+    "similarity_topk_cosine": 15,
+    "dedup_embedding_cosine": 15,
+    "similarity_ann_lsh": 15,  # (was r14 key probe; r13 validity; r12
+    # multi-probe union + floor 0.35; r11 ASSIGN_FLIPS=2; r8 census plan)
+    "similarity_ann_ivf": 15,  # (was r14; r13; r11: IVF_ASSIGN=2 + floor 0.6)
+    "embedding_kmeans": 15,  # (was r14; r13; r8: rows-only → census)
+    "embedding_norm_stats": 15,
+    "embedding_quantize_int8": 15,
+    "embedding_pca_project": 15,  # (was r14; r13; r8: rows-only → census)
+    "embedding_label_centroid_cosine": 15,  # (r13: + Spark-side filter)
     "pandas_grouped_rank_normalize": 13,  # r13 review: the kernel now
     # threads a Spark-side NULL flag so reals < NaN < NULL ordering
     # matches DuckDB exactly (Arrow conflated NULL and NaN before)
