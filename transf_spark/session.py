@@ -20,6 +20,7 @@ Conf rationale (100 TB north star, SURVEY.md §4.2):
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -101,6 +102,18 @@ def _quiet_window_exec(spark: SparkSession) -> None:
         pass
 
 
+# Sessions already pinned by ensure_conf this process. ensure_conf is called
+# from EVERY load_table (331 times per bench build pass) and each call costs
+# ~9 ms of py4j conf round trips (round-15 measurement: 8.15 s of a 90 s
+# bench pass) while being a no-op after the first call on a session — the
+# confs are runtime-settable but nothing in this process unsets them, and the
+# one deliberate re-pin site (drain_session's shuffle pin) sets its conf
+# AFTER its ensure_conf call. Weak set: a stopped session's entry must not
+# keep the Python wrapper alive, and a NEW wrapper object (driver-provided,
+# newSession) is pinned on first sight.
+_PINNED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def ensure_conf(spark: SparkSession) -> SparkSession:
     """Pin runtime-settable confs on an externally-provided session.
 
@@ -116,7 +129,13 @@ def ensure_conf(spark: SparkSession) -> SparkSession:
     8, not 64 (round-5 review). A drain_session's explicit pin (marker
     conf) is never clobbered. On a real cluster this would be
     executor-cores×2-3.
+
+    Memoized per session object (see ``_PINNED_SESSIONS``): the first call
+    pins, later calls return immediately — idempotence made cheap instead
+    of merely promised.
     """
+    if spark in _PINNED_SESSIONS:
+        return spark
     confs = dict(RUNTIME_CONFS)
     if spark.conf.get(_SHUFFLE_PIN_MARKER, None) is None:
         confs["spark.sql.shuffle.partitions"] = str(
@@ -130,6 +149,7 @@ def ensure_conf(spark: SparkSession) -> SparkSession:
             # on it will raise a clear error of their own.
             pass
     _quiet_window_exec(spark)
+    _PINNED_SESSIONS.add(spark)
     return spark
 
 
