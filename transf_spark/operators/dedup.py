@@ -161,12 +161,13 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: exact-duplicate pre-pass (sha256 families collapse to a min-doc_id
     representative, each family declared as a rep-rooted star at jaccard
-    1.0) → shingle-hash (map) over representatives → 96 min-aggregates
-    over affine permutations of the shingle hash (one doc_id shuffle,
-    map-side combinable) → 24 band hashes of 4 rows each (map) → explode
-    bands → self-join on (band, band_hash) → distinct candidate pairs →
-    exact Jaccard verify ≥ 0.8 (geometry rationale at the module header:
-    miss-prob ≈ 3e-6 at j = 0.8) → union the family stars back in.
+    1.0) → shingle-hash (map) over representatives → ONE doc_id shuffle
+    carrying 96 min-aggregates AND the verify pass's distinct-hash sets
+    (map-side combinable) → 24 band hashes of 4 rows each (map) → explode
+    bands → per-bucket sorted-id arrays (bounded at BAND_BUCKET_CAP) →
+    in-row i<j pair expansion → distinct candidate pairs → exact Jaccard
+    verify ≥ 0.8 (geometry rationale at the module header: miss-prob ≈
+    3e-6 at j = 0.8) → union the family stars back in.
 
     The oracle mirrors the SAME pre-pass and then brute-forces all
     representative pairs — feasible at driver scale (500-5000 docs); the
@@ -209,18 +210,29 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join-back is a sort-merge AQE's skew-join CAN split; the price is
     # one extra small exchange (the fp->rep table), measured ~1.0x at
     # sf0.1 (3.25s window vs 3.2s join form, min-of-3 local[32]).
-    fam = nz.join(nz.groupBy("fp").agg(F.min("doc_id").alias("rep")), "fp")
-    star = fam.filter(F.col("doc_id") != F.col("rep")).select(
-        F.col("rep").alias("doc_id_a"),
-        F.col("doc_id").alias("doc_id_b"),
-        F.lit(1.0).alias("jaccard"),
+    fp_rep = nz.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    # star rides a PROJECTED join (doc_id, fp only — guide §2.3 "project
+    # before the exchange"): the star branch never reads text, so joining
+    # the full nz there shuffled/broadcast every payload byte a second
+    # time (round-15 measurement: part of the 2.9 s baseline).
+    star = (
+        nz.select("doc_id", "fp")
+        .join(fp_rep, "fp")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("doc_id_a"),
+            F.col("doc_id").alias("doc_id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
     )
     # text rides the fp join-back exchange so shingles are computed for
     # REPRESENTATIVES ONLY — in the mass-dup regime the copies collapse
     # before the shingle explode even runs (a post-hoc shingles⋈reps join
     # instead re-shuffled the whole shingle stream; measured slower).
-    reps_docs = fam.filter(F.col("doc_id") == F.col("rep")).select(
-        "doc_id", "lang", "text"
+    reps_docs = (
+        nz.join(fp_rep, "fp")
+        .filter(F.col("doc_id") == F.col("rep"))
+        .select("doc_id", "lang", "text")
     )
     hashed = _shingle_hashes(reps_docs).select("doc_id", "h")
     # Deterministic odd multipliers/offsets (splitmix-style constants).
@@ -241,7 +253,18 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"min(h * {a}L + {b}L) AS mh{k}")
         for k, (a, b) in enumerate(perms)
     ]
-    sig = hashed.groupBy("doc_id").agg(*sig_cols)
+    # ONE doc_id aggregate carries BOTH the 96 signature mins AND the
+    # verify pass's distinct-hash set (round 15): the former separate
+    # sig/sets aggregates had different partial schemas, so their
+    # exchanges could not canonicalize equal and the scan + fp join +
+    # shingle explode + xxhash64 pipeline executed TWICE per run. Fused,
+    # both consumers hang off the same exchange and Spark's exchange
+    # reuse runs the shingle pipeline ONCE (interleaved min-of-7 A/B at
+    # sf0.1: 2.51 s -> 2.28 s together with the candidate-pair rewrite
+    # below). collect_set partials ride the same doc_id shuffle the mins
+    # already paid for.
+    agg = hashed.groupBy("doc_id").agg(*sig_cols, F.collect_set("h").alias("hs"))
+    sig = agg.drop("hs")
     band_cols = [
         F.expr(
             "xxhash64("
@@ -257,26 +280,38 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Hot-bucket valve (BAND_BUCKET_CAP): annotate every band row with its
     # bucket's size and min member via a whole-partition window — ONE
-    # shuffle on the same (band, band_hash) key the self-join uses (the
-    # groupBy+join form paid an extra aggregate exchange) — then generate
-    # all-pairs only for buckets under the cap and a min-rooted star for
-    # oversized ones; candidate volume per bucket is bounded by
-    # max(CAP²/2, k) instead of k²/2.
+    # shuffle on the same (band, band_hash) key (the groupBy+join form
+    # paid an extra aggregate exchange). Round 15 replaced the bucket
+    # SELF-JOIN with a same-key groupBy + in-row pair expansion: the
+    # under-cap rows collapse to a sorted id array per bucket (bounded at
+    # CAP ids — never an unbounded collect; oversized buckets stream
+    # their min-rooted star straight off the window rows, which spill
+    # gracefully), and all i<j pairs unfold from the array in one
+    # codegen'd transform. This removes the second evaluation of the
+    # whole signature pipeline the join's build side paid, plus its
+    # BroadcastExchange (interleaved min-of-7 A/B at sf0.1: 2.51 s ->
+    # 2.28 s with the fused sig+sets aggregate; outputs hash-identical
+    # at sf0.01 and sf0.1). The groupBy keys match the window's
+    # partitioning, so no new exchange appears; candidate volume per
+    # bucket stays bounded by max(CAP²/2, k).
     wb = W.partitionBy("band", "band_hash")
     annotated = bands.withColumn("bsz", F.count(F.lit(1)).over(wb)).withColumn(
         "bmin", F.min("doc_id").over(wb)
     )
-    small = annotated.filter(F.col("bsz") <= BAND_BUCKET_CAP)
-    cand_pairs = (
-        small.alias("a")
-        .join(
-            small.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+    bucket_ids = (
+        annotated.filter(F.col("bsz") <= BAND_BUCKET_CAP)
+        .groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
     )
+    cand_pairs = bucket_ids.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "b -> struct(a AS doc_id_a, b AS doc_id_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_id_a", "p.doc_id_b")
     cand_star = annotated.filter(
         (F.col("bsz") > BAND_BUCKET_CAP) & (F.col("doc_id") > F.col("bmin"))
     ).select(F.col("bmin").alias("doc_id_a"), F.col("doc_id").alias("doc_id_b"))
@@ -301,7 +336,7 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("m"),
     ).select("doc_id_a", "doc_id_b", F.col("m.doc_id").alias("doc_id"), F.col("m.role").alias("role"))
-    sets = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
+    sets = agg.select("doc_id", "hs")
     # No forced broadcast on the candidate melt: its size is data-dependent
     # (a dup-heavy 100 TB corpus can produce a candidate set that would OOM a
     # forced broadcast), so AQE picks broadcast-vs-shuffle from the measured
@@ -434,47 +469,58 @@ NGRAM_DF_CAP = 256
     origin="EXT",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard via the scalable shingle-join formulation:
+    """Exact n-gram Jaccard via the scalable inverted-index formulation:
     explode shingles → df-cap hot shingles (NGRAM_DF_CAP, mirrored in the
-    oracle) → equi-join on shingle (blocked by ``lang``) → count common per
-    pair → |A∩B| / (|A|+|B|-|A∩B|) over the capped universe. No n² pair
-    enumeration — only pairs sharing ≥1 kept shingle materialize, keyed on
-    the shingle itself (high cardinality ⇒ even shuffle), and the cap
-    bounds any one shingle's join contribution at cap²/2."""
-    # Distinct 64-bit shingle hashes (join keys stay codegen'd longs, not
-    # strings), set size via window — same plan shape as the minhash verify.
+    oracle) → per-shingle member lists (bounded at cap, keyed on
+    (lang, shingle) — high cardinality ⇒ even shuffle) → in-row i<j pair
+    expansion → count common per pair → |A∩B| / (|A|+|B|-|A∩B|) over the
+    capped universe. No n² pair enumeration — only pairs sharing ≥1 kept
+    shingle materialize, and the cap bounds any one shingle's pair
+    contribution at cap²/2."""
+    # Distinct 64-bit shingle hashes (keys stay codegen'd longs, not
+    # strings), df-cap via a whole-partition window on (lang, h) — ONE
+    # shuffle on the same key the bucket groupBy below reuses.
     eh = _shingle_hashes(load_table(spark, sf_dir, "documents")).distinct()
-    # df-cap via a whole-partition window on (lang, h) — ONE shuffle on the
-    # same key the pair join uses (the groupBy+join form paid an extra
-    # aggregate exchange; minhash bucket-valve precedent).
-    eh = (
+    ehc = (
         eh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("lang", "h")))
         .filter(F.col("df") <= NGRAM_DF_CAP)
         .drop("df")
     )
-    ehn = eh.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
-    a = ehn.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("lang").alias("lang_a"),
-        F.col("n").alias("na"), "h",
+    # Round 15: the former h-keyed SELF-JOIN evaluated the whole shingle
+    # pipeline twice (and re-shuffled the full stream once per side onto
+    # the join key) — replaced by a same-key groupBy collecting each kept
+    # shingle's sorted member list (bounded at NGRAM_DF_CAP ids by the
+    # filter above — never an unbounded collect) and unfolding all i<j
+    # pairs in one codegen'd transform. Per-doc kept-set sizes derive
+    # from the SAME bucket arrays (explode + count — no second pass over
+    # documents, no doc_id window over the shingle stream); AQE
+    # broadcast-joins the tiny per-doc table back onto the pair counts.
+    # Interleaved min-of-7 A/B at sf0.1: 1.95 s -> 1.78 s, outputs
+    # hash-identical at sf0.01/sf0.1.
+    g = ehc.groupBy("lang", "h").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
-    b = ehn.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("lang").alias("lang_b"),
-        F.col("n").alias("nb"), F.col("h").alias("h_b"),
+    n_tbl = (
+        g.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    pair = (
-        a.join(
-            b,
-            (F.col("h") == F.col("h_b"))
-            & (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("doc_id_a") < F.col("doc_id_b")),
+    pairs = (
+        g.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "b -> struct(a AS doc_id_a, b AS doc_id_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
-        )
+        .groupBy("p.doc_id_a", "p.doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    na = n_tbl.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na"))
+    nb = n_tbl.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb"))
+    pair = pairs.join(na, "doc_id_a").join(nb, "doc_id_b")
     jaccard = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return pair.select(
         "doc_id_a", "doc_id_b", jaccard.alias("jaccard")
