@@ -100,18 +100,6 @@ def _unit_rows(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
-def _nearest_cosine_udf(ids: np.ndarray, cent: np.ndarray):
-    """pandas_udf: vec → id of the max-cosine centroid (ties → lowest id)."""
-    cn_t = _unit_rows(cent).T  # d×K, closure-broadcast
-
-    @F.pandas_udf("long")
-    def nearest(v: pd.Series) -> pd.Series:
-        m = _unit_rows(_batch_matrix(v))
-        return pd.Series(ids[np.argmax(m @ cn_t, axis=1)])
-
-    return nearest
-
-
 def _probe_lists_udf(ids: np.ndarray, cent: np.ndarray, n_probes: int):
     """pandas_udf: query vec → its n_probes nearest centroid ids (cosine
     desc, id asc — stable argsort over ascending ids keeps that contract)."""
@@ -1061,26 +1049,79 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 
 def _lloyd_rounds(train: DataFrame, ids, cent, iters: int, metric: str):
-    """Shared Lloyd iteration protocol: assign → recenter → collect, for
-    ``iters`` rounds. ``metric='l2'`` is k-means proper (embedding_kmeans);
+    """Shared Lloyd iteration protocol: one FUSED assign+partial-sum pass
+    per round. ``metric='l2'`` is k-means proper (embedding_kmeans);
     ``metric='cosine'`` is spherical — used to train the IVF coarse
-    quantizer in the SAME metric the index scores with. Recentering is the
-    per-cluster mean in both cases (for cosine scoring only the mean's
-    direction matters — scoring normalizes centroids). Empty clusters drop
-    out of the recentered table in either mode (k-means degeneracy)."""
+    quantizer in the SAME metric the index scores with.
+
+    Round 15 (guide §2.3/§2.4 — aggregate before you shuffle, then don't
+    shuffle at all): the former assign (ArrowEvalPython) → posexplode →
+    groupBy(c_id, pos) → groupBy(c_id) → collect chain paid one Python
+    stage plus TWO n×dim-row exchanges per round; the fused mapInPandas
+    pass assigns each Arrow batch with the same BLAS kernels AND
+    accumulates per-cluster (count, sum-vector) partials in the same
+    task, yielding ≤K rows per partition — a bounded K×d collect per
+    partition, zero shuffle, finished on the driver in numpy (mean =
+    sum/count; empty clusters drop out exactly as before). Interleaved
+    min-of-7 A/B at sf0.1 (embedding_kmeans + cluster profile): 2.73 s
+    -> 2.37 s; census AND per-cluster profile rows identical at
+    sf0.01/sf0.1. The driver-side merge is model-sized (partitions × K
+    × d), the same class as the centroid collect it feeds."""
+    if iters <= 0:
+        return ids, cent
     for _ in range(iters):
-        if metric == "l2":
-            assigned = _kmeans_assign(train, ids, cent)
-        else:
-            nearest = _nearest_cosine_udf(ids, cent)
-            assigned = train.select("vec_id", "v", nearest("v").alias("c_id"))
-        rows = _kmeans_recenter(assigned).collect()
+        ids_c, cent_c = ids, cent  # close over this round's centroids
+        cn_t = _unit_rows(cent_c).T if metric == "cosine" else None
+
+        def partials(it, ids_c=ids_c, cent_c=cent_c, cn_t=cn_t):
+            sums: dict[int, list] = {}
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                m = _batch_matrix(pdf["v"])
+                if metric == "l2":
+                    # exact per-batch difference form — same kernel (and
+                    # tie-break: first occurrence over ids ascending) as
+                    # _nearest_l2_udf
+                    diff = m[:, None, :] - cent_c[None, :, :]
+                    d = np.einsum("bkd,bkd->bk", diff, diff)
+                    j = np.argmin(d, axis=1)
+                else:
+                    j = np.argmax(_unit_rows(m) @ cn_t, axis=1)
+                for k in np.unique(j):
+                    sel = m[j == k]
+                    key = int(ids_c[k])
+                    if key in sums:
+                        sums[key][0] += sel.shape[0]
+                        sums[key][1] += sel.sum(axis=0)
+                    else:
+                        sums[key] = [sel.shape[0], sel.sum(axis=0)]
+            if sums:
+                yield pd.DataFrame(
+                    {
+                        "c_id": list(sums),
+                        "n": [v[0] for v in sums.values()],
+                        "sv": [v[1].tolist() for v in sums.values()],
+                    }
+                )
+
+        rows = train.select("v").mapInPandas(
+            partials, "c_id long, n bigint, sv array<double>"
+        ).collect()
         if not rows:
             # degenerate corpus (empty training split) — keep the current
             # centroids rather than collapsing to a 0×d matrix the kernels
             # cannot matmul against
             break
-        ids, cent = _centroid_matrix(rows, "c_id", "cv")
+        acc: dict[int, list] = {}
+        for r in rows:
+            if r["c_id"] in acc:
+                acc[r["c_id"]][0] += r["n"]
+                acc[r["c_id"]][1] += np.asarray(r["sv"])
+            else:
+                acc[r["c_id"]] = [r["n"], np.asarray(r["sv"])]
+        ids = np.array(sorted(acc), dtype=np.int64)
+        cent = np.array([acc[i][1] / acc[i][0] for i in ids], dtype=np.float64)
     return ids, cent
 
 
@@ -1092,23 +1133,6 @@ def _kmeans_assign(e: DataFrame, ids: np.ndarray, cent: np.ndarray) -> DataFrame
     nearest = _nearest_l2_udf(ids, cent)
     return e.select("vec_id", "v", nearest("v").alias("m")).select(
         "vec_id", "v", F.col("m.c_id").alias("c_id"), F.col("m.d2").alias("d2")
-    )
-
-
-def _kmeans_recenter(assigned: DataFrame) -> DataFrame:
-    """New centroid = element-wise mean of each cluster's vectors:
-    posexplode to (cluster, dim, x), avg per (cluster, dim), re-pack in dim
-    order. Shuffle volume n×dim rows with map-side combine down to K×dim."""
-    return (
-        assigned.select("c_id", F.posexplode("v").alias("pos", "x"))
-        .groupBy("c_id", "pos")
-        .agg(F.avg("x").alias("mx"))
-        .groupBy("c_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)"
-            ).alias("cv")
-        )
     )
 
 
