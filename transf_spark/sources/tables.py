@@ -50,6 +50,12 @@ def staging_tag(sf_dir: str, *tables: str, extra: str = "") -> str:
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
 
+# How long an untouched completed stage survives a sibling's tag-miss
+# eviction. Every stage_once() on a dir re-touches its marker, so only a
+# stage no process has asked for in this window is collectable.
+_EVICT_AGE_SEC = 3600.0
+
+
 def stage_once(prefix: str, tag: str, write_fn) -> str:
     """Shared stage-once contract for every /tmp staging site (formats,
     bucketed tables, partitioned docs, stream sources): the target dir is
@@ -64,20 +70,43 @@ def stage_once(prefix: str, tag: str, write_fn) -> str:
     flagged, previously hand-copied with no lock at five formats.py sites
     plus the streaming sources). Same-host serialization is sufficient:
     driver, pytest and bench all stage on this machine's /tmp.
+
+    Eviction is AGE-GATED (round 15): evicting every sibling on a tag miss
+    deleted a dir a CONCURRENT process (different fixture ⇒ different tag)
+    was actively streaming from — observed live as FAILED_READ_FILE when an
+    sf0.01 oracle sweep staged while pytest's degenerate-fixture ack stream
+    was mid-query on its own tag. Each reuse touches the ``_READY`` marker,
+    and only siblings whose marker is older than ``_EVICT_AGE_SEC`` (or
+    markerless leftovers of a crashed stage) are evicted — an active dir is
+    re-touched every stage_once call, so it can't age out mid-use, while
+    genuinely stale fixture generations still get collected.
     """
     import fcntl
     import glob
     import shutil
+    import time
 
     out = prefix + tag
     marker = os.path.join(out, "_READY")
     if os.path.exists(marker):  # fast path, no lock: marker dirs are final
+        try:
+            os.utime(marker)  # keep-alive against sibling eviction
+        except OSError:
+            pass
         return out
     with open(prefix + ".lock", "w") as lk:
         fcntl.flock(lk, fcntl.LOCK_EX)
         if not os.path.exists(marker):  # re-check under the lock
+            now = time.time()
             for d in glob.glob(prefix + "*"):
-                if d != out and d != prefix + ".lock":
+                if d == out or d == prefix + ".lock":
+                    continue
+                m = os.path.join(d, "_READY")
+                try:
+                    fresh = now - os.stat(m).st_mtime < _EVICT_AGE_SEC
+                except OSError:
+                    fresh = False  # markerless: crashed half-stage, evict
+                if not fresh:
                     shutil.rmtree(d, ignore_errors=True)
             write_fn(out)
             open(marker, "w").close()
