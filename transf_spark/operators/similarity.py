@@ -59,6 +59,21 @@ _COS = """
      * sqrt(aggregate(zip_with({b}, {b}, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)))
 """
 
+# dot(a, b) — the same left-to-right fold _COS is built from. The exact
+# pairwise queries hoist sqrt(dot(x, x)) to ONE evaluation per input row
+# (guide §1.2 "per-task work"): inside an O(queries × corpus) or tiled
+# O(n²) pair join, _COS re-derives BOTH self-norms per PAIR, so 2 of its
+# 3 interpreted array folds are redundant by a factor of the other side's
+# row count. cosine = dot/(norm_a × norm_b) with per-row norms is
+# bit-identical to _COS — each factor is the identical fold over the
+# identical operand order, computed once instead of per pair — so the
+# DuckDB hash parity of the oracle-checked queries is untouched.
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " cast(0.0 AS double), (acc, v) -> acc + v)"
+)
+_NORM = f"sqrt({_DOT.format(a='{x}', b='{x}')})"
+
 # ---------------------------------------------------------------------------
 # Vectorized dense-linear-algebra kernels (Arrow-batched pandas UDFs).
 #
@@ -185,11 +200,19 @@ _VALID_EMB_SQL = (
     "AND len(list_filter(embedding, x -> x IS NULL)) = 0 "
     "AND len(list_filter(embedding, x -> NOT (x BETWEEN -3.5e38 AND 3.5e38))) = 0"
 )
+# Engine side fuses the NULL-element and non-finite-element terms into ONE
+# exists() pass (guide §1.2 per-task work: the predicate runs over every
+# embedding row in every similarity query, and each exists() is an
+# interpreted per-element lambda walk — two passes cost 2·dim evals/row).
+# Three-valued-logic equivalence with the two-pass SQL form: a NULL element
+# makes the fused lambda TRUE (x IS NULL) exactly where the first SQL term
+# rejected; a non-finite element makes it TRUE via the BETWEEN term; a row
+# that passes has every lambda FALSE in both forms.
 _VALID_EMB_SPARK = (
     "vec_id IS NOT NULL "
     "AND embedding IS NOT NULL AND size(embedding) > 0 "
-    "AND NOT exists(embedding, x -> x IS NULL) "
-    "AND NOT exists(embedding, x -> NOT (x BETWEEN -3.5e38 AND 3.5e38))"
+    "AND NOT exists(embedding,"
+    " x -> x IS NULL OR NOT (x BETWEEN -3.5e38 AND 3.5e38))"
 )
 
 
@@ -283,8 +306,16 @@ def _brute_topk(
     spark: SparkSession, sf_dir: str, *, kernel: bool, sample: bool = False
 ) -> DataFrame:
     e = _emb_double(spark, sf_dir, uniform=True)
+    if not kernel:
+        # Per-row norm hoist (see _DOT): the pair join below multiplies every
+        # corpus row by |queries| — computing sqrt(v·v) here instead of
+        # inside _COS turns 3 interpreted folds per PAIR into 1 fold per
+        # pair + 1 per ROW, bit-identically.
+        e = e.withColumn("nv", F.expr(_NORM.format(x="v")))
     q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        *([F.col("nv").alias("nq")] if not kernel else []),
     )
     if sample:
         # TakeOrderedAndProject — a distributed partial top-k, never a
@@ -295,7 +326,7 @@ def _brute_topk(
     if kernel:
         cosine = _cosine_pairs_udf()(F.col("qv"), F.col("v"))
     else:
-        cosine = F.expr(_COS.format(a="qv", b="v"))
+        cosine = F.expr(_DOT.format(a="qv", b="v")) / (F.col("nq") * F.col("nv"))
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
         .select("q_id", F.col("vec_id").alias("nn_id"), cosine.alias("cosine"))
@@ -354,8 +385,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (parquet row-count pushdown) before any quadratic work is planned."""
     n_blocks = 8
     _guard_exact_allpairs(load_table(spark, sf_dir, "embeddings").count())
-    e = _emb_double(spark, sf_dir, uniform=True).withColumn(
-        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
+    e = (
+        _emb_double(spark, sf_dir, uniform=True)
+        .withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int"))
+        # per-row norm hoist (see _DOT): computed once per vector BEFORE the
+        # B-way tile replication, vs once per n²/2 candidate pair inside _COS
+        .withColumn("nrm", F.expr(_NORM.format(x="v")))
     )
     block_pairs = spark.range(n_blocks * n_blocks).select(
         F.col("id").alias("pair_id"),
@@ -368,14 +403,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into 5 partitions serializes the quadratic compute (measured 4× slower
     # at sf0.1). User-specified repartitioning is exempt from coalescing.
     n_tiles = n_blocks * n_blocks
-    a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"), "blk").join(
+    a = e.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "blk",
+    ).join(
         F.broadcast(block_pairs), F.col("blk") == F.col("bi")
-    ).select("pair_id", "vec_id_a", "va").repartition(n_tiles, "pair_id")
-    b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"), "blk").join(
+    ).select("pair_id", "vec_id_a", "va", "na").repartition(n_tiles, "pair_id")
+    b = e.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "blk",
+    ).join(
         F.broadcast(block_pairs), F.col("blk") == F.col("bj")
-    ).select("pair_id", "vec_id_b", "vb").repartition(n_tiles, "pair_id")
+    ).select("pair_id", "vec_id_b", "vb", "nb").repartition(n_tiles, "pair_id")
     cand = a.join(b, "pair_id").filter(F.col("vec_id_a") < F.col("vec_id_b"))
-    cos = F.expr(_COS.format(a="va", b="vb"))
+    cos = F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
     return cand.select("vec_id_a", "vec_id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= NEAR_DUP_COS
     )
