@@ -559,14 +559,21 @@ def test_topk_paths_ranks_aggregate_not_corpus(spark):
     assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
 
 
-def test_stream_distinct_users_broadcasts_sketch_join(spark):
-    """Windowed distinct invariant: exact and sketch aggregates stay
-    separate (sketch buffers out of any Expand) and rejoin on the tiny
-    per-hour key via broadcast."""
+def test_stream_distinct_users_single_scan_fused(spark):
+    """Windowed distinct invariant (r15): ONE corpus scan — dedupe to
+    distinct (window, user_id) pairs first (map-side combinable), then
+    count + HLL-sketch the deduped set in one window-keyed aggregate.
+    No join, no Expand (the sketch buffer must never ride a
+    distinct-rewrite), ≤2 exchanges. The r14 two-aggregate + broadcast
+    rejoin form scanned the corpus twice."""
+    from transf_spark.plans.inspect import physical_plan
+
     df = _q(spark, "stream_window_distinct_users")
     st = plan_stats(df)
-    assert st.broadcast_joins == 1 and st.sort_merge_joins == 0
-    assert st.exchanges <= 4
+    assert st.broadcast_joins == 0 and st.sort_merge_joins == 0
+    assert st.exchanges <= 2
+    assert len(st.read_schemas) == 1, "corpus must be scanned exactly once"
+    assert "Expand" not in physical_plan(df)
 
 
 def test_sql_nation_revenue_broadcasts_dimension_chain(spark):
