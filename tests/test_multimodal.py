@@ -251,3 +251,44 @@ def test_wav_roundtrip_property():
         assert got.dtype == np.dtype("<i2")
 
     check()
+
+
+def test_decode_stub_batch_matches_scalar_edge_payloads():
+    """The vectorized stub decode / prefix-matrix path (r15, guide §4.2)
+    must agree byte-for-byte with the scalar reference on degenerate
+    payloads: empty, shorter than the 16-byte hash window, shorter than
+    the 64-byte feature window, and Arrow-sliced arrays (non-zero
+    offset)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from transf_spark.operators.multimodal import (
+        _binary_view,
+        _decode_stub,
+        _decode_stub_batch,
+        _prefix_matrix,
+    )
+
+    payloads = [
+        b"",
+        b"a",
+        b"short",
+        b"exactly-16-bytes",
+        b"x" * 17,
+        bytes(range(256)),
+        "héllo wörld — multibyte".encode("utf-8"),
+        b"\x00" * 64,
+        b"\xff" * 200,
+    ]
+    for arr in (pa.array(payloads, type=pa.binary()),
+                pa.array(payloads, type=pa.large_binary()),
+                pa.array([b"pad"] + payloads, type=pa.binary()).slice(1)):
+        view_payloads = payloads
+        offsets, flat = _binary_view(arr)
+        prefix64, lengths = _prefix_matrix(offsets, flat, 64)
+        assert lengths.tolist() == [len(p) for p in view_payloads]
+        for i, p in enumerate(view_payloads):
+            assert prefix64[i].tobytes() == p[:64].ljust(64, b"\0")
+        w, h, nf = _decode_stub_batch(prefix64[:, :16], lengths)
+        for i, p in enumerate(view_payloads):
+            assert (w[i], h[i], nf[i]) == _decode_stub(p), p
