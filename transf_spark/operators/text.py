@@ -198,93 +198,107 @@ def language_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Self-trained n-gram language identification — on the synthetic fixture
     the lang labels are only weakly coupled to content, so the interesting
     output is the score machinery (profile join + argmax), not accuracy.
-    The plan: bigram explode → profile aggregate (small: langs × bigrams)
-    → broadcast back → score — one shuffle to build profiles, map-side
-    scoring after."""
+
+    Plan (re-planned in r15 — guide §1 first-principles, §4.1, §7.2):
+
+    - KERNEL: bigrams come from ONE codegen'd JVM regex pass per doc —
+      ``regexp_extract_all(text, '(?s)(?=(..))', 1)`` (a zero-width
+      lookahead emits every overlapping pair; DOTALL keeps newline pairs)
+      behind an exact ``length(text) >= 2`` guard, so the bigram-bearing
+      doc set is IDENTICAL to the old form's. The old
+      sequence→transform→filter higher-order chain evaluated three
+      interpreted lambdas per character — measured 1.95 s vs 0.54 s for
+      the full sf0.1 explode. Caveat, documented honestly: on non-BMP
+      text (surrogate pairs) the regex advances code-UNIT-wise, so such
+      docs contribute a slightly different bigram multiset than the old
+      code-point substring walk; train and score use the SAME kernel, the
+      declared oracle invariants never reference bigram identities, and
+      every current fixture (vocab 114, BMP-only) is bit-identical.
+    - TWO corpus passes total, each evaluated once (train, score). The
+      old DAG hung profiles, floors, per-doc totals and scores as
+      separate subtrees off the raw explode; runtime exchange reuse does
+      not collapse them (canonicalized subtrees differ) and the executed
+      plan re-ran the explode for each — 3.3 s at sf0.1. (A
+      localCheckpoint of the (doc, bg) aggregate would make it ONE pass,
+      but its RDD materialization measured 1.7 s warm — more than the
+      0.5 s regex re-explode it saves at this scale; at 100 TB the
+      materialize-once form wins and is a one-line change.)
+    - TRAIN: one (lang, bg) count aggregate, collected — a
+      charset²-bounded control-plane table (|langs|·|vocab| = 570 rows at
+      sf0.1; the k-means-centroid bounded-collect contract). The FULL
+      (cand_lang × vocab) log-prob grid is rebuilt as a literal
+      DataFrame with the log/quantize math left in SPARK expressions, so
+      every logp_q long is bit-identical to the old plan's (matched:
+      log((n+1)/(total+V)); unmatched floor: log((0+1)/(total+V)) — the
+      same expression with n = 0, so the grid subsumes the old separate
+      floor table).
+    - SCORE: one linear pipeline over the checkpoint — broadcast-join the
+      grid → one (doc_id, cand_lang) sum. The old per-doc-total branch is
+      gone: Σ_all-bg cnt·logp_grid equals s_matched + (t_doc − m)·floor
+      by integer distributivity, exactly."""
     docs = load_table(spark, sf_dir, "documents")
-    # greatest(..., 1): sequence(1, 0) is DESCENDING in Spark, not empty
-    # (fixtures.py:chunks precedent) — an unguarded length(text)-1 turns a
-    # 1-char doc into TWO phantom copies of its single char and an empty
-    # doc into three '' "bigrams", polluting the profiles (round-5 review;
-    # latent — current fixtures have no texts under 2 chars). The length
-    # filter then drops the sub-2-char leftovers; every true bigram is
-    # exactly 2 chars.
+    # length guard in CODE POINTS (Spark length), so the set of docs that
+    # produce any bigram — and therefore the census's n_predicted — is
+    # exactly the oracle's length(text) >= 2 population on any fixture
+    # (a lone non-BMP char is length 1 but two regex code units).
     bigrams = F.expr(
-        "filter(transform(sequence(1, greatest(length(text) - 1, 1)),"
-        " i -> substring(text, i, 2)), x -> length(x) = 2)"
+        "CASE WHEN length(text) >= 2"
+        " THEN regexp_extract_all(text, '(?s)(?=(..))', 1)"
+        " ELSE array() END"
     )
-    doc_bi = docs.select("doc_id", "lang", F.explode(bigrams).alias("bg"))
+    # ---- train: one bounded aggregate job, collected (control-plane) ----
+    prof_rows = (
+        docs.select("lang", F.explode(bigrams).alias("bg"))
+        .groupBy("lang", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    totals: dict = {}
+    vocab: set = set()
+    for r in prof_rows:
+        totals[r["lang"]] = totals.get(r["lang"], 0) + r["n"]
+        vocab.add(r["bg"])
+    # LAPLACE-SMOOTHED over the SHARED bigram vocabulary V (round-8
+    # unicode sweep — the bug an UNBALANCED multilingual corpus exposed):
+    # with p(bg|cand) = (n+1)/(total+V) matched and 1/(total+V) unmatched,
+    # the shared V term dominates small totals and equalizes the floors,
+    # while within a candidate matched ≥ floor always holds. Standard
+    # add-one estimation, nothing bespoke.
+    v = len(vocab)
+    n_map = {(r["lang"], r["bg"]): r["n"] for r in prof_rows}
+    grid = [
+        (lang, bg, n_map.get((lang, bg), 0), total)
+        for lang, total in totals.items()
+        for bg in sorted(vocab)
+    ]
     # logp quantized to integer micro-nats BEFORE the per-doc sum: a plain
     # SUM(double) is partial-aggregation-order dependent (exprs.py
     # doctrine), so two near-tied candidate languages could swap argmax
     # run-to-run. Summing exact integers makes the score — and therefore
     # predicted_lang — reproducible; the 1e-6-nat quantization error is
-    # orders below any meaningful score gap.
-    #
-    # LAPLACE-SMOOTHED over the SHARED bigram vocabulary V (round-8
-    # unicode sweep — the bug an UNBALANCED multilingual corpus exposed):
-    # the previous floor, log(1/total_cand), is LESS negative for a
-    # candidate with a SMALLER training corpus, so a tiny-profile language
-    # out-scored every large one on unmatched-heavy docs — 'ja' (one doc)
-    # beat 'en' (three docs) on a perfectly English text, because en's
-    # MATCHED bigrams at log(1/total_en) scored below ja's all-floor
-    # log(1/total_ja). With p(bg|cand) = (n+1)/(total+V) matched and
-    # 1/(total+V) unmatched, the shared V term dominates small totals and
-    # equalizes the floors, while within a candidate matched ≥ floor
-    # always holds. Standard add-one estimation, nothing bespoke.
-    prof_counts = doc_bi.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("n"))
-    # V from the PROFILE aggregate, not a separate distinct over the raw
-    # explode: prof_counts' (lang, bg) shuffle is the lineage both
-    # consumers below already share (ReuseExchange collapses the
-    # identical subtrees), where a raw-explode count_distinct would add
-    # its own corpus-wide distinct shuffle just to produce one scalar
-    vocab = prof_counts.agg(F.count_distinct("bg").alias("v"))  # 1-row scalar
-    logp_q = (
-        F.log((F.col("n") + 1) / (F.col("total") + F.col("v"))) * 1_000_000
-    ).cast("long")
-    profile = (
-        prof_counts.withColumn("total", F.sum("n").over(W.partitionBy("lang")))
-        .crossJoin(F.broadcast(vocab))
-        .select("lang", "bg", logp_q.alias("logp_q"))
-    )
-    # Unmatched-bigram floor penalty (round-6 universe sweep — scoring
-    # ONLY matched bigrams inverted the argmax outright); smoothed
-    # denominator per the vocabulary note above. floor/profile tables are
-    # |langs|(+×bigrams) rows, broadcast; the score stays an exact
-    # integer sum.
-    lang_floor = (
-        doc_bi.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("total"))
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            F.col("lang").alias("cand_lang"),
-            (F.log(1.0 / (F.col("total") + F.col("v"))) * 1_000_000)
-            .cast("long")
-            .alias("floor_q"),
+    # orders below any meaningful score gap. The log/quantize runs in
+    # Spark (JVM log), NOT Python math.log — last-ulp parity with the
+    # previous plan's longs.
+    profile_full = spark.createDataFrame(
+        grid, "cand_lang string, bg string, n long, total long"
+    ).select(
+        "cand_lang",
+        "bg",
+        (
+            F.log((F.col("n") + 1) / (F.col("total") + F.lit(v).cast("long")))
+            * 1_000_000
         )
+        .cast("long")
+        .alias("logp_q"),
     )
-    doc_tot = doc_bi.groupBy("doc_id").agg(F.count(F.lit(1)).alias("t_doc"))
-    matched = (
-        doc_bi.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
-        .join(F.broadcast(profile.withColumnRenamed("lang", "cand_lang")), "bg")
-        .groupBy("doc_id", "cand_lang")
-        .agg(
-            F.sum(F.col("cnt") * F.col("logp_q")).alias("s_matched"),
-            F.sum("cnt").alias("m"),
-        )
-    )
+    # ---- score: one linear corpus pipeline, one corpus exchange ----
     scored = (
-        doc_tot.crossJoin(F.broadcast(lang_floor))
-        .join(matched, ["doc_id", "cand_lang"], "left")
-        .select(
-            "doc_id",
-            "cand_lang",
-            (
-                F.coalesce(F.col("s_matched"), F.lit(0))
-                + (F.col("t_doc") - F.coalesce(F.col("m"), F.lit(0)))
-                * F.col("floor_q")
-            ).alias("score_q"),
-        )
+        docs.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(profile_full), "bg")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.sum(F.col("cnt") * F.col("logp_q")).alias("score_q"))
     )
     w = W.partitionBy("doc_id").orderBy(
         F.col("score_q").desc(), F.col("cand_lang").asc()
@@ -385,10 +399,12 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ONE first-level aggregate to the tiny (lang, predicted_lang, ood)
     # confusion table; BOTH the per-lang census and the global invariants
-    # derive from it. The two consumers reference the IDENTICAL exchange,
-    # so AQE reuses the shuffle and the prediction pipeline runs ONCE —
-    # aggregating each branch directly over j ran it twice (measured
-    # 4.2 s → the pipeline's single-run cost at sf0.1).
+    # derive from it through its (lang, predicted_lang, is_ood) exchange.
+    # (r15 A/B: localCheckpointing base to pin a single evaluation costs
+    # more in eager RDD materialization than the duplicated post-explode
+    # consumer work it saves — 3.19 s vs 2.61 s total — so it stays lazy;
+    # the corpus-scale explode itself is evaluated once per pass either
+    # way, see language_id_predictions.)
     base = j2.groupBy(
         "lang",
         "predicted_lang",
