@@ -146,6 +146,48 @@ def _nearest_l2_udf(ids: np.ndarray, cent: np.ndarray):
     return nearest
 
 
+def _allpairs_tile_kernel(pa_df: pd.DataFrame, pb_df: pd.DataFrame) -> pd.DataFrame:
+    """Cogrouped tile kernel for ``dedup_embedding_cosine``: one block×block
+    tile's A rows vs B rows, all-pairs cosine, emit only pairs with
+    ``vec_id_a < vec_id_b`` and cosine ≥ ``NEAR_DUP_COS``.
+
+    BIT-IDENTICAL to the JVM fold it replaced (the oracle hash-checks the
+    doubles): the k-ascending loop of per-k outer-product accumulations
+    performs, per pair, exactly the `zip_with` multiply followed by the
+    `aggregate` add in the same order — numpy elementwise `*` and `+` are
+    plain IEEE double ops with no FMA fusion. np.dot/einsum/BLAS would be
+    faster still but use blocked/pairwise summation and are NOT
+    reproductions of the fold — do not "optimize" this loop into them.
+    The norms arrive precomputed per row (the r15 hoist), so the division
+    is `acc / (na·nb)` exactly as the column expression was. A zero norm
+    (all-zero vector) yields 0/0 → NaN, which fails the ≥ filter — the
+    same drop the JVM NULL produced."""
+    if len(pa_df) == 0 or len(pb_df) == 0:
+        return pd.DataFrame(
+            {
+                "vec_id_a": np.array([], dtype=np.int64),
+                "vec_id_b": np.array([], dtype=np.int64),
+                "cosine": np.array([], dtype=np.float64),
+            }
+        )
+    mat_a = np.array(pa_df["va"].tolist(), dtype=np.float64)
+    mat_b = np.array(pb_df["vb"].tolist(), dtype=np.float64)
+    ida = pa_df["vec_id_a"].to_numpy()
+    idb = pb_df["vec_id_b"].to_numpy()
+    na = pa_df["na"].to_numpy()
+    nb = pb_df["nb"].to_numpy()
+    acc = np.zeros((len(ida), len(idb)), dtype=np.float64)
+    for k in range(mat_a.shape[1]):
+        acc = acc + mat_a[:, k, None] * mat_b[None, :, k]
+    cos = acc / (na[:, None] * nb[None, :])
+    with np.errstate(invalid="ignore"):
+        mask = (ida[:, None] < idb[None, :]) & (cos >= NEAR_DUP_COS)
+    ii, jj = np.nonzero(mask)
+    return pd.DataFrame(
+        {"vec_id_a": ida[ii], "vec_id_b": idb[jj], "cosine": cos[ii, jj]}
+    )
+
+
 def _cosine_pairs_udf():
     """pandas_udf: row-wise cosine between two array<double> columns —
     the vectorized re-rank kernel for candidate pairs (einsum dot, no
@@ -370,10 +412,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     - a broadcast (bi, bj) pair table replicates each vector B times per
       side (rows shuffled: 2nB, evenly — every block appears in exactly B
       ordered pairs per role);
-    - the SortMergeJoin on ``pair_id`` materializes each block×block tile in
-      its own task; ``vec_id_a < vec_id_b`` keeps each unordered pair exactly
-      once (cross-block pairs appear in both (i,j) and (j,i); the id filter
-      picks one), and cosine is evaluated only on surviving rows.
+    - a cogrouped ``applyInPandas`` kernel (r15, guide §4.2 — replacing the
+      SortMergeJoin + per-pair interpreted fold) receives each block×block
+      tile's two sides in its own task and runs the all-pairs cosine as
+      vectorized numpy that replays the JVM fold's arithmetic order exactly
+      (see ``_allpairs_tile_kernel``); ``vec_id_a < vec_id_b`` keeps each
+      unordered pair exactly once (cross-block pairs appear in both (i,j)
+      and (j,i); the id filter picks one), and only surviving pairs are
+      ever materialized as rows.
 
     Compute stays O(n²) — inherent to the exact answer — but distributed
     across B² tasks with per-task memory n/B · 2 vectors, no full-table
@@ -398,10 +444,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("id"), F.lit(n_blocks)).cast("int").alias("bj"),
     )
     # One partition per block-pair tile, pinned with an explicit repartition:
-    # AQE coalesces post-shuffle partitions by BYTE size, but each tile row
-    # fans out into |block|² cosine evaluations — letting AQE fold 64 tiles
-    # into 5 partitions serializes the quadratic compute (measured 4× slower
-    # at sf0.1). User-specified repartitioning is exempt from coalescing.
+    # AQE coalesces post-shuffle partitions by BYTE size, but each tile's
+    # rows fan out into |block|² cosine evaluations — letting AQE fold 64
+    # tiles into 5 partitions serializes the quadratic compute (measured 4×
+    # slower at sf0.1 on the join form). User-specified repartitioning is
+    # exempt from coalescing, and the cogroup below reuses this exact hash
+    # distribution, so no further exchange is added.
     n_tiles = n_blocks * n_blocks
     a = e.select(
         F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"),
@@ -414,11 +462,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"), "blk",
     ).join(
         F.broadcast(block_pairs), F.col("blk") == F.col("bj")
-    ).select("pair_id", "vec_id_b", "vb", "nb").repartition(n_tiles, "pair_id")
-    cand = a.join(b, "pair_id").filter(F.col("vec_id_a") < F.col("vec_id_b"))
-    cos = F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
-    return cand.select("vec_id_a", "vec_id_b", cos.alias("cosine")).filter(
-        F.col("cosine") >= NEAR_DUP_COS
+    ).select(
+        # distinct key name: both sides derive from the same scan, and the
+        # cogroup's analyzer rejects the ambiguous self-reference otherwise
+        F.col("pair_id").alias("pair_id_b"), "vec_id_b", "vb", "nb"
+    ).repartition(n_tiles, "pair_id_b")
+    # r15 (guide §4.2): the tile cross product runs INSIDE a cogrouped
+    # applyInPandas kernel instead of a SortMergeJoin + per-pair interpreted
+    # `aggregate(zip_with(...))` fold. The join form materialized all
+    # |block|² candidate rows just to run 12.5M interpreted 64-element
+    # lambda folds over them; the kernel never materializes pair rows —
+    # each task gets one tile's A/B sides and emits only surviving pairs.
+    # Bit-exactness is preserved by construction (proven by full row-level
+    # equality at sf0.1, and the oracle hash at all SFs): the fold
+    # `aggregate(zip_with(a,b,x*y), 0.0, acc+v)` is a k-ascending
+    # mul-then-add chain, replayed exactly by the kernel's per-k outer
+    # products (numpy elementwise double ops, no FMA fusion, no blocked
+    # summation — the reason np.dot/einsum are NOT used here).
+    return a.groupBy("pair_id").cogroup(b.groupBy("pair_id_b")).applyInPandas(
+        _allpairs_tile_kernel,
+        schema="vec_id_a long, vec_id_b long, cosine double",
     )
 
 
