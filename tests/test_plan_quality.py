@@ -241,13 +241,21 @@ def test_approx_percentile_invariant_broadcasts_sketch(spark):
 
 
 def test_approx_distinct_invariant_keeps_sketch_out_of_expand(spark):
-    """Exact distincts and HLL sketches must run as two separate aggregates
-    joined via broadcast — mixing them in ONE agg drags the 16 KB HLL
-    buffers through the multi-distinct Expand (147 s vs 4 s at sf0.1, 37×).
-    The join of the two 4-row results must broadcast, never sort-merge."""
+    """Exact counts and HLL sketches ride ONE dedup-first pipeline (r15):
+    stack → distinct (flag, gid, key) → count + sketch over the deduped
+    set. No multi-distinct Expand may appear — mixing countDistinct with
+    the sketch in one agg drags the 16 KB HLL buffers through the Expand
+    (147 s vs 4 s at sf0.1, 37×) — and the r14 two-scans-plus-broadcast-
+    rejoin shape must not come back either: one corpus scan, no joins."""
+    from transf_spark.plans.inspect import physical_plan
+
     st = plan_stats(_q(spark, "agg_approx_distinct"))
-    assert st.broadcast_joins == 1, "sketch side must broadcast-join back"
+    assert st.broadcast_joins == 0, "dedup-first form needs no rejoin"
     assert st.sort_merge_joins == 0
+    assert st.exchanges <= 3, "distinct + per-gid agg + final agg only"
+    plan = physical_plan(_q(spark, "agg_approx_distinct"))
+    assert "Expand" not in plan, "multi-distinct Expand is back:\n" + plan
+    assert plan.count("Scan parquet") == 1, "corpus must be read once"
 
 
 def test_sessionize_single_shuffle(spark):

@@ -395,30 +395,49 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     a false failure is (far) rarer than a real regression. The oracle emits
     literal TRUE, so a sketch drifting out of bound hash-mismatches.
 
-    Plan shape: the sketches and the exact distincts run as two SEPARATE
-    single-shuffle aggregates joined on the 4-row grouping key (broadcast).
-    Never mix them in one agg: Spark's multi-distinct rewrite expands every
-    input row once per distinct column and evaluates the non-distinct
-    aggregates on every expanded row — dragging the 16 KB HLL buffers
-    through the Expand measured 147 s vs 4 s at sf0.1 (37× — a genuine
-    100 TB scale-killer caught by the two-point check)."""
+    Plan shape (r15, guide §2.3/§2.4 — one corpus pass): stack the two key
+    columns into (gid, key) rows, dedupe to distinct (flag, gid, key) —
+    map-side combinable, the ONLY corpus-volume exchange — then compute
+    count(key) AND the HLL sketch over the DEDUPED set in one tiny
+    aggregate. Provably identical output: count over distinct keys IS
+    countDistinct, and an HLL++ register table depends only on the SET of
+    hashed values, so feeding each distinct key once leaves every register
+    max — hence the estimate — bit-identical (the same argument, verified
+    value-exact, as ``stream_window_distinct_users``). The r14 form ran
+    exact and sketch as two separate corpus scans rejoined on the 4-row
+    key; this halves the reads at 100 TB and drops the join outright.
+    STILL never mix countDistinct with the sketch in one aggregate:
+    Spark's multi-distinct rewrite expands every input row once per
+    distinct column and evaluates the non-distinct aggregates on every
+    expanded row — dragging the 16 KB HLL buffers through the Expand
+    measured 147 s vs 4 s at sf0.1 (37× — a genuine 100 TB scale-killer
+    caught by the two-point check). The dedup-first form has NO distinct
+    aggregate anywhere, so that rewrite can never fire."""
     li = load_table(spark, sf_dir, "lineitem")
-    exact = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("n_orders"),
-        F.countDistinct("l_partkey").alias("n_parts"),
+    kv = li.select(
+        "l_returnflag",
+        F.expr("stack(2, 1, l_orderkey, 2, l_partkey)").alias("gid", "key"),
     )
-    approx = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_ao"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("_ap"),
+    per = (
+        kv.distinct()
+        .groupBy("l_returnflag", "gid")
+        .agg(
+            # count(key) skips NULL keys exactly as COUNT(DISTINCT col) does
+            F.count("key").alias("n"),
+            F.approx_count_distinct("key", rsd=0.01).alias("a"),
+        )
     )
-    # eqNullSafe: a NULL group key (regeneration-latent) exists on BOTH
-    # sides but would never plain-equi-join — the oracle's GROUP BY keeps
-    # the NULL group, so the rejoin must too (round-6 universe sweep)
-    return exact.join(
-        F.broadcast(approx),
-        exact["l_returnflag"].eqNullSafe(approx["l_returnflag"]),
-    ).select(
-        exact["l_returnflag"],
+    # stack emits both gid rows even for a NULL key, so every flag group
+    # (including a regeneration-latent NULL flag — GROUP BY keeps it, no
+    # join to lose it through anymore) carries both gids by construction
+    wide = per.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("gid") == 1, F.col("n"))).alias("n_orders"),
+        F.max(F.when(F.col("gid") == 2, F.col("n"))).alias("n_parts"),
+        F.max(F.when(F.col("gid") == 1, F.col("a"))).alias("_ao"),
+        F.max(F.when(F.col("gid") == 2, F.col("a"))).alias("_ap"),
+    )
+    return wide.select(
+        "l_returnflag",
         "n_orders",
         "n_parts",
         (F.abs(F.col("_ao") - F.col("n_orders")) <= 0.05 * F.col("n_orders")).alias(
