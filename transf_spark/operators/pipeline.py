@@ -122,14 +122,22 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     spam scores high). Plan: split once, explode bigrams, one (doc, bigram)
     count aggregate, one per-doc max — two shuffles, both on high-cardinality
     keys, all codegen. The 0.1 flag threshold follows the published
-    repetition-filter family (duplicate n-gram fraction)."""
+    repetition-filter family (duplicate n-gram fraction).
+
+    The exploded bigram is a 64-bit ``xxhash64(w[i], w[i+1])``, not the
+    concatenated string (r15, the ``_shingle_hashes`` device): the counts
+    only need bigram IDENTITY, hashing inside the lambda materializes no
+    per-bigram string, and the count aggregate keys on codegen'd longs —
+    interleaved min-of-7 A/B 0.91 → 0.71 s at sf0.1, rows identical.
+    Equality is modulo 64-bit collisions within one document, the same
+    accepted qualifier as the minhash/jaccard shingle pipelines."""
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select("doc_id", F.split("text", " ").alias("w")).filter(F.size("w") >= 2)
     bg = w.select(
         "doc_id",
         (F.size("w") - 1).cast("long").alias("n_bigrams"),
         F.explode(
-            F.expr("transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))")
+            F.expr("transform(sequence(0, size(w) - 2), i -> xxhash64(w[i], w[i+1]))")
         ).alias("b"),
     )
     counts = bg.groupBy("doc_id", "n_bigrams", "b").agg(F.count(F.lit(1)).alias("c"))
