@@ -63,11 +63,18 @@ def test_exact_dedup_is_single_shuffle(spark):
 
 
 def test_topk_similarity_broadcasts_query_side(spark):
-    """Scored scan shape: the small query set broadcasts; the corpus is
-    never shuffled for scoring."""
-    st = plan_stats(_q(spark, "similarity_topk_cosine"))
-    assert st.broadcast_joins + st.nested_loop_joins >= 1
+    """Scored scan shape: the small query set crosses once as a broadcast
+    (r15: a sparkContext.broadcast into the mapInPandas scoring kernel —
+    formerly an F.broadcast join relation); the corpus is never shuffled
+    or joined for scoring, and the only exchange is the top-k window's."""
+    from transf_spark.plans.inspect import physical_plan
+
+    df = _q(spark, "similarity_topk_cosine")
+    st = plan_stats(df)
     assert st.sort_merge_joins == 0
+    assert st.broadcast_joins + st.nested_loop_joins == 0, "scoring must not join"
+    assert "MapInPandas" in physical_plan(df), "vectorized scoring kernel missing"
+    assert st.exchanges <= 1, "only the per-query top-k window may shuffle"
 
 
 def test_flagship_agg_runs_in_whole_stage_codegen(spark):

