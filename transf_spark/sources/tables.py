@@ -248,7 +248,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         except OSError:
             snapshot[name] = None
     if _VIEWS_CACHE.get(spark) == snapshot:
-        return
+        # Hardening (round-15 ADVICE): the snapshot can't see an external
+        # DROP VIEW / createOrReplaceTempView on this session (e.g. user
+        # code on the SQL-facing API), so verify the registered names
+        # still resolve before taking the skip path. tableExists is a
+        # catalog lookup (~0.5 ms each, ≤10 names) — an order cheaper
+        # than the ~58 ms re-registration the memo exists to skip.
+        if all(
+            spark.catalog.tableExists(name)
+            for name, key in snapshot.items()
+            if key is not None
+        ):
+            return
+        del _VIEWS_CACHE[spark]
     for name, key in snapshot.items():
         if key is not None:
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
