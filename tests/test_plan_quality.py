@@ -640,14 +640,51 @@ def test_corrupt_csv_scan_single_exchange(spark):
     assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
 
 
-def test_weighted_median_single_group_shuffle(spark):
-    """Weighted median: the running-weight and total windows share ONE
-    l_returnflag exchange; the threshold filter then aggregates 3 rows."""
+def test_weighted_median_no_corpus_scale_flag_window(spark):
+    """Weighted median, descaled (round 16, r15 verdict item 1): the old
+    plan ran the running-weight window in |l_returnflag| = 3 partitions —
+    a full per-flag corpus sort in 3 tasks. The bucketed two-stage form
+    must keep every corpus-scale window partitioned by (flag, bucket):
+    the ONLY windows partitioned by l_returnflag alone are the
+    control-plane prefix/total over the ≤ flags·buckets bucket sums, and
+    the crossing-bucket row set rejoins via broadcast, never a shuffle
+    join of the fact side."""
+    import re
+
+    from transf_spark.plans.inspect import physical_plan
+
     df = _q(spark, "agg_weighted_median")
+    plan = physical_plan(df)
+    # the fine running-weight window (ordered by price) must be salted
+    # with the bucket key — a flag-only partition spec ordered by price
+    # is the 3-partition corpus sort coming back
+    assert not re.search(
+        r"windowspecdefinition\(l_returnflag#\d+, price#", plan
+    ), "corpus-scale window partitioned by flag alone:\n" + plan
+    assert re.search(
+        r"windowspecdefinition\(l_returnflag#\d+, bkt#\d+L?, price#", plan
+    ), "fine window lost its bucket salt:\n" + plan
+    st = plan_stats(df)
+    assert st.broadcast_joins == 1, "crossing-bucket attach must broadcast"
+    assert st.sort_merge_joins == 0
+    assert scan_columns(df) == [
+        {"l_returnflag", "l_extendedprice", "l_quantity"},
+        {"l_returnflag", "l_extendedprice", "l_quantity"},
+    ], "two pruned corpus scans (bucket-sum pass + crossing-bucket pass)"
+
+
+def test_percentiles_single_exchange_pruned(spark):
+    """agg_percentiles (round-16 disposition): the count-grid rework was
+    A/B'd and REJECTED (slower at sf0.1 AND 10× — see the docstring);
+    what must hold is the ORIGINAL scale story: one exchange (the
+    map-side-combinable percentile partial aggregate, whose per-task
+    state collapses to the 50-value quantity domain) and a 2-column
+    pruned scan."""
+    df = _q(spark, "agg_percentiles")
     st = plan_stats(df)
     assert st.exchanges == 1
     assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
-    assert scan_columns(df) == [{"l_returnflag", "l_extendedprice", "l_quantity"}]
+    assert scan_columns(df) == [{"l_returnflag", "l_quantity"}]
 
 
 def test_rfm_is_two_aggregates_no_global_sort(spark):

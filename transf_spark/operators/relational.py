@@ -16,6 +16,8 @@ Scale design notes (100 TB north star):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from transf_spark.functions.exprs import (
@@ -801,7 +803,22 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-per-group aggregate — fine per group here; at 100 TB the
     scale path is ``approx_percentile`` (t-digest style sketch, map-side
     combinable), declared separately as a rows-only sketch like
-    ``agg_approx_distinct``."""
+    ``agg_approx_distinct``.
+
+    ROUND-16 DISPOSITION (r15 verdict item 1 named this query; A/B'd and
+    REJECTED): a codegen'd (flag, quantity) count-grid + control-plane
+    interpolation replacing ``percentile()`` measured bit-identical but
+    SLOWER at both scales — 0.235 → 0.438 s at sf0.1 and 0.254 → 0.703 s
+    at a 10× (6M-row) lineitem replica, interleaved min-of-7/5. Unlike
+    the weighted median there is no 3-partition corpus window to descale
+    here: ``percentile()`` is a TypedImperativeAggregate whose per-task
+    partial state collapses to the 50-value quantity domain (boxed
+    OpenHashMap, but 50 entries), its merge ships ≤|groups| tiny maps,
+    and the measurement shows that per-row map probe is NOT the
+    bottleneck — the rework's extra exchange + window stages only added
+    latency. The attempted plan is kept at
+    plans/r16/agg_percentiles_after.txt for the record (guide §1:
+    measure, then keep the winner — the original)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_quantity, 0.25D)").alias("q25"),
@@ -1369,15 +1386,41 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant, so both engines select the same row set. Money stays
     decimal end to end and round-trips as a string.
 
-    Plan: one l_returnflag shuffle shared by the running-weight window and
-    the total window, then the threshold filter aggregates 3 rows. Weight
-    is integer, cum*2 >= tot avoids any float division.
+    DESCALED round 16 (r15 verdict item 1, guide §2.2): the previous plan
+    ran the running-weight window in |l_returnflag| = 3 partitions — a
+    full per-flag sort of the corpus in 3 tasks, a real 100 TB ceiling.
+    Bucketed two-stage exact-median instead:
 
-    NULL price/weight rows are excluded EXPLICITLY in both dialects
-    (round-14 degenerate-TPCH probe): a NULL price sorts NULLS FIRST in
-    Spark's window but NULLS LAST in DuckDB's, silently shifting the
-    cumulative crossing point — and a row with no price or no weight
-    cannot contribute to a weighted median anyway."""
+    1. bucket prices by a MONOTONE integer key (cents // bucket width —
+       exact decimal→long arithmetic, no float) and aggregate per-bucket
+       weight in ONE map-side-combinable pass — the only corpus-wide
+       exchange carries ≤ |flags|·|buckets| rows;
+    2. a control-plane window over those bucket sums (bounded rows — the
+       aggregate-then-rank contract of ``agg_mode_exact``) finds each
+       flag's CROSSING bucket: exclusive-prefix off with off·2 < tot ≤
+       (off+bw)·2;
+    3. only the crossing bucket's rows (~1/|buckets| of the corpus) flow
+       into the fine running-weight window, partitioned by (flag, bucket)
+       with the SAME (price, wt) order; cum = off + within-bucket running
+       sum equals the old global cum exactly, so the filter + min(price)
+       select the identical crossing row.
+
+    Equivalence: the bucket key is monotone in price, so every price in a
+    later bucket exceeds every price in the crossing bucket — the global
+    min over {cum·2 ≥ tot} is achieved inside the crossing bucket; rows
+    before it fail the filter in both forms. Degenerate tot = 0 (all
+    weights zero) keeps the old semantics: the crossing condition then
+    admits every bucket, and the filter passes every row, so min(price)
+    is the global min exactly as before. Weights are nonnegative by the
+    column's domain (quantities); a negative weight would break cum
+    monotonicity in EITHER form identically.
+
+    Bucket width is scale-parameterised (SPARK_GRAFT_MEDIAN_BUCKET_CENTS,
+    default $512 → ~200 buckets over the TPC-H price domain): production
+    sizing targets buckets ≫ cores so the fine window is a sliver of the
+    corpus while the control plane stays driver-trivial. NULL price/
+    weight exclusion unchanged (round-14 degenerate-TPCH probe)."""
+    bucket_cents = int(os.environ.get("SPARK_GRAFT_MEDIAN_BUCKET_CENTS", 51200))
     li = load_table(spark, sf_dir, "lineitem")
     w = li.filter(
         F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
@@ -1386,12 +1429,54 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec("l_extendedprice").alias("price"),
         F.col("l_quantity").cast("long").alias("wt"),
     )
-    win = W.partitionBy("l_returnflag").orderBy("price", "wt")
-    ranked = w.select(
+    # cents = price·100 is exact DECIMAL(12,2)→long; floor-div keeps the
+    # key monotone in price (cents ≥ 0 for money; pmod would not be
+    # monotone and floor-div of negatives still is)
+    wc = w.withColumn(
+        "bkt",
+        F.floor((F.col("price") * 100).cast("long") / F.lit(bucket_cents)).cast(
+            "long"
+        ),
+    )
+    bsum = wc.groupBy("l_returnflag", "bkt").agg(F.sum("wt").alias("bw"))
+    wb = W.partitionBy("l_returnflag").orderBy("bkt")
+    ctl = bsum.select(
+        "l_returnflag",
+        "bkt",
+        "bw",
+        F.coalesce(
+            F.sum("bw").over(wb.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("off"),
+        F.sum("bw").over(W.partitionBy("l_returnflag")).alias("tot"),
+    )
+    cross = ctl.filter(
+        ((F.col("off") * 2 < F.col("tot")) | (F.col("tot") <= 0))
+        & ((F.col("off") + F.col("bw")) * 2 >= F.col("tot"))
+    ).select(
+        F.col("l_returnflag").alias("_rf"),
+        F.col("bkt").alias("_bkt"),
+        "off",
+        "tot",
+    )
+    # eqNullSafe on the flag: a NULL group key must rejoin its own
+    # crossing bucket (the agg_approx_percentile device — a plain `=`
+    # silently drops the NULL-flag group the oracle keeps; caught by the
+    # round-14 degenerate-TPCH sweep re-run on this rework). bkt is never
+    # NULL (price is filtered non-NULL), so plain equality there.
+    fine = wc.join(
+        F.broadcast(cross),
+        F.col("l_returnflag").eqNullSafe(F.col("_rf"))
+        & (F.col("bkt") == F.col("_bkt")),
+    ).drop("_rf", "_bkt")
+    wf = W.partitionBy("l_returnflag", "bkt").orderBy("price", "wt")
+    ranked = fine.select(
         "l_returnflag",
         "price",
-        F.sum("wt").over(win.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
-        F.sum("wt").over(W.partitionBy("l_returnflag")).alias("tot"),
+        (
+            F.col("off")
+            + F.sum("wt").over(wf.rowsBetween(W.unboundedPreceding, W.currentRow))
+        ).alias("cum"),
+        "tot",
     )
     return (
         ranked.filter(F.col("cum") * 2 >= F.col("tot"))
