@@ -21,6 +21,8 @@ fixture embeddings are float32 → double widening is exact.
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
 import pandas as pd
 
@@ -302,18 +304,57 @@ _UNIFORM_EMB_SQL = (
 )
 
 
+# Per-session lazy-PLAN memo for this module's shared input subtrees —
+# the r15 `load_table` device (sources/tables.py:_PLAN_CACHE) applied to
+# the similarity family's hot build paths. Round-16 measurement
+# (cProfile, warm session): ONE similarity_ann_lsh plan build costs
+# ~0.95 s of py4j round trips (2231 commands) + repeated JVM re-analysis,
+# ~37% of the query's whole bench time at sf0.1 — and the dominant
+# subtrees (_emb_double, _bucketed) are pure functions of
+# (session, fixture fingerprint, args) rebuilt identically on every
+# call. Caching the PLAN is not caching data or results: the DataFrame
+# holds expressions over the (already plan-memoized) parquet scan;
+# every action still scans parquet. Keys carry staging_tag's
+# (mtime_ns, size) fingerprint, so a regenerated fixture invalidates.
+# Self-join safety: consumers already join derived frames that share
+# the memoized load_table SCAN object (e.g. the census's bucketed ⋈
+# probes), which Spark's DeduplicateRelations re-aliases — this memo
+# adds no new sharing class; the similarity edge/oracle sweeps re-ran
+# green on top of it.
+_SUBTREE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _subtree_memo(spark: SparkSession, key: tuple, build) -> DataFrame:
+    per_session = _SUBTREE_CACHE.setdefault(spark, {})
+    if key not in per_session:
+        per_session[key] = build()
+    return per_session[key]
+
+
 def _emb_double(spark: SparkSession, sf_dir: str, uniform: bool = False) -> DataFrame:
     """Embeddings widened to double — the module's shared input contract
     (see _VALID_EMB_SQL above; ``uniform=True`` adds the pairwise tier's
     max-dimension filter, _UNIFORM_EMB_SQL). Every oracle mirrors the
-    same predicate."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = emb.filter(F.expr(_VALID_EMB_SPARK)).select(
-        "vec_id", "label", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
-    )
-    if uniform:
-        out = out.filter(F.size("v") == F.lit(_corpus_dim(spark, sf_dir)))
-    return out
+    same predicate. Lazy plan memoized per (session, fixture, uniform) —
+    see _SUBTREE_CACHE."""
+    from transf_spark.sources.tables import staging_tag
+
+    key = ("emb_double", staging_tag(sf_dir, "embeddings"), uniform)
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = emb.filter(F.expr(_VALID_EMB_SPARK)).select(
+            "vec_id",
+            "label",
+            F.expr("transform(embedding, x -> cast(x AS double))").alias("v"),
+        )
+        if uniform:
+            out = out.filter(F.size("v") == F.lit(_corpus_dim(spark, sf_dir)))
+        return out
+
+    return _subtree_memo(spark, key, build)
 
 
 @register(
@@ -692,7 +733,28 @@ def _bucketed(
     ``with_margins=True`` (query probe building, round 12): no explode —
     one row per vector carrying its primary bucket AND ``margin_order``
     (plane indices by ascending |dot|), so the caller can fan probes out
-    over the vector's own least-confident planes."""
+    over the vector's own least-confident planes.
+
+    Lazy plan memoized per (session, fixture, flips, with_margins) — see
+    _SUBTREE_CACHE: one census build calls this 2×, and the withColumn
+    chain re-analyzes the growing plan each call (round-16 cProfile:
+    0.31 s of the lsh build's 1.2 s driver cost)."""
+    from transf_spark.sources.tables import staging_tag
+
+    key = (
+        "bucketed",
+        staging_tag(sf_dir, "embeddings"),
+        flips,
+        with_margins,
+    )
+    return _subtree_memo(
+        spark, key, lambda: _bucketed_build(spark, sf_dir, flips, with_margins)
+    )
+
+
+def _bucketed_build(
+    spark: SparkSession, sf_dir: str, flips: int, with_margins: bool
+) -> DataFrame:
     e = _emb_double(spark, sf_dir, uniform=True)
     planes = _planes_for_dim(_corpus_dim(spark, sf_dir))
     # ONE parsed literal-array expr, not N_PLANES x dim nested F.lit calls:
